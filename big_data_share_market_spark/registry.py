@@ -1,0 +1,38 @@
+"""Aggregate query registry: name -> (fn, duckdb_oracle_sql | None).
+
+Single source of truth consumed by __spark_entry__.py (driver
+contract), tests/test_parity.py (local oracle harness), and bench.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = []
+
+
+def _collect() -> dict[str, tuple[QueryFn, str | None]]:
+    from .operators import relational, keyed
+    mods = [relational, keyed]
+    for name in ("indicators", "ewm", "patterns", "transforms",
+                 "dedup", "similarity", "text"):
+        try:
+            mod = __import__(f"{__package__}.operators.{name}", fromlist=[name])
+            mods.append(mod)
+        except ImportError:
+            pass
+    merged: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod in mods:
+        for key, val in getattr(mod, "QUERIES", {}).items():
+            if key in merged:
+                raise ValueError(f"duplicate query name: {key}")
+            merged[key] = val
+    return merged
+
+
+def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
+    return _collect()

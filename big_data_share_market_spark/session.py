@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the test harness (local[N]) while
+keeping settings that scale to a multi-executor cluster.
+
+The reference delegates engine config to Flink
+(`flink_processor/flink-conf.yaml:1-4`, 2 task slots); here Spark owns
+parallelism. AQE is on so plans re-partition at runtime — the setting
+that matters most at 100 TB (skew joins, coalescing post-shuffle
+partitions) and is harmless locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "big_data_share_market_spark",
+              cpus: str | int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults."""
+    cpus = str(cpus or _DEFAULT_CPUS)
+    shuffle = int(shuffle_partitions or int(cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Normalize runtime conf on a session we did not create (the
+    driver passes its own). Only touches runtime-settable keys.
+
+    UTC is load-bearing: the oracle (DuckDB) treats timestamps as
+    UTC-naive, and the reference normalizes all event time to UTC
+    (`kafka_producer/yahoo_finance_producer.py:53-56`).
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark

@@ -1,0 +1,50 @@
+"""Fixture table loaders.
+
+All driver fixtures are single Parquet files per table
+(`/root/testdata/sf*/NAME.parquet`, see TESTDATA.md). Loading stays a
+plain `spark.read.parquet` so Catalyst keeps predicate pushdown,
+column pruning, and partition-count autotuning
+(`spark.sql.files.maxPartitionBytes` splits big files into tasks) — at
+100 TB these would be directory-partitioned tables and the same call
+prunes partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# harness runs; fact tables never are.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects. Read nanos as int64 and truncate to micros —
+        # exactly what DuckDB does (verified: ...778549829 ns → ...778549 µs),
+        # so the oracle sees identical values. `div` is integral division
+        # (a double divide would lose precision above 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
