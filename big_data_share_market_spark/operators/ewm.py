@@ -1,0 +1,339 @@
+"""The ewm family (SURVEY §2.E1, E4, E5, E6): EMA, TSI, MACD, ADX.
+
+pandas `ewm(span/alpha, adjust=False).mean()` is the one reference
+computation with no Spark SQL builtin (SURVEY §4). The scalable
+expression is a grouped-map Pandas UDF (`applyInPandas`) per key —
+Arrow-batched, partition-parallel across keys, the same physical shape
+as the reference's per-symbol pandas but distributed.
+
+Exactness contract (what the DuckDB oracle replays):
+
+* recurrence `acc := acc + alpha * (x - acc)`, seeded with the first
+  valid value — algebraically pandas' adjust=False form
+  `y_t = (1-alpha)*y_{t-1} + alpha*x_t` and bit-identical to DuckDB's
+  `list_reduce(l, (acc, x) -> acc + alpha*(x - acc))` (verified over
+  the full sf0.01 series: 0 bit mismatches);
+* NULL inputs are skipped, the accumulator carries through (mirrors
+  `list_filter(l, v -> v IS NOT NULL)` in the oracle); positions
+  before the first valid input are NULL;
+* rolling means inside ADX go through Spark Window + decimal-exact
+  sums, NOT the kernel, so they too match the oracle bit-for-bit;
+* zero denominators yield NULL on both engines (pandas would give
+  ±inf; deviation documented — the reference never guards it).
+
+alpha literals are written as the same division expression on both
+sides (`2.0/(span+1.0)`, `1.0/window`) so the doubles agree.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import DEC
+from ..tables import load_table
+from .transforms import BARS_CTE, bar_window, ohlc_bars
+
+_ORACLE_KEY_WINDOW = (
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+_ORACLE_BAR_WINDOW = (
+    "(PARTITION BY user_id ORDER BY bar_ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+
+
+def ewm_mean(values: Iterable[float], alpha: float) -> np.ndarray:
+    """pandas ewm(adjust=False).mean() with skip-NaN-carry semantics.
+
+    Plain Python loop over float64 — IEEE ops in recurrence order, so
+    the result is bit-identical to the oracle's list_reduce. O(n) per
+    key; keys are independent, so this parallelizes across executors.
+    """
+    out = np.empty(len(values), dtype=np.float64)
+    acc = math.nan
+    started = False
+    for i, x in enumerate(values):
+        if x is None or (isinstance(x, float) and math.isnan(x)):
+            out[i] = acc if started else math.nan
+            continue
+        if not started:
+            acc = float(x)
+            started = True
+        else:
+            acc = acc + alpha * (float(x) - acc)
+        out[i] = acc
+    return out
+
+
+def _ewm_sql(expr: str, alpha_expr: str, over: str) -> str:
+    """DuckDB mirror of :func:`ewm_mean` (NULL-skipping reduce)."""
+    return (
+        f"CASE WHEN COUNT({expr}) OVER {over} > 0 THEN "
+        f"list_reduce(list_filter(list({expr}) OVER {over}, v -> v IS NOT NULL), "
+        f"(acc, v) -> acc + ({alpha_expr}) * (v - acc)) END")
+
+
+def _apply_ewm(df: DataFrame, order_cols: list[str], value_cols: dict[str, tuple[str, float]],
+               key_col: str = "user_id") -> DataFrame:
+    """Grouped-map kernel: per key, sort by order_cols, add one ewm
+    column per entry of value_cols {out_name: (in_name, alpha)}.
+
+    NaN outputs are surfaced as NULL (nanvl downstream) to match the
+    oracle. Shuffles once on the key; each group is one Arrow batch.
+    """
+    out_fields = ", ".join(f"{name} double" for name in value_cols)
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{in_schema}, {out_fields}"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        for out_name, (in_name, alpha) in value_cols.items():
+            pdf[out_name] = ewm_mean(pdf[in_name].to_numpy(dtype=np.float64), alpha)
+        return pdf
+
+    res = df.groupBy(key_col).applyInPandas(kernel, schema=schema)
+    for out_name in value_cols:
+        res = res.withColumn(out_name, F.nanvl(F.col(out_name), F.lit(None)))
+    return res
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load_table(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", F.col("value").alias("close")))
+
+
+# ---------------------------------------------------------------------------
+# E1 — EMA(5), EMA(15)
+# ---------------------------------------------------------------------------
+
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streamlit_app/streamlit_app.py:165-166` (spans 5 and 15,
+    called at :346-347)."""
+    s = _series(spark, sf_dir)
+    return _apply_ewm(
+        s, ["ts", "event_id"],
+        {"ema_5": ("close", 2.0 / (5.0 + 1.0)),
+         "ema_15": ("close", 2.0 / (15.0 + 1.0))})
+
+
+_EMA_SQL = f"""
+SELECT user_id, event_id, ts, value AS close,
+       {_ewm_sql('value', '2.0/(5.0+1.0)', _ORACLE_KEY_WINDOW)} AS ema_5,
+       {_ewm_sql('value', '2.0/(15.0+1.0)', _ORACLE_KEY_WINDOW)} AS ema_15
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# E5 — MACD(12, 26, 9)
+# ---------------------------------------------------------------------------
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streamlit_app/streamlit_app.py:186-191`: macd = ema12 − ema26;
+    signal = ewm9 of the macd series (chained ewm — second kernel pass
+    over the derived column)."""
+    s = _series(spark, sf_dir)
+    s = _apply_ewm(
+        s, ["ts", "event_id"],
+        {"ema_12": ("close", 2.0 / (12.0 + 1.0)),
+         "ema_26": ("close", 2.0 / (26.0 + 1.0))})
+    s = s.withColumn("macd", F.col("ema_12") - F.col("ema_26"))
+    s = _apply_ewm(s, ["ts", "event_id"],
+                   {"macd_signal": ("macd", 2.0 / (9.0 + 1.0))})
+    return s.select("user_id", "event_id", "ts", "close", "macd", "macd_signal")
+
+
+_MACD_SQL = f"""
+WITH m AS (
+  SELECT user_id, event_id, ts, value AS close,
+         {_ewm_sql('value', '2.0/(12.0+1.0)', _ORACLE_KEY_WINDOW)}
+           - {_ewm_sql('value', '2.0/(26.0+1.0)', _ORACLE_KEY_WINDOW)} AS macd
+  FROM events)
+SELECT user_id, event_id, ts, close, macd,
+       {_ewm_sql('macd', '2.0/(9.0+1.0)', _ORACLE_KEY_WINDOW)} AS macd_signal
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# E4 — TSI(25, 13)
+# ---------------------------------------------------------------------------
+
+def q_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streamlit_app/streamlit_app.py:178-184`: double-smoothed diff
+    over double-smoothed |diff|, ×100. diff is NULL on each key's first
+    row; the kernel skips it (seed = second row), as does the oracle's
+    list_filter."""
+    s = _series(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = s.withColumn("d", F.col("close") - F.lag("close").over(w))
+    s = s.withColumn("ad", F.abs(F.col("d")))
+    s = _apply_ewm(s, ["ts", "event_id"],
+                   {"d_e25": ("d", 2.0 / (25.0 + 1.0)),
+                    "ad_e25": ("ad", 2.0 / (25.0 + 1.0))})
+    s = _apply_ewm(s, ["ts", "event_id"],
+                   {"d_e25_13": ("d_e25", 2.0 / (13.0 + 1.0)),
+                    "ad_e25_13": ("ad_e25", 2.0 / (13.0 + 1.0))})
+    return (
+        s.withColumn(
+            "tsi",
+            F.lit(100.0) * (F.col("d_e25_13")
+                            / F.nullif(F.col("ad_e25_13"), F.lit(0.0))))
+        .select("user_id", "event_id", "ts", "close", "tsi")
+    )
+
+
+_TSI_SQL = f"""
+WITH d AS (
+  SELECT user_id, event_id, ts, value AS close,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d,
+         abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS ad
+  FROM events),
+e1 AS (
+  SELECT user_id, event_id, ts, close,
+         {_ewm_sql('d', '2.0/(25.0+1.0)', _ORACLE_KEY_WINDOW)} AS d_e25,
+         {_ewm_sql('ad', '2.0/(25.0+1.0)', _ORACLE_KEY_WINDOW)} AS ad_e25
+  FROM d)
+SELECT user_id, event_id, ts, close,
+       100.0 * ({_ewm_sql('d_e25', '2.0/(13.0+1.0)', _ORACLE_KEY_WINDOW)}
+                / nullif({_ewm_sql('ad_e25', '2.0/(13.0+1.0)', _ORACLE_KEY_WINDOW)}, 0.0)) AS tsi
+FROM e1
+"""
+
+
+# ---------------------------------------------------------------------------
+# E6 — ADX(14), reference's non-standard variant
+# ---------------------------------------------------------------------------
+
+def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streamlit_app/streamlit_app.py:193-204`, replicated AS WRITTEN
+    including the non-standard −DM mask (`low.diff()` with
+    `(low_diff > high_diff) & (low_diff > 0)`; standard ADX uses
+    −low.diff() — SURVEY §2.E6 documents the deviation).
+
+    Hybrid plan: diffs/TR/ATR/DX-rolling are Window expressions
+    (decimal-exact); the three ewm recurrences run in the grouped
+    kernel. Two kernel passes, both on the already-shuffled key.
+    """
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    bars = (
+        bars.withColumn("high_diff", F.col("high") - F.lag("high").over(w))
+        .withColumn("low_diff", F.col("low") - F.lag("low").over(w))
+        .withColumn("prev_close", F.lag("close").over(w))
+    )
+    bars = (
+        bars.withColumn(
+            "plus_dm",
+            F.when((F.col("high_diff") > F.col("low_diff"))
+                   & (F.col("high_diff") > 0), F.col("high_diff"))
+            .otherwise(F.lit(0.0)))
+        .withColumn(
+            "minus_dm",
+            F.when((F.col("low_diff") > F.col("high_diff"))
+                   & (F.col("low_diff") > 0), F.col("low_diff"))
+            .otherwise(F.lit(0.0)))
+        # pandas row-wise max skips NaN: first row TR = high - low.
+        .withColumn(
+            "tr",
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.coalesce(F.abs(F.col("high") - F.col("prev_close")),
+                           F.lit(float("-inf"))),
+                F.coalesce(F.abs(F.col("low") - F.col("prev_close")),
+                           F.lit(float("-inf")))))
+    )
+    w14 = w.rowsBetween(-13, 0)
+    atr = F.when(F.count("tr").over(w14) == 14,
+                 F.sum(F.col("tr").cast(DEC)).over(w14).cast("double")
+                 / F.count("tr").over(w14))
+    bars = bars.withColumn("atr", atr)
+    alpha = 1.0 / 14.0
+    bars = _apply_ewm(bars, ["bar_ts"],
+                      {"pdm_e": ("plus_dm", alpha), "mdm_e": ("minus_dm", alpha)})
+    bars = (
+        bars.withColumn("plus_di",
+                        F.lit(100.0) * (F.col("pdm_e")
+                                        / F.nullif(F.col("atr"), F.lit(0.0))))
+        .withColumn("minus_di",
+                    F.lit(100.0) * (F.col("mdm_e")
+                                    / F.nullif(F.col("atr"), F.lit(0.0))))
+        .withColumn(
+            "dx_base",
+            F.lit(100.0) * F.abs(F.col("plus_di") - F.col("minus_di"))
+            / F.nullif(F.col("plus_di") + F.col("minus_di"), F.lit(0.0)))
+    )
+    w14b = bar_window().rowsBetween(-13, 0)
+    dx = F.when(F.count("dx_base").over(w14b) == 14,
+                F.sum(F.col("dx_base").cast(DEC)).over(w14b).cast("double")
+                / F.count("dx_base").over(w14b))
+    bars = bars.withColumn("dx", dx)
+    bars = _apply_ewm(bars, ["bar_ts"], {"adx": ("dx", alpha)})
+    return bars.select("user_id", "bar_ts", "close", "adx")
+
+
+_ADX_SQL = f"""
+WITH {BARS_CTE},
+diffs AS (
+  SELECT user_id, bar_ts, close, high, low,
+         high - lag(high) OVER w AS high_diff,
+         low - lag(low) OVER w AS low_diff,
+         lag(close) OVER w AS prev_close
+  FROM bars
+  WINDOW w AS (PARTITION BY user_id ORDER BY bar_ts)),
+dm AS (
+  SELECT user_id, bar_ts, close,
+         CASE WHEN high_diff > low_diff AND high_diff > 0
+              THEN high_diff ELSE 0.0 END AS plus_dm,
+         CASE WHEN low_diff > high_diff AND low_diff > 0
+              THEN low_diff ELSE 0.0 END AS minus_dm,
+         greatest(high - low,
+                  COALESCE(abs(high - prev_close), '-infinity'::DOUBLE),
+                  COALESCE(abs(low - prev_close), '-infinity'::DOUBLE)) AS tr
+  FROM diffs),
+smoothed AS (
+  SELECT user_id, bar_ts, close,
+         CASE WHEN COUNT(tr) OVER w14 = 14 THEN
+           CAST(SUM(CAST(tr AS DECIMAL(25,6))) OVER w14 AS DOUBLE)
+             / COUNT(tr) OVER w14 END AS atr,
+         {_ewm_sql('plus_dm', '1.0/14.0', _ORACLE_BAR_WINDOW)} AS pdm_e,
+         {_ewm_sql('minus_dm', '1.0/14.0', _ORACLE_BAR_WINDOW)} AS mdm_e
+  FROM dm
+  WINDOW w14 AS (PARTITION BY user_id ORDER BY bar_ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+di AS (
+  SELECT user_id, bar_ts, close,
+         100.0 * (pdm_e / nullif(atr, 0.0)) AS plus_di,
+         100.0 * (mdm_e / nullif(atr, 0.0)) AS minus_di
+  FROM smoothed),
+dxb AS (
+  SELECT user_id, bar_ts, close,
+         100.0 * abs(plus_di - minus_di)
+           / nullif(plus_di + minus_di, 0.0) AS dx_base
+  FROM di),
+dxr AS (
+  SELECT user_id, bar_ts, close,
+         CASE WHEN COUNT(dx_base) OVER w14 = 14 THEN
+           CAST(SUM(CAST(dx_base AS DECIMAL(25,6))) OVER w14 AS DOUBLE)
+             / COUNT(dx_base) OVER w14 END AS dx
+  FROM dxb
+  WINDOW w14 AS (PARTITION BY user_id ORDER BY bar_ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, bar_ts, close,
+       {_ewm_sql('dx', '1.0/14.0', _ORACLE_BAR_WINDOW)} AS adx
+FROM dxr
+"""
+
+
+QUERIES = {
+    "ema": (q_ema, _EMA_SQL),
+    "macd": (q_macd, _MACD_SQL),
+    "tsi": (q_tsi, _TSI_SQL),
+    "adx": (q_adx, _ADX_SQL),
+}

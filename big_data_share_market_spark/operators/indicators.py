@@ -1,0 +1,264 @@
+"""Rolling-window indicators and trading strategies (SURVEY §2.E2-E3,
+E8-E11) as pure Spark Window expressions — no UDFs, fully inside
+whole-stage codegen; the ewm family (EMA/MACD/TSI/ADX) is in ewm.py.
+
+Semantics replicate the reference's pandas AS WRITTEN, including its
+quirks (SURVEY §7 risk 2):
+
+* pandas `rolling(n)` yields NaN until the window is full → here the
+  expression is NULL while the per-key row count < n (risk 3);
+* scalping (E8) compares close against a rolling extremum that
+  *includes* close itself, so signals can only fire on exact ties —
+  replicated, not fixed (`streamlit_app/streamlit_app.py:212-216`);
+* all comparisons against NULL windows collapse to the pandas
+  behavior `NaN-compare == False` via when/otherwise fallthrough.
+
+Rolling means go through the decimal-exact sum so the DuckDB oracle
+matches bit-for-bit (see functions/__init__.py).
+
+Series mapping (FIXTURES.md §3): events.value is the close price of
+key events.user_id; ordering is (ts, event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import DEC
+from ..tables import load_table
+from .transforms import BARS_CTE, bar_window, ohlc_bars
+
+_ORACLE_KEY_WINDOW = "(PARTITION BY user_id ORDER BY ts, event_id)"
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load_table(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts",
+                    F.col("value").alias("close")))
+
+
+def _w():
+    return W.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _rolling_mean(col, window_spec, n: int):
+    """pandas rolling(n).mean(): decimal-exact mean, NULL until the
+    frame holds n rows."""
+    frame = window_spec.rowsBetween(-(n - 1), 0)
+    return F.when(
+        F.count(col).over(frame) == n,
+        F.sum(col.cast(DEC)).over(frame).cast("double") / F.count(col).over(frame),
+    )
+
+
+def _rolling_mean_sql(expr: str, n: int, over: str = _ORACLE_KEY_WINDOW) -> str:
+    frame = f"OVER ({over[1:-1]} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    return (f"CASE WHEN COUNT({expr}) {frame} = {n} THEN "
+            f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) {frame} AS DOUBLE)"
+            f" / COUNT({expr}) {frame} END")
+
+
+# ---------------------------------------------------------------------------
+# E2 — SMA
+# ---------------------------------------------------------------------------
+
+def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA(20) (`streamlit_app/streamlit_app.py:168-169`)."""
+    s = _series(spark, sf_dir)
+    return s.withColumn("sma_20", _rolling_mean(F.col("close"), _w(), 20))
+
+
+_SMA_SQL = f"""
+SELECT user_id, event_id, ts, value AS close,
+       {_rolling_mean_sql('value', 20)} AS sma_20
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# E3 — RSI
+# ---------------------------------------------------------------------------
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14) (`streamlit_app/streamlit_app.py:171-176`): delta =
+    diff(close); gain/loss = clamped deltas (first-row NaN delta → 0,
+    matching pandas .where); rs = gain/loss rolling means; RSI =
+    100 − 100/(1+rs). Zero/NULL loss → NULL (non-ANSI division),
+    identical in the oracle."""
+    s = _series(spark, sf_dir)
+    w = _w()
+    delta = F.col("close") - F.lag("close").over(w)
+    s = s.withColumn("delta", delta)
+    gain = F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0.0))
+    loss = F.when(F.col("delta") < 0, -F.col("delta")).otherwise(F.lit(0.0))
+    s = (s.withColumn("gain_avg", _rolling_mean(gain, _w(), 14))
+         .withColumn("loss_avg", _rolling_mean(loss, _w(), 14)))
+    rs = F.col("gain_avg") / F.nullif(F.col("loss_avg"), F.lit(0.0))
+    return (
+        s.withColumn("rsi_14", F.lit(100.0) - (F.lit(100.0) / (F.lit(1.0) + rs)))
+        .select("user_id", "event_id", "ts", "close", "rsi_14")
+    )
+
+
+_RSI_SQL = f"""
+WITH d AS (
+  SELECT user_id, event_id, ts, value AS close,
+         value - lag(value) OVER {_ORACLE_KEY_WINDOW} AS delta
+  FROM events),
+g AS (
+  SELECT user_id, event_id, ts, close,
+         {_rolling_mean_sql("CASE WHEN delta > 0 THEN delta ELSE 0.0 END", 14)} AS gain_avg,
+         {_rolling_mean_sql("CASE WHEN delta < 0 THEN -delta ELSE 0.0 END", 14)} AS loss_avg
+  FROM d)
+SELECT user_id, event_id, ts, close,
+       100.0 - (100.0 / (1.0 + gain_avg / nullif(loss_avg, 0.0))) AS rsi_14
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# E8 — scalping strategy (as-written: self-inclusive rolling extrema)
+# ---------------------------------------------------------------------------
+
+def q_scalping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _series(spark, sf_dir)
+    w5 = _w().rowsBetween(-4, 0)
+    full = F.count("close").over(w5) == 5
+    rmin = F.when(full, F.min("close").over(w5))
+    rmax = F.when(full, F.max("close").over(w5))
+    return s.withColumn(
+        "signal",
+        F.when(F.col("close") < rmin, 1)
+        .when(F.col("close") > rmax, -1)
+        .otherwise(0),
+    )
+
+
+_SCALPING_SQL = """
+SELECT user_id, event_id, ts, close,
+       CASE WHEN close < rmin THEN 1 WHEN close > rmax THEN -1 ELSE 0 END AS signal
+FROM (
+  SELECT user_id, event_id, ts, value AS close,
+         CASE WHEN COUNT(value) OVER w5 = 5 THEN MIN(value) OVER w5 END AS rmin,
+         CASE WHEN COUNT(value) OVER w5 = 5 THEN MAX(value) OVER w5 END AS rmax
+  FROM events
+  WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+"""
+
+
+# ---------------------------------------------------------------------------
+# E9 — range trading (global per-key extrema of bar low/high)
+# ---------------------------------------------------------------------------
+
+def q_range_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streamlit_app/streamlit_app.py:218-224`: support=min(low),
+    resistance=max(high) over the whole frame; ±1 within 5% bands.
+    Per-key unbounded window — no second scan, no driver round-trip."""
+    bars = ohlc_bars(spark, sf_dir)
+    wall = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        bars.withColumn("support", F.min("low").over(wall))
+        .withColumn("resistance", F.max("high").over(wall))
+        .withColumn(
+            "signal",
+            F.when(F.col("close") <= F.col("support") * 1.05, 1)
+            .when(F.col("close") >= F.col("resistance") * 0.95, -1)
+            .otherwise(0))
+        .select("user_id", "bar_ts", "close", "support", "resistance", "signal")
+    )
+
+
+_RANGE_TRADING_SQL = f"""
+WITH {BARS_CTE}
+SELECT user_id, bar_ts, close,
+       MIN(low) OVER wk AS support,
+       MAX(high) OVER wk AS resistance,
+       CASE WHEN close <= MIN(low) OVER wk * 1.05 THEN 1
+            WHEN close >= MAX(high) OVER wk * 0.95 THEN -1
+            ELSE 0 END AS signal
+FROM bars
+WINDOW wk AS (PARTITION BY user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E10 — momentum
+# ---------------------------------------------------------------------------
+
+def q_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streamlit_app/streamlit_app.py:226-231`: momentum = close −
+    close.shift(5); sign → ±1 (NULL momentum → 0, pandas NaN-compare)."""
+    s = _series(spark, sf_dir)
+    return (
+        s.withColumn("momentum", F.col("close") - F.lag("close", 5).over(_w()))
+        .withColumn(
+            "signal",
+            F.when(F.col("momentum") > 0, 1)
+            .when(F.col("momentum") < 0, -1)
+            .otherwise(0))
+    )
+
+
+_MOMENTUM_SQL = f"""
+SELECT user_id, event_id, ts, value AS close,
+       value - lag(value, 5) OVER {_ORACLE_KEY_WINDOW} AS momentum,
+       CASE WHEN value - lag(value, 5) OVER {_ORACLE_KEY_WINDOW} > 0 THEN 1
+            WHEN value - lag(value, 5) OVER {_ORACLE_KEY_WINDOW} < 0 THEN -1
+            ELSE 0 END AS signal
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# E11 — breakout (window-of-window: lagged rolling extrema)
+# ---------------------------------------------------------------------------
+
+def q_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streamlit_app/streamlit_app.py:233-239`: +1 where close exceeds
+    yesterday's rolling-20 max, −1 below yesterday's rolling-20 min."""
+    s = _series(spark, sf_dir)
+    w20 = _w().rowsBetween(-19, 0)
+    full = F.count("close").over(w20) == 20
+    s = (s.withColumn("rmax", F.when(full, F.max("close").over(w20)))
+         .withColumn("rmin", F.when(full, F.min("close").over(w20))))
+    w = _w()
+    return (
+        s.withColumn("prev_rmax", F.lag("rmax").over(w))
+        .withColumn("prev_rmin", F.lag("rmin").over(w))
+        .withColumn(
+            "signal",
+            F.when(F.col("close") > F.col("prev_rmax"), 1)
+            .when(F.col("close") < F.col("prev_rmin"), -1)
+            .otherwise(0))
+        .select("user_id", "event_id", "ts", "close", "signal")
+    )
+
+
+_BREAKOUT_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_id, ts, value AS close,
+         CASE WHEN COUNT(value) OVER w20 = 20 THEN MAX(value) OVER w20 END AS rmax,
+         CASE WHEN COUNT(value) OVER w20 = 20 THEN MIN(value) OVER w20 END AS rmin
+  FROM events
+  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, ts, close,
+       CASE WHEN close > lag(rmax) OVER w THEN 1
+            WHEN close < lag(rmin) OVER w THEN -1
+            ELSE 0 END AS signal
+FROM r
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES = {
+    "sma": (q_sma, _SMA_SQL),
+    "rsi": (q_rsi, _RSI_SQL),
+    "scalping_strategy": (q_scalping, _SCALPING_SQL),
+    "range_trading_strategy": (q_range_trading, _RANGE_TRADING_SQL),
+    "momentum_strategy": (q_momentum, _MOMENTUM_SQL),
+    "breakout_strategy": (q_breakout, _BREAKOUT_SQL),
+}

@@ -20,11 +20,14 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     mods = [relational, keyed]
     for name in ("indicators", "ewm", "patterns", "transforms",
                  "dedup", "similarity", "text"):
+        modpath = f"{__package__}.operators.{name}"
         try:
-            mod = __import__(f"{__package__}.operators.{name}", fromlist=[name])
-            mods.append(mod)
-        except ImportError:
-            pass
+            mods.append(__import__(modpath, fromlist=[name]))
+        except ModuleNotFoundError as exc:
+            # Only swallow "module not written yet", never a missing
+            # dependency inside an existing module.
+            if exc.name != modpath:
+                raise
     merged: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in mods:
         for key, val in getattr(mod, "QUERIES", {}).items():

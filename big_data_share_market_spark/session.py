@@ -31,6 +31,12 @@ def get_spark(app_name: str = "big_data_share_market_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults to ANSI (division-by-zero throws); the
+        # engine follows the reference's permissive semantics (pandas
+        # NaN / Flink json.ignore-parse-errors) and the DuckDB oracle's
+        # NULL-on-zero-divide, so run non-ANSI. Hot-path divisions are
+        # additionally nullif-guarded so they are ANSI-safe anyway.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -52,6 +58,7 @@ def prep(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass
     return spark

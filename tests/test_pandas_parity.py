@@ -1,0 +1,87 @@
+"""Ground-truth parity against the reference's own computation engine
+(pandas), per SURVEY §7 hard-part 1: the DuckDB oracle only proves
+Spark ≡ oracle; these tests prove both ≡ pandas semantics as the
+reference wrote them (`streamlit_app/streamlit_app.py:165-204`).
+
+Tolerance-based (rtol 1e-9): our recurrence `acc + a*(x-acc)` is
+algebraically but not bitwise pandas' `(1-a)*acc + a*x`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from big_data_share_market_spark.operators.ewm import ewm_mean
+
+
+@pytest.fixture(scope="module")
+def series():
+    rng = np.random.default_rng(42)
+    return pd.Series(100 + rng.standard_normal(500).cumsum())
+
+
+@pytest.mark.parametrize("span", [5, 9, 12, 15, 26])
+def test_ewm_matches_pandas_span(series, span):
+    ours = ewm_mean(series.to_numpy(), 2.0 / (span + 1.0))
+    ref = series.ewm(span=span, adjust=False).mean().to_numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_ewm_matches_pandas_alpha(series):
+    ours = ewm_mean(series.to_numpy(), 1.0 / 14.0)
+    ref = series.ewm(alpha=1 / 14, adjust=False).mean().to_numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_ewm_leading_nan_seeds_at_first_valid(series):
+    s = series.copy()
+    s.iloc[0] = np.nan
+    ours = ewm_mean(s.to_numpy(), 2.0 / 6.0)
+    ref = s.ewm(span=5, adjust=False).mean().to_numpy()
+    assert np.isnan(ours[0]) and np.isnan(ref[0])
+    np.testing.assert_allclose(ours[1:], ref[1:], rtol=1e-9)
+
+
+def test_rsi_matches_pandas(spark):
+    """Spark RSI pipeline vs the reference formula in pandas, on the
+    real events fixture, NaN↔NULL aligned."""
+    from big_data_share_market_spark.operators.indicators import q_rsi
+    from .conftest import SF_DIR
+
+    got = (q_rsi(spark, SF_DIR).orderBy("user_id", "ts", "event_id")
+           .toPandas())
+    import duckdb
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, ts, value FROM '{SF_DIR}/events.parquet' "
+        "ORDER BY user_id, ts, event_id").fetchdf()
+    out = []
+    for uid, g in ev.groupby("user_id", sort=True):
+        close = g["value"].reset_index(drop=True)
+        delta = close.diff()
+        gain = (delta.where(delta > 0, 0)).rolling(window=14).mean()
+        loss = (-delta.where(delta < 0, 0)).rolling(window=14).mean()
+        rs = gain / loss
+        out.append(100 - (100 / (1 + rs)))
+    ref = pd.concat(out).to_numpy()
+    ours = got["rsi_14"].to_numpy()
+    both_nan = np.isnan(ref) & np.isnan(ours)
+    np.testing.assert_allclose(ours[~both_nan], ref[~both_nan], rtol=1e-9)
+
+
+def test_sma_matches_pandas(spark):
+    from big_data_share_market_spark.operators.indicators import q_sma
+    from .conftest import SF_DIR
+
+    got = (q_sma(spark, SF_DIR).orderBy("user_id", "ts", "event_id").toPandas())
+    import duckdb
+    ev = duckdb.sql(
+        f"SELECT user_id, value FROM '{SF_DIR}/events.parquet' "
+        "ORDER BY user_id, ts, event_id").fetchdf()
+    ref = (ev.groupby("user_id", sort=True)["value"]
+           .apply(lambda s: s.rolling(window=20).mean())
+           .to_numpy())
+    ours = got["sma_20"].to_numpy()
+    both_nan = np.isnan(ref) & np.isnan(ours)
+    np.testing.assert_allclose(ours[~both_nan], ref[~both_nan], rtol=1e-9)
