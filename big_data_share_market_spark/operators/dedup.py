@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond the reference (its only dedup is the upsert PK, SURVEY §2.D5) —
+these are the document-level dedup family a 100 TB text corpus needs.
+
+Scale design:
+* exact dedup is one shuffle on the fingerprint;
+* n-gram Jaccard joins on the shingle — at corpus scale the shingle
+  join explodes on hot shingles, which is exactly why MinHash+LSH
+  exists: the LSH variant only joins on (band, signature) buckets,
+  turning the candidate search into an equi-join with bounded fanout,
+  then verifies true Jaccard only for candidates;
+* all hashing is md5-derived (64-bit prefix) so Spark and the DuckDB
+  oracle agree exactly; at production scale xxhash64 would be the
+  faster drop-in.
+
+Tokenization contract (shared with text.py): lowercase, trim, split
+on \\s+, word 3-gram shingles, distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# Spark-side word-3-gram shingles (0-based); DuckDB mirror is 1-based.
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents))
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .withColumn("shingles", F.expr(_SHINGLES_EXPR))
+        .select("doc_id", "shingles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (prefix fingerprint)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint — md5 of the first-8-word
+    normalized prefix (full-text md5 finds nothing in this corpus; the
+    planted near-dups share prefixes, which is the CommonCrawl-style
+    URL/prefix dedup). Keep = min doc_id per group. One shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
+    docs = docs.select("doc_id", fp.alias("fp"))
+    groups = (docs.groupBy("fp")
+              .agg(F.min("doc_id").alias("keep_doc_id"),
+                   F.count("*").alias("n_copies")))
+    return (
+        docs.join(groups, "fp")
+        .withColumn("keep", F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id", "fp", "keep_doc_id", "n_copies", "keep")
+    )
+
+
+_EXACT_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 8), ' ')) AS fp
+  FROM documents),
+g AS (SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      FROM f GROUP BY fp)
+SELECT f.doc_id, f.fp, g.keep_doc_id, g.n_copies,
+       f.doc_id = g.keep_doc_id AS keep
+FROM f JOIN g USING (fp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (shingle join)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8. Candidate
+    generation by shingle equi-join (a.doc_id < b.doc_id), exact
+    intersection count, |A∪B| = |A|+|B|−|A∩B|."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a_id")
+                   .withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+              .withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id,
+       inter / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE inter / (sa.n + sb.n - inter) >= 0.8
+ORDER BY a_id, b_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) signatures → 4 LSH bands → bucket equi-join for
+    candidates → exact Jaccard verify ≥ 0.8.
+
+    The join key is (band, signature-pair) — bounded fanout at any
+    corpus size, unlike the raw shingle join. Hash h_i(s) = first 15
+    hex digits of md5(i || '|' || s) as int64 (engine-portable)."""
+    sh = _shingled(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed")
+    hashed = exploded.select(
+        "doc_id", "shingle", seeds).withColumn(
+        "h", F.conv(F.substring(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))),
+                                1, 15), 16, 10).cast("long"))
+    minhash = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    bands = (
+        minhash.withColumn("band", (F.col("seed") / _BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+            lambda s: s["mh"].cast("string")), ",").alias("sig"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # verify candidates with true Jaccard on the shingle sets
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hashed AS (
+  SELECT doc_id, seed.i AS seed, shingle,
+         CAST(('0x' || substring(md5(seed.i || '|' || shingle), 1, 15)) AS BIGINT) AS h
+  FROM e, (SELECT unnest(range({_N_HASHES})) AS i) seed),
+minhash AS (
+  SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // {_BAND_ROWS} AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM minhash GROUP BY doc_id, CAST(seed // {_BAND_ROWS} AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT a_id, b_id,
+       len(list_intersect(sa.shingles, sb.shingles))
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = a_id
+JOIN sh sb ON sb.doc_id = b_id
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+ORDER BY a_id, b_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc (token-hash bit votes), then near-dup
+    pairs at Hamming distance ≤ 1 via bit_count(xor) (a 32-bit
+    simhash over a shared-vocabulary corpus is noisy past distance 1).
+
+    The pair scan is all-pairs here; at corpus scale the standard trick
+    is splitting the simhash into (distance+1) chunks and equi-joining
+    on any matching chunk — same shape as the LSH band join above."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+    tokens = tokens.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    bits = tokens.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"))
+    votes = (
+        bits.withColumn(
+            "vote",
+            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    simhash = (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b"))
+            .otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+    a = simhash.alias("a")
+    b = simhash.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= 1)
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"), "hamming")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(range({_SIMHASH_BITS})) AS b) b
+  GROUP BY doc_id, b.b),
+simhash AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY a_id, b_id
+"""
+
+
+QUERIES = {
+    "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
+    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, _MINHASH_SQL),
+    "simhash_pairs": (q_simhash_pairs, _SIMHASH_SQL),
+}

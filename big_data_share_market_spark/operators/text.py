@@ -1,0 +1,223 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions — whole-stage codegen,
+no UDFs — with exact DuckDB mirrors. Tokenization contract shared with
+dedup.py: trim, lower, split on \\s+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_IN = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate: ceil(chars/4)
+    per token, the standard ~4-chars-per-token heuristic."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.expr(
+            "aggregate(split(trim(text), '\\\\s+'), CAST(0 AS BIGINT), "
+            "(acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+        ).alias("n_subword_est"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split_regex(trim(text), '\\s+'),
+                        t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+         (acc, v) -> acc + v) AS n_subword_est
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length band, mean token length,
+    stopword ratio — the C4/Gopher-style cheap filters. score ∈ [0,1],
+    deterministic double arithmetic mirrored in the oracle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = docs.select(
+        "doc_id", "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("n_stop"),
+    )
+    mean_tok = (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.nullif(
+        F.col("n_tokens").cast("double"), F.lit(0.0))
+    stop_ratio = F.col("n_stop") / F.nullif(F.col("n_tokens").cast("double"),
+                                            F.lit(0.0))
+    len_score = F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
+    tok_score = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 1.0).otherwise(0.5)
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return docs.select(
+        "doc_id", "lang", "n_tokens", "n_stop",
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ((len_score * 0.4) + (tok_score * 0.3) + (stop_score * 0.3))
+        .alias("quality_score"),
+    )
+
+
+_QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t IN ({_STOP_IN}))) AS n_stop
+  FROM documents)
+SELECT doc_id, lang, n_tokens, n_stop,
+       (n_chars - (n_tokens - 1)) / nullif(CAST(n_tokens AS DOUBLE), 0.0)
+         AS mean_token_len,
+       n_stop / nullif(CAST(n_tokens AS DOUBLE), 0.0) AS stopword_ratio,
+       (least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4)
+         + (CASE WHEN (n_chars - (n_tokens - 1))
+                      / nullif(CAST(n_tokens AS DOUBLE), 0.0) >= 3.0
+                 AND (n_chars - (n_tokens - 1))
+                      / nullif(CAST(n_tokens AS DOUBLE), 0.0) <= 10.0
+            THEN 1.0 ELSE 0.5 END * 0.3)
+         + (least(n_stop / nullif(CAST(n_tokens AS DOUBLE), 0.0) * 5.0, 1.0) * 0.3)
+         AS quality_score
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " is "),
+    "es": (" el ", " la ", " los "),
+    "fr": (" le ", " les ", " des "),
+    "de": (" der ", " und ", " die "),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _marker_count(text_col, marker: str):
+    # occurrences = (len(s) - len(replace(s, m, ''))) / len(m)
+    return ((F.length(text_col)
+             - F.length(F.replace(text_col, F.lit(marker), F.lit(""))))
+            / F.lit(len(marker))).cast("long")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-n-gram language scores + argmax prediction (deterministic
+    tie-break by the fixed language order). The synthetic corpus is one
+    shared vocabulary, so predictions mostly collapse to the tie-break
+    — the operator's semantics (scoring + argmax plumbing), not its
+    accuracy, is what the oracle checks."""
+    docs = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scored = docs.select(
+        "doc_id", "lang",
+        *[sum(_marker_count(padded, m) for m in markers).alias(f"score_{lang}")
+          for lang, markers in _LANG_MARKERS.items()])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    chain = None
+    for lang in _LANG_MARKERS:  # first max wins (insertion order)
+        cond = F.col(f"score_{lang}") == best
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return scored.select(
+        "doc_id", "lang", *[f"score_{lang}" for lang in _LANG_MARKERS],
+        chain.alias("predicted_lang"),
+    ).withColumn("match", F.col("predicted_lang") == F.col("lang"))
+
+
+def _marker_count_sql(expr: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (f"CAST((length({expr}) - length(replace({expr}, '{m}', '')))"
+            f" // {len(marker)} AS BIGINT)")
+
+
+def _lang_id_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        parts = " + ".join(_marker_count_sql(padded, m) for m in markers)
+        score_cols.append(f"({parts}) AS score_{lang}")
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    chain = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {', '.join(score_cols)}
+  FROM documents)
+SELECT doc_id, lang, {', '.join(f'score_{lang}' for lang in langs)},
+       {chain} AS predicted_lang,
+       {chain} = lang AS match
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5, 8-word-prefix md5 (the
+    dedup key), and a 60-bit integer fingerprint for compact storage/
+    joins (first 15 md5 hex digits)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    prefix = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 8))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(prefix).alias("prefix_fp"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+        .alias("fp64"),
+    )
+
+
+_DOC_FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents)
+SELECT doc_id,
+       md5(norm) AS content_fp,
+       md5(array_to_string(list_slice(string_split(norm, ' '), 1, 8), ' '))
+         AS prefix_fp,
+       CAST(('0x' || substring(md5(norm), 1, 15)) AS BIGINT) AS fp64
+FROM n
+"""
+
+
+QUERIES = {
+    "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "quality_score": (q_quality_score, _QUALITY_SCORE_SQL),
+    "lang_id": (q_lang_id, _lang_id_sql()),
+    "doc_fingerprint": (q_doc_fingerprint, _DOC_FINGERPRINT_SQL),
+}
