@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect). BASELINE.md anchors: flagship signal query
+<= 5 s, ewm indicator suite <= 10 s, relational suite <= 5 s/query at
+sf 0.1 single-node.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_share_market_spark.registry import all_queries
+from big_data_share_market_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY.md §2: relational core, keyed stream
+# ops, window indicators, ewm kernels, training-data operators.
+HEADLINE = [
+    "signal_case",          # flagship (B2 CASE + lag)
+    "pricing_summary",      # TPC-H Q1 shape
+    "shipping_priority",    # fact-fact join + top-k
+    "region_revenue",       # 6-table star join
+    "grouped_events",       # grouped agg
+    "topk_per_group",       # windowed rank
+    "asof_last_signup",     # as-of join
+    "last_per_key",         # D2
+    "ohlc_bars",            # tumbling OHLC
+    "sma",                  # rolling window
+    "rsi",                  # rolling + arithmetic
+    "breakout_strategy",    # window-of-window
+    "ema",                  # ewm kernel (applyInPandas)
+    "macd",                 # chained ewm
+    "adx",                  # hybrid window + ewm
+    "exact_dedup",          # hash dedup
+    "minhash_lsh_dedup",    # LSH near-dup
+    "cosine_topk",          # similarity scan
+    "quality_score",        # text analysis
+]
+
+
+def main() -> None:
+    queries = all_queries()
+    spark = get_spark(app_name="bdsm-bench")
+    # Warm the JVM/codegen paths once with a tiny action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
