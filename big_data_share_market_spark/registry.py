@@ -18,11 +18,14 @@ _MODULES = []
 def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     from .operators import relational, keyed
     mods = [relational, keyed]
-    for name in ("indicators", "ewm", "patterns", "transforms",
-                 "dedup", "similarity", "text"):
-        modpath = f"{__package__}.operators.{name}"
+    for name in ("operators.indicators", "operators.ewm",
+                 "operators.patterns", "operators.transforms",
+                 "operators.dedup", "operators.similarity",
+                 "operators.text", "operators.multimodal",
+                 "sources.json_io", "streaming.batch_parity"):
+        modpath = f"{__package__}.{name}"
         try:
-            mods.append(__import__(modpath, fromlist=[name]))
+            mods.append(__import__(modpath, fromlist=[name.split(".")[-1]]))
         except ModuleNotFoundError as exc:
             # Only swallow "module not written yet", never a missing
             # dependency inside an existing module.

@@ -1,0 +1,197 @@
+"""JSON envelope codec + recursive flatten + UTC normalization
+(SURVEY §2.A5/A6, §2.C1-C8).
+
+Reference behaviors re-expressed:
+
+- `flatten_dict` (`kafka_producer/yahoo_finance_producer.py:72-80`):
+  nested dict → flat keys joined with `_`. Here it is schema-driven —
+  a driver-side recursion over ``df.schema`` emitting one `col("a.b")
+  .alias("a_b")` per leaf, so the flatten is a pure projection that
+  Catalyst prunes/pushes down (no UDF, no row work).
+- producer JSON envelope (`kafka_producer/yahoo_finance_producer.py:
+  108-116`): `json.dumps({'symbol': s, **record})` keyed by symbol →
+  `to_json(struct(*))` with a `key` column — the exact shape
+  `write.format("kafka")` wants.
+- Flink JSON source with `'json.ignore-parse-errors' = 'True'`
+  (`flink_processor/flink_processor.py:66-73`): `from_json` is
+  PERMISSIVE by default — malformed input yields a null struct, which
+  `drop_malformed=True` filters, replicating ignore-parse-errors.
+- UTC string normalization (`kafka_producer/yahoo_finance_producer.py:
+  53-56`) and browser-tz conversion (`streamlit_app/streamlit_app.py:
+  341-343`).
+
+Scale notes: everything here is a narrow projection — no shuffle, no
+Python row work; stays inside WholeStageCodegen. At 100 TB the flatten
+and envelope codec run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# C3: recursive schema flatten (driver-side recursion → one projection)
+
+def flatten(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Flatten all nested struct columns into `parent{sep}child`
+    leaves — the schema-driven equivalent of the reference's
+    `flatten_dict` (`kafka_producer/yahoo_finance_producer.py:72-80`).
+
+    Driver-side recursion over ``df.schema`` emits one aliased column
+    per leaf, so the flatten is a pure projection Catalyst prunes and
+    pushes down — no UDF, no row work. Arrays/maps stay leaves (the
+    reference only nests dicts); explode is the caller's choice.
+    """
+    def walk(schema: T.StructType, path: tuple[str, ...]) -> list[Column]:
+        out: list[Column] = []
+        for field in schema.fields:
+            p = path + (field.name,)
+            if isinstance(field.dataType, T.StructType):
+                out.extend(walk(field.dataType, p))
+            else:
+                out.append(F.col(".".join(f"`{seg}`" for seg in p))
+                           .alias(sep.join(p)))
+        return out
+
+    return df.select(*walk(df.schema, ()))
+
+
+# ---------------------------------------------------------------------------
+# A5 / C4: producer envelope — key by symbol, JSON-serialize the record
+
+def encode_envelope(df: DataFrame, key_col: str) -> DataFrame:
+    """(key STRING, value STRING) envelope: `to_json(struct(*))` with
+    the key column kept separately — the write shape of both
+    `write.format("kafka")` and the reference's producer
+    (`kafka_producer/yahoo_finance_producer.py:108-116`)."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 / C5: source-side JSON decode with parse-error tolerance
+
+def decode_envelope(df: DataFrame, schema: T.StructType | str,
+                    value_col: str = "value",
+                    drop_malformed: bool = True) -> DataFrame:
+    """Parse a JSON `value` column back to typed columns. PERMISSIVE
+    `from_json` nulls malformed rows; dropping them replicates Flink's
+    `'json.ignore-parse-errors' = 'True'`
+    (`flink_processor/flink_processor.py:72`)."""
+    parsed = df.withColumn("_rec", F.from_json(F.col(value_col).cast("string"),
+                                               schema))
+    if drop_malformed:
+        parsed = parsed.filter(F.col("_rec").isNotNull())
+    return parsed.select("_rec.*")
+
+
+# ---------------------------------------------------------------------------
+# C1 / C7: UTC normalization
+
+def utc_string(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """Timestamp → canonical UTC string, the producer's normalization
+    (`kafka_producer/yahoo_finance_producer.py:53-56`). Session tz is
+    pinned to UTC (session.py), so date_format emits UTC wall time."""
+    return F.date_format(F.col(col) if isinstance(col, str) else col, fmt)
+
+
+def in_timezone(col: Column | str, tz: str) -> Column:
+    """UTC timestamp → wall-clock in `tz`, the dashboard's browser-tz
+    conversion (`streamlit_app/streamlit_app.py:341-343`)."""
+    return F.from_utc_timestamp(F.col(col) if isinstance(col, str) else col, tz)
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+
+_PROPS_SCHEMA = "k INT"
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 JSON parse over `events.props` → typed extraction + grouped
+    agg. `from_json` with an explicit schema keeps the parse inside
+    codegen (no Python); at 100 TB this is the canonical
+    semi-structured-column pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.from_json("props", _PROPS_SCHEMA)["k"])
+        .groupBy("k")
+        .agg(F.count("*").alias("n"),
+             F.avg("value").alias("avg_value"))
+        .orderBy("k")
+    )
+
+
+_PROPS_JSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS n,
+       AVG(value) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5→A6 end-to-end: encode each event into the keyed JSON envelope
+    (producer shape), decode through the PERMISSIVE source path, and
+    project the typed record — value-identical to the input, which the
+    plain-SELECT oracle certifies."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        utc_string("ts").alias("ts_utc"),
+    )
+    envelope = encode_envelope(ev, key_col="user_id")
+    decoded = decode_envelope(
+        envelope,
+        "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, ts_utc STRING",
+    )
+    return decoded
+
+
+_ROUNDTRIP_SQL = """
+SELECT event_id, user_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_utc
+FROM events
+"""
+
+
+def q_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 recursive flatten: build the producer's nested financial-
+    record shape (envelope struct with nested sub-structs, like the 20
+    yfinance sub-datasets) from `orders`, flatten to `_`-joined leaves.
+    The flatten is a pure projection — Catalyst prunes unused leaves."""
+    orders = load_table(spark, sf_dir, "orders")
+    nested = orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("totalprice"),
+            ).alias("detail"),
+        ).alias("order"),
+    )
+    return flatten(nested)
+
+
+_FLATTEN_SQL = """
+SELECT o_orderkey AS orderkey,
+       o_custkey AS order_custkey,
+       o_orderstatus AS order_detail_status,
+       o_totalprice AS order_detail_totalprice
+FROM orders
+"""
+
+
+QUERIES = {
+    "props_json_extract": (q_props_json_extract, _PROPS_JSON_SQL),
+    "json_envelope_roundtrip": (q_json_envelope_roundtrip, _ROUNDTRIP_SQL),
+    "flatten_nested": (q_flatten_nested, _FLATTEN_SQL),
+}

@@ -1,0 +1,99 @@
+"""Streaming pipeline: file-source replay of `events`, watermarked
+tumbling OHLC bars, and the signal CASE over bars — the reference's
+Kafka → Flink(CASE) → upsert pipeline re-expressed
+(`flink_processor/flink_processor.py:52-121`).
+
+Scale notes: the windowed aggregation is a streaming state-store agg
+keyed by (user_id, window) — partial aggregation map-side, state
+pruned by the watermark (G2). On a cluster the same code reads
+`format("kafka")` instead of parquet; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Explicit source schema (streaming reads cannot infer). `ts` arrives
+#: as int64 nanos in the fixture parquet (see tables.load_table).
+EVENTS_DDL = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING")
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events fixture as a stream (G1 event time derived
+    from the raw field, exactly like the reference's computed `ts`
+    column, `flink_processor/flink_processor.py:56`)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a DIRECTORY; the fixtures are
+    # read-only single files, so stage a symlink dir (no data copy).
+    src_dir = f"/tmp/bdsm_stream_src{sf_dir.replace('/', '_')}"
+    link = f"{src_dir}/events-0.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        .load(src_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def with_watermark(sdf: DataFrame, delay: str = "1 second") -> DataFrame:
+    """G2: bounded disorder, the reference's `WATERMARK FOR ts AS ts -
+    INTERVAL '1' SECOND` (`flink_processor/flink_processor.py:64`)."""
+    return sdf.withWatermark("ts", delay)
+
+
+def stream_ohlc_bars(sdf: DataFrame, width: str = "1 hour") -> DataFrame:
+    """G5: tumbling-window OHLCV bars per key from the raw stream —
+    identical aggregate expressions to the batch form
+    (operators/transforms.ohlc_bars) so batch/stream parity is exact."""
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        with_watermark(sdf)
+        .groupBy("user_id", F.window("ts", width).alias("win"))
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select("user_id", F.col("win.start").alias("bar_ts"),
+                "open", "high", "low", "close", "volume")
+    )
+
+
+def signal_over_bars(bars: DataFrame) -> DataFrame:
+    """B2 verbatim over barred data — the Flink job's CASE
+    (`flink_processor/flink_processor.py:105-109`): close vs open
+    within the row, stateless, so it runs identically on a stream."""
+    return bars.withColumn(
+        "indicator",
+        F.when(F.col("close") > F.col("open"), "BUY")
+        .when(F.col("close") < F.col("open"), "SELL")
+        .otherwise("HOLD"),
+    )
+
+
+def run_available_now(sdf: DataFrame, spark: SparkSession,
+                      output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available data (availableNow trigger → memory sink) and return the
+    materialized result. Complete mode is the test-harness choice: the
+    final window would otherwise be withheld as not-yet-finalized by
+    the watermark at end-of-stream."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,84 @@
+"""Custom stateful operator: bounded last-N-per-key buffer
+(SURVEY §2.G6/D4) — the reference's per-symbol 20-record FIFO
+(`streamlit_app/provider.py:20-22,107-113`) as an
+`applyInPandasWithState` operator.
+
+The state per key is the buffer itself (ts-micros, event_id, value
+arrays), updated incrementally per micro-batch and re-emitted in
+update mode — exactly the consumer thread's evict-at-N behavior, but
+partition-parallel and fault-tolerant (state checkpointed by Spark).
+
+Scale notes: state size is O(n_keys × N) — tiny. The shuffle is one
+hash partitioning on the key, the same as any grouped agg.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output: the buffered rows, ranked 1 = newest (matches the batch
+#: form operators/keyed.q_latest_n_per_key for oracle parity).
+OUTPUT_DDL = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE, rn INT"
+#: State: parallel arrays of the buffer (timestamps as int64 micros —
+#: state schemas cannot hold TimestampType payloads portably).
+STATE_DDL = "ts_us ARRAY<BIGINT>, event_id ARRAY<BIGINT>, value ARRAY<DOUBLE>"
+
+_N_DEFAULT = 20
+
+
+def _last_n_fn(n: int):
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            ts_us, event_id, value = state.get
+            buf = pd.DataFrame({"ts_us": list(ts_us),
+                                "event_id": list(event_id),
+                                "value": list(value)})
+        else:
+            buf = pd.DataFrame(columns=["ts_us", "event_id", "value"])
+
+        for pdf in pdf_iter:
+            newer = pd.DataFrame({
+                "ts_us": pdf["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+            })
+            buf = pd.concat([buf, newer], ignore_index=True)
+
+        # Keep the N newest by (ts, event_id) — deterministic tiebreak,
+        # same order as the batch window rank.
+        buf = (buf.sort_values(["ts_us", "event_id"],
+                               ascending=[False, False])
+               .head(n).reset_index(drop=True))
+        state.update((buf["ts_us"].tolist(),
+                      buf["event_id"].tolist(),
+                      buf["value"].tolist()))
+
+        out = pd.DataFrame({
+            "user_id": user_id,
+            "event_id": buf["event_id"].astype("int64"),
+            "ts": pd.to_datetime(buf["ts_us"], unit="us"),
+            "value": buf["value"].astype("float64"),
+            "rn": range(1, len(buf) + 1),
+        })
+        yield out
+
+    return fn
+
+
+def last_n_per_key(sdf: DataFrame, n: int = _N_DEFAULT) -> DataFrame:
+    """Streaming bounded buffer: latest `n` events per user_id."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _last_n_fn(n),
+            outputStructType=OUTPUT_DDL,
+            stateStructType=STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
