@@ -1,0 +1,215 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extract / frame-sample as Arrow-batched Pandas UDFs
+over `mapInPandas` (the training-data-pipeline pattern: media blobs
+ride through Spark as `binary` columns; per-row Python touches them
+only inside vectorized batches).
+
+The container has no image/audio codecs, so `decode_image` /
+`decode_audio` are clearly-marked stubs (NotImplementedError); the
+Spark-side plumbing — binary column, metadata struct, UDF signatures,
+Arrow batch shapes, partitioning — is real and oracle-tested against a
+deterministic byte-level featurizer. The fixture payload is the
+document text encoded to UTF-8 (ASCII in the fixtures, verified, so
+DuckDB can mirror byte math at string level).
+
+Scale notes: payloads never shuffle except where grouped — metadata
+stats aggregate AFTER projecting the payload away (map-side partial
+agg on ~3 media types); featurize/frame-sample are narrow mapInPandas
+passes (no shuffle at all), so at 100 TB the cost is scan + Python
+batch transform, partition-parallel. `spark.sql.files.maxPartitionBytes`
+caps the bytes a single Arrow batch owner reads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_MEDIA_TYPES = ("image", "audio", "video")
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode (PIL/opencv) — STUB: codecs are not available
+    in this container. The deterministic byte featurizer below stands
+    in for tests; swap this in production."""
+    raise NotImplementedError("image codecs not available in test container")
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Real audio decode (soundfile/ffmpeg) — STUB, as decode_image."""
+    raise NotImplementedError("audio codecs not available in test container")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-cast as a media table: `payload binary` + typed
+    metadata struct. Deterministic so the DuckDB oracle can rebuild
+    it: media_type = doc_id % 3; width/height/duration derived from
+    n_chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("content_bytes"),
+            (F.col("n_chars") % 640 + 64).alias("width"),
+            (F.col("n_chars") % 480 + 48).alias("height"),
+            (F.col("n_chars") / 16.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+#: DuckDB mirror of :func:`media_table`'s derivations.
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id,
+         encode(text) AS payload,
+         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         source AS origin,
+         n_chars AS content_bytes,
+         n_chars % 640 + 64 AS width,
+         n_chars % 480 + 48 AS height,
+         n_chars / 16.0 AS duration_s,
+         text
+  FROM documents)
+"""
+
+
+def q_media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup per media type × origin. The payload is
+    projected away before the groupBy — the plan shuffles only the
+    metadata columns (column pruning keeps blobs out of the exchange;
+    at 100 TB that is the difference between a KB-scale and a TB-scale
+    shuffle)."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("media_type", F.col("meta.origin").alias("origin"),
+                     F.length("payload").alias("n_bytes"),
+                     F.col("meta.duration_s").alias("duration_s"))
+        .groupBy("media_type", "origin")
+        .agg(F.count("*").alias("n_items"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.avg("duration_s").alias("avg_duration_s"))
+        .orderBy("media_type", "origin")
+    )
+
+
+_MEDIA_STATS_SQL = f"""
+WITH {_MEDIA_CTE}
+SELECT media_type, origin, COUNT(*) AS n_items,
+       SUM(octet_length(payload)) AS total_bytes,
+       AVG(duration_s) AS avg_duration_s
+FROM media GROUP BY media_type, origin ORDER BY media_type, origin
+"""
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched byte featurizer (the deterministic stand-in for
+    `decode_image`): per payload, byte count / mean / max. numpy over
+    the buffer — vectorized, no per-byte Python."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            rows.append((int(doc_id), int(arr.size),
+                         float(arr.astype(np.float64).mean()),
+                         int(arr.max())))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes",
+                                          "mean_byte", "max_byte"])
+
+
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing: binary payloads → per-item
+    features via mapInPandas (Arrow batches, narrow — zero shuffle).
+    Sums of byte values stay < 2^53 so the float mean is exact and the
+    byte-level DuckDB oracle matches bit-for-bit."""
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    return media.mapInPandas(
+        _featurize_batches,
+        schema="doc_id BIGINT, n_bytes BIGINT, mean_byte DOUBLE, max_byte BIGINT",
+    )
+
+
+_MEDIA_FEATURES_SQL = """
+WITH bytes AS (
+  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+  FROM documents)
+SELECT doc_id, COUNT(*) AS n_bytes,
+       AVG(ascii(substring(text, i, 1))) AS mean_byte,
+       MAX(ascii(substring(text, i, 1))) AS max_byte
+FROM bytes GROUP BY doc_id ORDER BY doc_id
+"""
+
+_FRAME_LEN = 16
+_N_FRAMES = 4
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic frame sampler for 'video' payloads: _N_FRAMES
+    evenly-strided fixed-length byte slices, fingerprinted with md5
+    (stands in for JPEG frame extraction; the slicing/batching shape is
+    what a real ffmpeg UDF uses)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            stride = max((len(data) - _FRAME_LEN) // (_N_FRAMES - 1), 1)
+            for k in range(_N_FRAMES):
+                start = min(k * stride, max(len(data) - _FRAME_LEN, 0))
+                frame = data[start:start + _FRAME_LEN]
+                rows.append((int(doc_id), k, start,
+                             hashlib.md5(frame).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                          "byte_offset", "frame_md5"])
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: filter to the modality
+    FIRST (predicate prunes 2/3 of blobs at the scan), then a narrow
+    mapInPandas emitting (frame_idx, offset, fingerprint) rows — the
+    1→N exploding UDTF shape of real frame extraction."""
+    media = (media_table(spark, sf_dir)
+             .filter(F.col("media_type") == "video")
+             .select("doc_id", "payload"))
+    return media.mapInPandas(
+        _frame_sample_batches,
+        schema=("doc_id BIGINT, frame_idx INT, byte_offset INT, "
+                "frame_md5 STRING"),
+    )
+
+
+_FRAME_SAMPLE_SQL = f"""
+WITH {_MEDIA_CTE},
+vids AS (SELECT doc_id, text, length(text) AS n FROM media
+         WHERE media_type = 'video'),
+frames AS (
+  SELECT doc_id, unnest(generate_series(0, {_N_FRAMES - 1})) AS frame_idx,
+         text, n
+  FROM vids)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(least(frame_idx * greatest((n - {_FRAME_LEN}) // {_N_FRAMES - 1}, 1),
+                  greatest(n - {_FRAME_LEN}, 0)) AS INTEGER) AS byte_offset,
+       md5(substring(text,
+                     CAST(least(frame_idx * greatest((n - {_FRAME_LEN}) // {_N_FRAMES - 1}, 1),
+                                greatest(n - {_FRAME_LEN}, 0)) AS INTEGER) + 1,
+                     {_FRAME_LEN})) AS frame_md5
+FROM frames
+"""
+
+
+QUERIES = {
+    "media_metadata_stats": (q_media_metadata_stats, _MEDIA_STATS_SQL),
+    "media_decode_features": (q_media_decode_features, _MEDIA_FEATURES_SQL),
+    "media_frame_sample": (q_media_frame_sample, _FRAME_SAMPLE_SQL),
+}
