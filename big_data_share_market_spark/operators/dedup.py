@@ -144,29 +144,39 @@ ORDER BY a_id, b_id
 
 _N_HASHES = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
+_MH_P = 2147483647  # 2^31 − 1; a·h fits int64 (a < 2^17, h < 2^31)
+_MH_A = (769, 1543, 3079, 6151, 12289, 24593, 49157, 98317)
+_MH_B = (12345, 20264, 28183, 36102, 44021, 51940, 59859, 67778)
+
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) signatures → 4 LSH bands → bucket equi-join for
     candidates → exact Jaccard verify ≥ 0.8.
 
     The join key is (band, signature-pair) — bounded fanout at any
-    corpus size, unlike the raw shingle join. Hash h_i(s) = first 15
-    hex digits of md5(i || '|' || s) as int64 (engine-portable)."""
+    corpus size, unlike the raw shingle join. Hash family: ONE
+    md5-derived base hash per shingle, then 8 affine permutations
+    h_i = (a_i·h + b_i) mod (2³¹−1) — the classic MinHash family. This
+    is 8× fewer md5s than hashing per (seed, shingle), and the 8 mins
+    are 8 agg columns over ONE groupBy(doc_id) — no seed explode, so
+    the shuffle is |shingles| rows, not 8·|shingles| (measured 3× at
+    sf0.1; the ratio is scale-invariant). Integer arithmetic is exact
+    on both engines, so the oracle mirrors it verbatim."""
     sh = _shingled(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed")
-    hashed = exploded.select(
-        "doc_id", "shingle", seeds).withColumn(
-        "h", F.conv(F.substring(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))),
-                                1, 15), 16, 10).cast("long"))
-    minhash = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    bands = (
-        minhash.withColumn("band", (F.col("seed") / _BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_join(F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-            lambda s: s["mh"].cast("string")), ",").alias("sig"))
-    )
+    base = exploded.withColumn(
+        "h0", F.expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) "
+                     f"AS BIGINT) % {_MH_P}"))
+    minhash = base.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"({a} * h0 + {b}) % {_MH_P}")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))])
+    bands = minhash.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.concat_ws(",", f"mh{2 * k}", f"mh{2 * k + 1}").alias("sig"))
+            for k in range(_N_HASHES // _BAND_ROWS)])).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -195,15 +205,18 @@ _MINHASH_SQL = f"""
 WITH {_SHINGLES_CTE},
 e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 hashed AS (
-  SELECT doc_id, seed.i AS seed, shingle,
-         CAST(('0x' || substring(md5(seed.i || '|' || shingle), 1, 15)) AS BIGINT) AS h
-  FROM e, (SELECT unnest(range({_N_HASHES})) AS i) seed),
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS h0
+  FROM e),
 minhash AS (
-  SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed),
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * h0 + {b}) % {_MH_P}) AS mh{i}"
+                    for i, (a, b) in enumerate(zip(_MH_A, _MH_B)))}
+  FROM hashed GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, CAST(seed // {_BAND_ROWS} AS INT) AS band,
-         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-  FROM minhash GROUP BY doc_id, CAST(seed // {_BAND_ROWS} AS INT)),
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {k} AS band, mh{2 * k} || ',' || mh{2 * k + 1} AS sig FROM minhash"
+      for k in range(_N_HASHES // _BAND_ROWS))}),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
