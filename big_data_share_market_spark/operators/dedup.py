@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import fan_out, load_table
 
 # Spark-side word-3-gram shingles (0-based); DuckDB mirror is 1-based.
 _SHINGLES_EXPR = (
@@ -38,14 +38,26 @@ sh AS (
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
   FROM (SELECT doc_id,
                string_split_regex(trim(lower(text)), '\\s+') AS w
-        FROM documents))
+        FROM documents)
+  WHERE len(w) >= 3)
 """
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """doc_id → distinct word-3-gram shingle array, ≥3-word docs only.
+
+    The <3-words filter is a CHEAP predicate on the raw text placed
+    below the fan_out shuffle on purpose: a filter written on the
+    shingle array would be substituted through the Project and pushed
+    below the repartition, dragging the expensive interpreted
+    higher-order shingle expression onto the narrow scan side (single
+    task on the fixture). Keeping the heavy transform above the
+    exchange runs it at full width."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3)
     return (
-        docs.withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        fan_out(spark, docs)
+        .withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .withColumn("shingles", F.expr(_SHINGLES_EXPR))
         .select("doc_id", "shingles")
     )
@@ -59,16 +71,21 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint — md5 of the first-8-word
     normalized prefix (full-text md5 finds nothing in this corpus; the
     planted near-dups share prefixes, which is the CommonCrawl-style
-    URL/prefix dedup). Keep = min doc_id per group. One shuffle."""
+    URL/prefix dedup). Keep = min doc_id per group.
+
+    ONE shuffle total: min/count as window aggs over partitionBy(fp)
+    instead of groupBy + join-back (which shuffles the table twice and
+    re-reads the scan)."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.slice(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
-    docs = docs.select("doc_id", fp.alias("fp"))
-    groups = (docs.groupBy("fp")
-              .agg(F.min("doc_id").alias("keep_doc_id"),
-                   F.count("*").alias("n_copies")))
+    w = Window.partitionBy("fp")
     return (
-        docs.join(groups, "fp")
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count("*").over(w))
         .withColumn("keep", F.col("doc_id") == F.col("keep_doc_id"))
         .select("doc_id", "fp", "keep_doc_id", "n_copies", "keep")
     )
@@ -156,20 +173,29 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join key is (band, signature-pair) — bounded fanout at any
     corpus size, unlike the raw shingle join. Hash family: ONE
     md5-derived base hash per shingle, then 8 affine permutations
-    h_i = (a_i·h + b_i) mod (2³¹−1) — the classic MinHash family. This
-    is 8× fewer md5s than hashing per (seed, shingle), and the 8 mins
-    are 8 agg columns over ONE groupBy(doc_id) — no seed explode, so
-    the shuffle is |shingles| rows, not 8·|shingles| (measured 3× at
-    sf0.1; the ratio is scale-invariant). Integer arithmetic is exact
-    on both engines, so the oracle mirrors it verbatim."""
+    h_i = (a_i·h + b_i) mod (2³¹−1) — the classic MinHash family.
+
+    Shuffle budget (the 100 TB concern): the signature is computed
+    entirely MAP-SIDE — transform() over the shingle array for h0,
+    array_min(transform(...)) per permutation — so there is NO
+    explode + groupBy(doc_id) shuffle at all (that shuffle carries
+    |shingles| ≈ 50× |docs| rows). Candidates come from ONE
+    groupBy(band, sig) over 4·|docs| short rows with in-bucket pair
+    expansion, not a bands⋈bands self-join (which would execute the
+    whole minhash subtree twice — Spark does not dedupe common plan
+    subtrees). Integer arithmetic is exact on both engines, so the
+    oracle mirrors it verbatim."""
     sh = _shingled(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    base = exploded.withColumn(
-        "h0", F.expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) "
-                     f"AS BIGINT) % {_MH_P}"))
-    minhash = base.groupBy("doc_id").agg(*[
-        F.min(F.expr(f"({a} * h0 + {b}) % {_MH_P}")).alias(f"mh{i}")
-        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))])
+    h0s = F.expr(
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
+        f"AS BIGINT) % {_MH_P})")
+    minhash = (
+        sh.withColumn("h0s", h0s)
+        .select("doc_id", *[
+            F.expr(f"array_min(transform(h0s, h -> ({a} * h + {b}) % {_MH_P}))")
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))])
+    )
     bands = minhash.select(
         "doc_id",
         F.explode(F.array(*[
@@ -177,13 +203,15 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat_ws(",", f"mh{2 * k}", f"mh{2 * k + 1}").alias("sig"))
             for k in range(_N_HASHES // _BAND_ROWS)])).alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
     # verify candidates with true Jaccard on the shingle sets
@@ -203,16 +231,17 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SQL = f"""
 WITH {_SHINGLES_CTE},
-e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 hashed AS (
   SELECT doc_id,
-         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS h0
-  FROM e),
+         list_transform(shingles,
+           s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {_MH_P}
+         ) AS h0s
+  FROM sh),
 minhash AS (
   SELECT doc_id,
-         {", ".join(f"MIN(({a} * h0 + {b}) % {_MH_P}) AS mh{i}"
+         {", ".join(f"list_min(list_transform(h0s, h -> ({a} * h + {b}) % {_MH_P})) AS mh{i}"
                     for i, (a, b) in enumerate(zip(_MH_A, _MH_B)))}
-  FROM hashed GROUP BY doc_id),
+  FROM hashed),
 bands AS (
   {" UNION ALL ".join(
       f"SELECT doc_id, {k} AS band, mh{2 * k} || ',' || mh{2 * k + 1} AS sig FROM minhash"
@@ -249,7 +278,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair scan is all-pairs here; at corpus scale the standard trick
     is splitting the simhash into (distance+1) chunks and equi-joining
     on any matching chunk — same shape as the LSH band join above."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))

@@ -40,6 +40,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to core count when the scan yields
+    fewer partitions than cores. For CPU-bound per-row kernels (md5
+    shingle hashing, tokenization) a single-file scan otherwise pins
+    the whole map stage to ONE task; the explicit numPartitions form
+    is exempt from AQE partition coalescing, so the width sticks. At
+    100 TB the scan already has >= cores splits and this is a no-op
+    (guarded by getNumPartitions), costing zero shuffles."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
