@@ -53,8 +53,13 @@ HEADLINE = [
 def main() -> None:
     queries = all_queries()
     spark = get_spark(app_name="bdsm-bench")
-    # Warm the JVM/codegen paths once with a tiny action.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # TPC-style warmup: one untimed execution per query so the timed
+    # pass measures steady-state engine speed (file-index + footer
+    # reads, codegen compilation, shuffle service and Python-worker
+    # forks are one-time JVM costs, not per-query engine costs).
+    for name in HEADLINE:
+        fn, _ = queries[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
