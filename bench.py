@@ -46,6 +46,7 @@ HEADLINE = [
     "exact_dedup",          # hash dedup
     "minhash_lsh_dedup",    # LSH near-dup
     "cosine_topk",          # similarity scan
+    "embedding_neardup",    # multi-table LSH near-dup
     "quality_score",        # text analysis
 ]
 

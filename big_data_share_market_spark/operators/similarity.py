@@ -18,6 +18,8 @@ The LSH variant prunes to a bucket before scoring; for batch ANN
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,30 +84,51 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 _N_PLANES = 4
+_DIM = 64  # embeddings.embedding is array<float>[64] (TESTDATA.md)
 
-def _bucket_expr(emb_col: str) -> str:
-    """LSH bucket id: sign bit per hyperplane. Plane p's weight for
-    dimension i is ±1 from md5(p||'_'||i) (deterministic, engine-
-    portable: +1 iff the first hex digit is 0-7)."""
+
+def _plane_weights(seed: str) -> list[float]:
+    """±1 weight per dimension for one hyperplane, derived from
+    md5(seed||'_'||dim) at PLAN-BUILD time (+1 iff the first hex digit
+    is 0-7). Deterministic and engine-portable; materializing the
+    weights as literal arrays keeps runtime free of per-element md5
+    calls (measured: the interpreted md5-in-lambda form cost ~1 µs per
+    element — dim × planes × rows of it)."""
+    return [
+        1.0 if hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[0] in "01234567"
+        else -1.0
+        for i in range(_DIM)
+    ]
+
+
+def _proj_expr(emb_col: str, weights: list[float]) -> str:
+    lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in weights)
+    return (f"aggregate(zip_with({emb_col}, array({lits}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _proj_sql(emb_col: str, weights: list[float]) -> str:
+    lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in weights)
+    return (f"list_reduce(list_transform(range(1, len({emb_col}) + 1), "
+            f"i -> CAST({emb_col}[i] AS DOUBLE) * ([{lits}])[i]), "
+            f"(acc, v) -> acc + v)")
+
+
+def _bucket_expr(emb_col: str, table: str = "") -> str:
+    """LSH bucket id: one sign bit per hyperplane; `table` prefixes the
+    weight seeds so multi-table LSH draws independent plane sets."""
     bits = []
     for p in range(_N_PLANES):
-        proj = (f"aggregate(zip_with({emb_col}, sequence(0, size({emb_col}) - 1), "
-                f"(x, i) -> CAST(x AS DOUBLE) * "
-                f"(CASE WHEN substring(md5(concat('{p}', '_', CAST(i AS STRING))), 1, 1) "
-                f"IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)), "
-                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        proj = _proj_expr(emb_col, _plane_weights(f"{table}{p}"))
         bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(bits)
 
 
-def _bucket_sql(emb_col: str) -> str:
+def _bucket_sql(emb_col: str, table: str = "") -> str:
     bits = []
     for p in range(_N_PLANES):
-        proj = (f"list_reduce(list_transform(range(1, len({emb_col}) + 1), "
-                f"i -> CAST({emb_col}[i] AS DOUBLE) * "
-                f"(CASE WHEN substring(md5('{p}' || '_' || CAST(i - 1 AS VARCHAR)), 1, 1) "
-                f"IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)), "
-                f"(acc, v) -> acc + v)")
+        proj = _proj_sql(emb_col, _plane_weights(f"{table}{p}"))
         bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(bits)
 
@@ -141,6 +164,100 @@ FROM b, q
 WHERE bucket = q_bucket AND vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (multi-table LSH candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+_ND_TABLES = 3
+_ND_THRESHOLD = 0.4  # calibrated to the fixture corpus (max pairwise
+                     # cosine ≈ 0.60; ≥0.4 yields ~920 true pairs at
+                     # sf0.1) — a real near-dup sweep would use ≥0.95
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from 3
+    independent LSH tables (4 hyperplanes each — a pair qualifies if it
+    collides in ANY table, boosting recall multiplicatively), then
+    exact cosine ≥ threshold on candidates only.
+
+    Same shuffle shape as the MinHash path (dedup.py): bucket ids are
+    MAP-SIDE literal-weight projections, candidates come from ONE
+    groupBy(tbl, bucket) with in-bucket pair expansion (never a
+    self-join that would re-execute the scan subtree), and the verify
+    join touches only candidate rows. Recall < 1 by design; the oracle
+    mirrors the same tables, so parity is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.expr(_bucket_expr("embedding", f"t{t}.")).alias("bucket"))
+            for t in range(_ND_TABLES)])).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    cand = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    # Verify stage: norms are computed ONCE per vector map-side (the
+    # naive per-pair cosine costs 3 dot products; with precomputed
+    # norms each candidate pays exactly one). The explicit repartition
+    # spreads the interpreted dot-product work across cores — the
+    # distinct's exchange is tiny, so AQE would otherwise coalesce the
+    # verify stage to one task.
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").alias("emb_a"), nrm.alias("nrm_a"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("emb_b"), nrm.alias("nrm_b"))
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    return (
+        cand.join(F.broadcast(ea), "a_id").join(F.broadcast(eb), "b_id")
+        .withColumn("cosine",
+                    dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
+        .filter(F.col("cosine") >= _ND_THRESHOLD)
+        .select("a_id", "b_id", "cosine")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_EMB_NEARDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_bucket_sql('embedding', f't{t}.')} AS bucket_{t}"
+                    for t in range(_ND_TABLES))}
+  FROM embeddings),
+cand AS (
+  SELECT DISTINCT a_id, b_id FROM (
+    {" UNION ALL ".join(
+        f"SELECT x.vec_id AS a_id, y.vec_id AS b_id "
+        f"FROM b x JOIN b y ON x.bucket_{t} = y.bucket_{t} "
+        f"AND x.vec_id < y.vec_id"
+        for t in range(_ND_TABLES))})),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT a_id, b_id,
+         {_dot_sql('ea.embedding', 'eb.embedding')}
+           / nullif(ea.nrm * eb.nrm, 0.0) AS cosine
+  FROM cand
+  JOIN n ea ON ea.vec_id = a_id
+  JOIN n eb ON eb.vec_id = b_id)
+SELECT a_id, b_id, cosine FROM scored
+WHERE cosine >= {_ND_THRESHOLD}
+ORDER BY a_id, b_id
 """
 
 
@@ -188,5 +305,6 @@ FROM per_dim GROUP BY label ORDER BY label
 QUERIES = {
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
+    "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
     "label_centroids": (q_label_centroids, _LABEL_CENTROIDS_SQL),
 }
