@@ -20,10 +20,10 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import fan_out, load_table
 
 #: dot(a, b) with double casts and sequential summation (Spark SQL).
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -168,6 +168,114 @@ LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# IVF-bucketed ANN (coarse quantizer = per-label centroids)
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF codebook: mean embedding per label (decimal-exact per-dim
+    means, identical arithmetic to q_label_centroids so both oracles
+    share one definition). 10 labels → a broadcastable codebook; at
+    scale the codebook is k-means-trained but the index structure —
+    assign, invert, probe — is exactly this."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    per_dim = (
+        dims.groupBy("label", "dim")
+        .agg((F.sum(F.col("x").cast("double").cast("decimal(25,6)"))
+              .cast("double") / F.count("x")).alias("mean_x"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_x"))),
+            lambda s: s["mean_x"]).alias("centroid"))
+        .withColumnRenamed("label", "clabel")
+    )
+
+
+_CENTROIDS_CTE = """
+cdims AS (
+  SELECT label, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u),
+cper_dim AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(x) AS mean_x
+  FROM cdims GROUP BY label, dim),
+cents AS (
+  SELECT label AS clabel, list(mean_x ORDER BY dim) AS centroid
+  FROM cper_dim GROUP BY label)
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 neighbors of vec_id 0: every vector is
+    assigned to its nearest codebook centroid (the inverted lists);
+    the query probes its _IVF_NPROBE nearest lists and scores only
+    their members exactly.
+
+    Physical shape at scale: the codebook broadcasts; assignment is
+    one map-side pass over the corpus (persisted as a partition column
+    in a real deployment); a probe touches ~nprobe/k of the data.
+    Recall < 1 by design; the oracle mirrors the same codebook and
+    tie-breaks, so parity is exact."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = _centroids(spark, sf_dir)
+    cos_c = (F.expr(_DOT.format(a="embedding", b="centroid"))
+             / F.nullif(
+                 F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+                 * F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid"))),
+                 F.lit(0.0)))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .withColumn("cos_c", cos_c)
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("vec_id")
+                  .orderBy(F.desc("cos_c"), F.asc("clabel")))))
+    assigned = scored.filter(F.col("rn") == 1).select(
+        "vec_id", "label", "embedding", "clabel")
+    probed = (scored.filter((F.col("vec_id") == 0) & (F.col("rn") <= _IVF_NPROBE))
+              .select("clabel"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cand = (assigned.join(F.broadcast(probed), "clabel")
+            .filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q)))
+    return (
+        _with_cosine(cand, "embedding", "q_emb")
+        .select("vec_id", "label", "clabel", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH {_CENTROIDS_CTE},
+scored0 AS (
+  SELECT e.vec_id, e.label, e.embedding, c.clabel,
+         {_dot_sql('e.embedding', 'c.centroid')}
+           / nullif(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('c.centroid', 'c.centroid')}), 0.0) AS cos_c
+  FROM embeddings e, cents c),
+scored AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, clabel ASC) AS rn
+  FROM scored0),
+assigned AS (
+  SELECT vec_id, label, embedding, clabel FROM scored WHERE rn = 1),
+probed AS (
+  SELECT clabel FROM scored WHERE vec_id = 0 AND rn <= {_IVF_NPROBE}),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id, a.label, a.clabel,
+       {_cosine_sql('a.embedding', 'q_emb')} AS cosine
+FROM assigned a JOIN probed p ON a.clabel = p.clabel, q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (multi-table LSH candidates + exact verify)
 # ---------------------------------------------------------------------------
 
@@ -305,6 +413,7 @@ FROM per_dim GROUP BY label ORDER BY label
 QUERIES = {
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
+    "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
     "label_centroids": (q_label_centroids, _LABEL_CENTROIDS_SQL),
 }
