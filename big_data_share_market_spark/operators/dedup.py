@@ -275,9 +275,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs at Hamming distance ≤ 1 via bit_count(xor) (a 32-bit
     simhash over a shared-vocabulary corpus is noisy past distance 1).
 
-    The pair scan is all-pairs here; at corpus scale the standard trick
-    is splitting the simhash into (distance+1) chunks and equi-joining
-    on any matching chunk — same shape as the LSH band join above."""
+    Candidate generation uses the pigeonhole chunk split: any pair at
+    distance ≤ d must agree exactly on ≥ 1 of (d+1) disjoint chunks,
+    so with d=1 the 32-bit hash splits into two 16-bit halves and
+    candidates come from ONE groupBy(chunk, value) + in-bucket pair
+    expansion — an equi-shuffle with bounded fanout instead of the
+    all-pairs O(n²) broadcast-nested-loop join. Exact Hamming verify
+    runs on candidates only. The oracle keeps the all-pairs form: the
+    chunk split is lossless for d ≤ 1, so the result sets are equal."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id",
@@ -302,15 +307,35 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
-    a = simhash.alias("a")
-    b = simhash.alias("b")
+    chunks = simhash.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("chunk"),
+                     F.expr("simhash >> 16").alias("val")),
+            F.struct(F.lit(1).alias("chunk"),
+                     F.expr("simhash & 65535").alias("val")))).alias("cv")
+    ).select("doc_id", "cv.chunk", "cv.val")
+    cand = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    sa = simhash.select(F.col("doc_id").alias("a_id"),
+                        F.col("simhash").alias("sh_a"))
+    sb = simhash.select(F.col("doc_id").alias("b_id"),
+                        F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(sa, "a_id").join(sb, "b_id")
         .withColumn("hamming", F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+            F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= 1)
-        .select(F.col("a.doc_id").alias("a_id"),
-                F.col("b.doc_id").alias("b_id"), "hamming")
+        .select("a_id", "b_id", "hamming")
         .orderBy("a_id", "b_id")
     )
 
