@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.transforms import BARS_CTE
 from .pipeline import (events_stream, run_available_now, signal_over_bars,
-                       stream_ohlc_bars)
+                       stream_ohlc_bars, with_watermark)
 from .state import last_n_per_key
 from .upsert import upsert_stream
 
@@ -61,6 +61,25 @@ SELECT user_id, event_id, ts, value, rn FROM (
 """
 
 
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 in its native streaming form: the source is replayed TWICE
+    (union of two replays — the reference's producer re-sends the full
+    day every cycle, `kafka_producer/yahoo_finance_producer.py:95-119`)
+    and `dropDuplicatesWithinWatermark` on the event key collapses the
+    duplicates with watermark-bounded state — the scalable alternative
+    to unbounded-state dropDuplicates. Oracle = each event exactly
+    once."""
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir))
+    deduped = with_watermark(doubled).dropDuplicatesWithinWatermark(["event_id"])
+    return run_available_now(deduped, spark, output_mode="append")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3/G4: replay the stream TWICE through the foreachBatch
     last-write-wins upsert; the final table must equal a single pass —
@@ -89,5 +108,7 @@ QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
     "stream_last20_per_key": (q_stream_last20_per_key, _STREAM_LAST20_SQL),
+    "stream_dedup_within_watermark": (q_stream_dedup_within_watermark,
+                                      _STREAM_DEDUP_SQL),
     "stream_upsert_idempotent": (q_stream_upsert_idempotent, _STREAM_UPSERT_SQL),
 }
