@@ -45,6 +45,7 @@ HEADLINE = [
     "adx",                  # hybrid window + ewm
     "exact_dedup",          # hash dedup
     "minhash_lsh_dedup",    # LSH near-dup
+    "clean_corpus",         # composed cleaning pipeline
     "cosine_topk",          # similarity scan
     "embedding_neardup",    # multi-table LSH near-dup
     "quality_score",        # text analysis

@@ -166,8 +166,12 @@ _MH_A = (769, 1543, 3079, 6151, 12289, 24593, 49157, 98317)
 _MH_B = (12345, 20264, 28183, 36102, 44021, 51940, 59859, 67778)
 
 
-def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8) signatures → 4 LSH bands → bucket equi-join for
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (a_id < b_id, jaccard ≥ 0.8) — the
+    reusable core of q_minhash_lsh_dedup, also consumed by
+    q_clean_corpus.
+
+    MinHash(8) signatures → 4 LSH bands → bucket equi-join for
     candidates → exact Jaccard verify ≥ 0.8.
 
     The join key is (band, signature-pair) — bounded fanout at any
@@ -225,12 +229,17 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
         .filter(F.col("jaccard") >= 0.8)
         .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
     )
 
 
-_MINHASH_SQL = f"""
-WITH {_SHINGLES_CTE},
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`minhash_pairs`."""
+    return minhash_pairs(spark, sf_dir).orderBy("a_id", "b_id")
+
+
+# Reusable CTE chain (shingles → signatures → bands → candidates →
+# verified pairs); q_clean_corpus composes the same fragments.
+_MINHASH_CTES = f"""{_SHINGLES_CTE},
 hashed AS (
   SELECT doc_id,
          list_transform(shingles,
@@ -249,17 +258,22 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-SELECT a_id, b_id,
-       len(list_intersect(sa.shingles, sb.shingles))
-         / (len(sa.shingles) + len(sb.shingles)
-            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-FROM cand
-JOIN sh sa ON sa.doc_id = a_id
-JOIN sh sb ON sb.doc_id = b_id
-WHERE len(list_intersect(sa.shingles, sb.shingles))
-        / (len(sa.shingles) + len(sb.shingles)
-           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+neardup_pairs AS (
+  SELECT a_id, b_id,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = a_id
+  JOIN sh sb ON sb.doc_id = b_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles))
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT a_id, b_id, jaccard FROM neardup_pairs
 ORDER BY a_id, b_id
 """
 
@@ -364,8 +378,72 @@ ORDER BY a_id, b_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed training-data cleaning pipeline
+# ---------------------------------------------------------------------------
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus-cleaning pipeline, composed end-to-end:
+
+      1. quality gate   — drop docs under 5 tokens;
+      2. exact dedup    — keep min doc_id per prefix fingerprint
+                          (among quality survivors);
+      3. near-dup sweep — drop the higher doc_id of every
+                          MinHash-LSH-verified pair (jaccard ≥ 0.8,
+                          pairs computed corpus-wide via
+                          :func:`minhash_pairs`).
+
+    One declarative plan: Catalyst fuses the quality filter into the
+    scan, the fingerprint keep-rule is a single window shuffle, and
+    the near-dup drop is a broadcast anti-join (the pair list is tiny
+    relative to the corpus at any scale — it's bounded by the
+    duplicate rate, not the corpus)."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    quality = (docs
+               .withColumn("n_tokens", F.size(w).cast("long"))
+               .filter(F.col("n_tokens") >= 5))
+    fp = F.md5(F.concat_ws(" ", F.slice(w, 1, 8)))
+    survivors = (
+        quality.withColumn("fp", fp)
+        .withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "n_tokens")
+    )
+    drops = minhash_pairs(spark, sf_dir).select(
+        F.col("b_id").alias("doc_id")).distinct()
+    return (
+        survivors.join(F.broadcast(drops), "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+_CLEAN_CORPUS_SQL = f"""
+WITH {_MINHASH_CTES},
+quality AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         md5(array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 8), ' ')) AS fp
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5),
+survivors AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+    FROM quality)
+  WHERE doc_id = keep_id)
+SELECT doc_id, n_tokens FROM survivors
+WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM neardup_pairs)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
+    "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, _MINHASH_SQL),
     "simhash_pairs": (q_simhash_pairs, _SIMHASH_SQL),
