@@ -85,3 +85,45 @@ def test_sma_matches_pandas(spark):
     ours = got["sma_20"].to_numpy()
     both_nan = np.isnan(ref) & np.isnan(ours)
     np.testing.assert_allclose(ours[~both_nan], ref[~both_nan], rtol=1e-9)
+
+
+def test_minhash_recall_is_subset_of_exact_jaccard(spark):
+    """LSH invariant: every MinHash-verified pair must appear in the
+    exhaustive shingle-join pair set with the same jaccard (LSH prunes
+    candidates, never invents them)."""
+    from big_data_share_market_spark.operators.dedup import (
+        q_minhash_lsh_dedup, q_ngram_jaccard_dedup)
+    from .conftest import SF_DIR
+
+    lsh = {(r.a_id, r.b_id): r.jaccard
+           for r in q_minhash_lsh_dedup(spark, SF_DIR).collect()}
+    exact = {(r.a_id, r.b_id): r.jaccard
+             for r in q_ngram_jaccard_dedup(spark, SF_DIR).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+
+
+def test_embedding_neardup_subset_of_brute_force(spark):
+    """Same invariant for the hyperplane-LSH embedding near-dup: its
+    pairs are a subset of the brute-force >= threshold pair set."""
+    import duckdb
+    from big_data_share_market_spark.operators.similarity import (
+        _ND_THRESHOLD, q_embedding_neardup)
+    from .conftest import SF_DIR
+
+    got = {(r.a_id, r.b_id) for r in q_embedding_neardup(spark, SF_DIR).collect()}
+    dot = ("list_reduce(list_transform(range(1, len({a}) + 1), "
+           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(acc, v) -> acc + v)")
+    ab = dot.format(a="x.embedding", b="y.embedding")
+    aa = dot.format(a="x.embedding", b="x.embedding")
+    bb = dot.format(a="y.embedding", b="y.embedding")
+    all_pairs = duckdb.sql(
+        f"SELECT x.vec_id AS a, y.vec_id AS b "
+        f"FROM '{SF_DIR}/embeddings.parquet' x, "
+        f"     '{SF_DIR}/embeddings.parquet' y "
+        f"WHERE x.vec_id < y.vec_id "
+        f"AND {ab} / nullif(sqrt({aa}) * sqrt({bb}), 0.0) >= {_ND_THRESHOLD}"
+    ).fetchall()
+    assert got <= {(a, b) for a, b in all_pairs}
