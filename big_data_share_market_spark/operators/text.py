@@ -215,8 +215,75 @@ FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash + min-in-window selection)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 8     # character k-gram width
+_WIN_W = 4     # winnowing window (hashes per window)
+_WIN_B = 257   # polynomial base
+_WIN_P = 2147483647  # 2^31 − 1; acc·B + c fits int64
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints: polynomial rolling hash
+    h = Σ code(c_j)·B^(k−1−j) mod P over character 8-grams of the
+    normalized text, then the min hash of every 4-hash window,
+    distinct — the classic near-copy localization fingerprint
+    (guarantees any match of length ≥ k+w−1 shares a fingerprint).
+
+    Pure integer arithmetic on character codes, identical on both
+    engines, fully map-side (the only shuffle is the final sort). A
+    native engine computes the hash incrementally in O(n); the
+    higher-order-function form here recomputes per gram — same
+    VALUES, so the oracle is exact either way."""
+    from ..tables import fan_out
+
+    docs = fan_out(spark, _docs(spark, sf_dir))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    gram_h = (
+        f"transform(sequence(1, greatest(length(norm) - {_WIN_K} + 1, 0)), "
+        f"i -> aggregate(sequence(0, {_WIN_K} - 1), CAST(0 AS BIGINT), "
+        f"(acc, j) -> (acc * {_WIN_B} + ascii(substring(norm, i + j, 1))) % {_WIN_P}))")
+    fps = (
+        f"array_distinct(transform(sequence(1, greatest(size(gh) - {_WIN_W} + 1, 0)), "
+        f"w -> array_min(slice(gh, w, {_WIN_W}))))")
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .withColumn("gh", F.expr(gram_h))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+_WINNOW_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(norm) - {_WIN_K} + 1, 0) + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(0, {_WIN_K}),
+                      j -> CAST(ord(substring(norm, CAST(i + j AS INT), 1)) AS BIGINT))),
+                  (acc, v) -> (acc * {_WIN_B} + v) % {_WIN_P})) AS gh
+  FROM n),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(gh) - {_WIN_W} + 1, 0) + 1),
+           w -> list_min(list_slice(gh, w, w + {_WIN_W} - 1)))) AS fps
+  FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM w
+ORDER BY doc_id, fp
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "winnowing_fingerprint": (q_winnowing_fingerprint, _WINNOW_SQL),
     "quality_score": (q_quality_score, _QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, _lang_id_sql()),
     "doc_fingerprint": (q_doc_fingerprint, _DOC_FINGERPRINT_SQL),
