@@ -208,8 +208,63 @@ FROM frames
 """
 
 
+_RESIZE_TARGET = 32
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic resize stand-in (real version: PIL thumbnail after
+    decode_image): stride-downsample the payload to ≤ _RESIZE_TARGET
+    bytes — the 1→1 payload-transforming UDF shape (new binary out,
+    provenance columns alongside)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            stride = max(n // _RESIZE_TARGET, 1)
+            k = min(_RESIZE_TARGET, (n + stride - 1) // stride)
+            resized = bytes(data[i * stride] for i in range(k))
+            rows.append((int(doc_id), n, len(resized),
+                         hashlib.md5(resized).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_orig", "n_resized",
+                                          "resized_md5"])
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over image payloads: modality filter at the
+    scan, then a narrow mapInPandas producing the downsampled payload
+    fingerprint + size provenance. Zero shuffle; at 100 TB the cost is
+    scan + per-batch Python, partition-parallel."""
+    media = (media_table(spark, sf_dir)
+             .filter(F.col("media_type") == "image")
+             .select("doc_id", "payload"))
+    return media.mapInPandas(
+        _resize_batches,
+        schema="doc_id BIGINT, n_orig BIGINT, n_resized BIGINT, resized_md5 STRING",
+    )
+
+
+_MEDIA_RESIZE_SQL = f"""
+WITH {_MEDIA_CTE},
+imgs AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // {_RESIZE_TARGET}, 1) AS stride
+  FROM media WHERE media_type = 'image'),
+r AS (
+  SELECT doc_id, n, stride,
+         array_to_string(list_transform(
+           range(0, least({_RESIZE_TARGET}, (n + stride - 1) // stride)),
+           i -> substring(text, CAST(i * stride AS INT) + 1, 1)), '') AS resized
+  FROM imgs)
+SELECT doc_id, n AS n_orig, length(resized) AS n_resized,
+       md5(resized) AS resized_md5
+FROM r
+"""
+
+
 QUERIES = {
     "media_metadata_stats": (q_media_metadata_stats, _MEDIA_STATS_SQL),
+    "media_resize": (q_media_resize, _MEDIA_RESIZE_SQL),
     "media_decode_features": (q_media_decode_features, _MEDIA_FEATURES_SQL),
     "media_frame_sample": (q_media_frame_sample, _FRAME_SAMPLE_SQL),
 }
