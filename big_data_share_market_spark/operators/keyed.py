@@ -181,8 +181,47 @@ SELECT event_id, ts, user_id, event_type, value, props FROM (
 """
 
 
+_RANGE_H = 4  # range-join horizon, hours
+
+
+def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: same-user event pairs with
+    0 < b.ts - a.ts <= 4h. Naive form is a non-equi join → Spark picks
+    BroadcastNestedLoopJoin, O(n²) per key — unusable at scale. The
+    scale form here buckets time into 4h cells and equi-joins on
+    (user_id, bucket) with the left side exploded to (bucket,
+    bucket+1), then refines with the exact range predicate: a shuffle
+    hash join touching only adjacent cells — each row meets O(density)
+    candidates, not O(n)."""
+    ev = _events(spark, sf_dir)
+    bucket = F.floor(F.unix_timestamp("ts") / (_RANGE_H * 3600))
+    a = ev.select("user_id", F.col("event_id").alias("a_id"),
+                  F.col("ts").alias("a_ts"), bucket.alias("a_bucket"))
+    b = ev.select("user_id", F.col("event_id").alias("b_id"),
+                  F.col("ts").alias("b_ts"), bucket.alias("b_bucket"))
+    a_exp = a.withColumn(
+        "jb", F.explode(F.array(F.col("a_bucket"), F.col("a_bucket") + 1)))
+    return (
+        a_exp.join(b, (a_exp.user_id == b.user_id) & (a_exp.jb == b.b_bucket))
+        .filter((F.col("b_ts") > F.col("a_ts")) &
+                (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {_RANGE_H} HOURS")))
+        .select(a_exp.user_id, "a_id", "b_id",
+                (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"))
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       date_diff('microsecond', a.ts, b.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {_RANGE_H} HOUR
+"""
+
+
 QUERIES = {
     "signal_case": (q_signal_case, _SIGNAL_CASE_SQL),
+    "range_join_pairs": (q_range_join_pairs, _RANGE_JOIN_SQL),
     "last_per_key": (q_last_per_key, _LAST_PER_KEY_SQL),
     "minmax_per_key": (q_minmax_per_key, _MINMAX_SQL),
     "trend_per_key": (q_trend_per_key, _TREND_SQL),

@@ -449,8 +449,86 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (discrete, row-number selection)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of o_totalprice per order priority:
+    the value at row ceil(p*n) of the per-group sort. One shuffle +
+    per-group sort; at 100 TB swap in approx_percentile (t-digest
+    sketch, no sort, mergeable map-side) — exact form kept here
+    because the oracle demands bit-equality."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wall = W.partitionBy("o_orderpriority")
+    ranked = (orders
+              .select("o_orderpriority", "o_totalprice", "o_orderkey")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count("*").over(wall)))
+    aggs = [
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")),
+                     F.col("o_totalprice"))).alias(f"p{int(p * 100)}")
+        for p in _QUANTILES
+    ]
+    return (ranked.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"), *aggs)
+            .orderBy("o_orderpriority"))
+
+
+_ORDER_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(CASE WHEN rn = ceil(0.25 * cnt) THEN o_totalprice END) AS p25,
+       MAX(CASE WHEN rn = ceil(0.5 * cnt) THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = ceil(0.75 * cnt) THEN o_totalprice END) AS p75,
+       MAX(CASE WHEN rn = ceil(0.95 * cnt) THEN o_totalprice END) AS p95
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE (all grouping-set combinations + grouping_id)
+# ---------------------------------------------------------------------------
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Spark expands the sets and aggregates partially map-side, so the
+    shuffle carries one partial row per (set, group), not a re-scan
+    per set. grouping_id disambiguates NULL-as-total from NULL data."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"),
+             F.count("*").alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_ORDERS_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, _PRICING_SUMMARY_SQL),
+    "order_quantiles": (q_order_quantiles, _ORDER_QUANTILES_SQL),
+    "orders_cube": (q_orders_cube, _ORDERS_CUBE_SQL),
     "shipping_priority": (q_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "region_revenue": (q_region_revenue, _REGION_REVENUE_SQL),
     "filter_project": (q_filter_project, _FILTER_PROJECT_SQL),

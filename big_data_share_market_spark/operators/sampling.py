@@ -1,0 +1,110 @@
+"""Deterministic sampling / split operators for training-data
+pipelines: reproducible train/val/test assignment and stratified
+downsampling over `documents`.
+
+Both are built on a portable content hash: the first two hex chars of
+`md5(salt || doc_id)` mapped to an integer 0..255 via
+`strpos('0123456789abcdef', c)` — every engine (Spark, DuckDB, any
+SQL) computes the identical value, so split membership is stable
+across engines, re-runs, and cluster sizes. No RNG, no
+`rand()`-with-seed (whose sequence is partitioning-dependent in a
+distributed engine and therefore NOT reproducible at scale).
+
+Scale notes: both operators are narrow scans (hash + filter per row,
+zero shuffle for the split; one tiny counts-aggregate broadcast back
+for the stratified rates). At 100 TB the split is embarrassingly
+parallel and the counts table is bytes-sized (one row per stratum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_HEX = "0123456789abcdef"
+
+#: 0..255 thresholds for the 80/10/10 split: hash < 204 -> train
+#: (204/256 = 79.7%), < 230 -> val (10.2%), else test.
+_TRAIN_LT = 204
+_VAL_LT = 230
+
+
+def hash256(col, salt: str):
+    """Integer 0..255 from the first two hex chars of md5(salt||col) —
+    engine-portable (strpos over a hex alphabet, no hex->int casts)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    c1 = F.substring(h, 1, 1)
+    c2 = F.substring(h, 2, 1)
+    return ((F.instr(F.lit(_HEX), c1) - 1) * 16
+            + (F.instr(F.lit(_HEX), c2) - 1))
+
+
+def hash256_sql(expr: str, salt: str) -> str:
+    """DuckDB mirror of :func:`hash256`."""
+    h = f"md5('{salt}' || CAST({expr} AS VARCHAR))"
+    return (f"((strpos('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+            f" + (strpos('{_HEX}', substring({h}, 2, 1)) - 1))")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment per document.
+    Pure row-local expression — no shuffle, no state; adding documents
+    never reassigns existing ones (the property that matters for
+    incremental 100 TB corpus builds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash256(F.col("doc_id"), "split:")
+    return docs.select(
+        "doc_id",
+        h.alias("bucket"),
+        F.when(h < _TRAIN_LT, "train")
+        .when(h < _VAL_LT, "val")
+        .otherwise("test").alias("split"),
+    )
+
+
+_HASH_SPLIT_SQL = f"""
+SELECT doc_id,
+       {hash256_sql('doc_id', 'split:')} AS bucket,
+       CASE WHEN {hash256_sql('doc_id', 'split:')} < {_TRAIN_LT} THEN 'train'
+            WHEN {hash256_sql('doc_id', 'split:')} < {_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing downsample: each language stratum is kept at
+    rate min_count/count (the minority class survives whole), decided
+    by integer cross-multiply `hash256 * cnt < 256 * min_cnt` — exact,
+    no float thresholds. The per-stratum counts aggregate is one row
+    per language; it broadcast-joins back onto the scan, so the only
+    shuffle is over the tiny counts side."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    # Global min over the stratum counts via an unpartitioned window:
+    # the counts frame is one row per language, so the single-partition
+    # window is bytes-sized — no cartesian/BNLJ shape in the plan.
+    rates = counts.withColumn("min_cnt", F.min("cnt").over(W.partitionBy()))
+    h = hash256(F.col("doc_id"), "sample:")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h * F.col("cnt") < 256 * F.col("min_cnt"))
+        .select("doc_id", "lang")
+    )
+
+
+_STRATIFIED_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+rates AS (SELECT lang, cnt, (SELECT MIN(cnt) FROM counts) AS min_cnt FROM counts)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE {hash256_sql('d.doc_id', 'sample:')} * r.cnt < 256 * r.min_cnt
+"""
+
+
+QUERIES = {
+    "hash_split": (q_hash_split, _HASH_SPLIT_SQL),
+    "stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
+}

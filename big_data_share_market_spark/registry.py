@@ -22,6 +22,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.patterns", "operators.transforms",
                  "operators.dedup", "operators.similarity",
                  "operators.text", "operators.multimodal",
+                 "operators.sampling",
                  "sources.json_io", "streaming.batch_parity"):
         modpath = f"{__package__}.{name}"
         try:

@@ -11,9 +11,11 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import dsum_sql
 from ..operators.transforms import BARS_CTE
 from .pipeline import (events_stream, run_available_now, signal_over_bars,
-                       stream_ohlc_bars, with_watermark)
+                       stream_ohlc_bars, stream_session_windows,
+                       stream_sliding_bars, with_watermark)
 from .state import last_n_per_key
 from .upsert import upsert_stream
 
@@ -42,6 +44,55 @@ SELECT *, CASE WHEN close > open THEN 'BUY'
                WHEN close < open THEN 'SELL'
                ELSE 'HOLD' END AS indicator
 FROM bars
+"""
+
+
+def q_stream_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 sliding windows (4h width / 1h slide): every event is
+    aggregated into 4 overlapping windows; oracle replays the window
+    assignment as an explicit 4-way slide expansion."""
+    return run_available_now(
+        stream_sliding_bars(events_stream(spark, sf_dir)), spark)
+
+
+_STREAM_SLIDING_SQL = """
+WITH ks AS (SELECT unnest(generate_series(0, 3)) AS k),
+sl AS (
+  SELECT e.*, time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR AS win_start
+  FROM events e CROSS JOIN ks)
+SELECT user_id, win_start AS bar_ts,
+       first(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       COUNT(*) AS volume
+FROM sl GROUP BY user_id, win_start
+"""
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 session windows (4h gap) per key; oracle = gaps-and-islands:
+    a new island starts where the gap from the previous event is >= 4h,
+    session end = last event + gap (Spark's session_window.end)."""
+    return run_available_now(
+        stream_session_windows(events_stream(spark, sf_dir)), spark)
+
+
+_STREAM_SESSION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+islands AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 4 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM islands GROUP BY user_id, sid
 """
 
 
@@ -107,6 +158,8 @@ SELECT event_id, ts, user_id, event_type, value, props FROM (
 QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
+    "stream_sliding_bars": (q_stream_sliding_bars, _STREAM_SLIDING_SQL),
+    "stream_session_windows": (q_stream_session_windows, _STREAM_SESSION_SQL),
     "stream_last20_per_key": (q_stream_last20_per_key, _STREAM_LAST20_SQL),
     "stream_dedup_within_watermark": (q_stream_dedup_within_watermark,
                                       _STREAM_DEDUP_SQL),

@@ -69,6 +69,46 @@ def stream_ohlc_bars(sdf: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def stream_sliding_bars(sdf: DataFrame, width: str = "4 hours",
+                        slide: str = "1 hour") -> DataFrame:
+    """G5 sliding windows: each event lands in width/slide overlapping
+    windows (4 here). State cost is a constant factor over tumbling —
+    the watermark still prunes; the overlap factor is the knob to watch
+    at 100 TB (4x state, 4x output rows)."""
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        with_watermark(sdf)
+        .groupBy("user_id", F.window("ts", width, slide).alias("win"))
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select("user_id", F.col("win.start").alias("bar_ts"),
+                "open", "high", "low", "close", "volume")
+    )
+
+
+def stream_session_windows(sdf: DataFrame, gap: str = "4 hours") -> DataFrame:
+    """G5 session windows: gap-based merging per key
+    (`F.session_window`) — events closer than `gap` coalesce; window
+    end = last event + gap. Spark merges sessions in the state store
+    keyed by (user_id, session); the watermark closes sessions whose
+    end has passed, so state stays bounded by active sessions only."""
+    from ..functions import dsum
+    return (
+        with_watermark(sdf)
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("win"))
+        .agg(F.count("*").alias("n_events"),
+             dsum(F.col("value")).alias("sum_value"))
+        .select("user_id", F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events", "sum_value")
+    )
+
+
 def signal_over_bars(bars: DataFrame) -> DataFrame:
     """B2 verbatim over barred data — the Flink job's CASE
     (`flink_processor/flink_processor.py:105-109`): close vs open
