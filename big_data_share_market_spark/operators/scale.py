@@ -1,0 +1,335 @@
+"""Scale-machinery operators: the physical-layout and skew patterns a
+100 TB deployment lives on, each expressed so the small-SF oracle can
+prove the result is identical to the naive plan it replaces.
+
+The reference runs single-host (SURVEY.md §6 — Docker Compose, one
+Flink TaskManager with 2 slots, `flink_processor/flink-conf.yaml:1-4`)
+and never needs these; at cluster scale they are the difference between
+a job that finishes and one that dies on one hot partition:
+
+* **salted aggregation** — two-stage agg (key, salt) -> key. A key
+  holding 10% of 100 TB otherwise lands on one reducer; the salt fans
+  it over 16, and the second shuffle moves only 16 partial rows per
+  key. Decimal partials keep the result bit-identical to a one-stage
+  sum (integer arithmetic is associative; see functions.dsum).
+* **grouping sets** — one pass producing several aggregation levels;
+  the alternative (N separate scans + union) reads the fact table N
+  times.
+* **multi-resolution rollup cascade** — day bars computed FROM hour
+  bars, not from raw events: the hypertable/continuous-aggregate
+  pattern. Input to the second rollup is |keys|x24 rows regardless of
+  raw volume, so each coarser resolution costs ~nothing.
+* **bucketed join** — both fact tables pre-bucketed on the join key:
+  Spark's scan reports the hash distribution and the sort-merge join
+  runs with ZERO Exchange (asserted in tests/test_plans.py). At 100 TB
+  this converts every repeated orders x lineitem join from a full
+  2-sided shuffle into a local merge.
+* **partition-pruned store** — events written `partitionBy(event_type)`;
+  a filtered read lists only the matching directories (PartitionFilters
+  in the scan node), the 100 TB table scans like a 10 TB one.
+
+Set-op and rank-distribution queries round out the relational surface
+(operators/relational.py) with INTERSECT / EXCEPT / ntile /
+percent_rank / cume_dist.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import DEC, dsum_sql
+from ..tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation (skew mitigation)
+# ---------------------------------------------------------------------------
+
+_SALTS = 16
+
+
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value totals via salted two-stage aggregation.
+
+    Stage 1 groups on (user_id, salt) — map-side combine plus a first
+    shuffle whose partitions are bounded by fan-out, not by key
+    frequency; stage 2 re-aggregates the <= _SALTS partial rows per
+    key. Partials stay DECIMAL so the two-stage sum equals the
+    one-stage oracle sum exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(_SALTS)))
+        .groupBy("user_id", "salt")
+        .agg(F.sum(F.col("value").cast(DEC)).alias("part_sum"),
+             F.count("*").alias("part_n"))
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(F.sum("part_sum").cast("double").alias("total_value"),
+             F.sum("part_n").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+_SALTED_SQL = f"""
+SELECT user_id, {dsum_sql('value')} AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (multi-level aggregate in one scan)
+# ---------------------------------------------------------------------------
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/revenue at (priority, status), (priority), and
+    grand-total levels in ONE scan + one widened shuffle; grouping_id
+    disambiguates the levels (both engines use the same bit order)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING_ID(o_orderpriority, o_orderstatus) AS grp,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY grp, o_orderpriority, o_orderstatus
+    """)
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING_ID(o_orderpriority, o_orderstatus) AS grp,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+ORDER BY grp, o_orderpriority, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions
+# ---------------------------------------------------------------------------
+
+def q_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist of customer balances within
+    each market segment — the rank-distribution family missing from
+    topk_per_group. Deterministic under the (acctbal, custkey) total
+    order; one shuffle on the segment key."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+_BALANCE_RANKS_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+def _status_custkeys(spark, sf_dir, status):
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.filter(F.col("o_orderstatus") == status)
+            .select(F.col("o_custkey").alias("custkey")))
+
+
+def q_custkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both an 'F' and an 'O' order — INTERSECT
+    (distinct semantics). Catalyst plans it as a left-semi over
+    deduplicated sides; hashes partition on the full row."""
+    f = _status_custkeys(spark, sf_dir, "F")
+    o = _status_custkeys(spark, sf_dir, "O")
+    return f.intersect(o).orderBy("custkey")
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY custkey
+"""
+
+
+def q_custkeys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with an 'F' order but no 'O' order — EXCEPT
+    (left-anti under the hood)."""
+    f = _status_custkeys(spark, sf_dir, "F")
+    o = _status_custkeys(spark, sf_dir, "O")
+    return f.subtract(o).orderBy("custkey")
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup cascade (continuous-aggregate pattern)
+# ---------------------------------------------------------------------------
+
+def q_ohlc_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV bars computed FROM the hourly bars (not from raw
+    events): open = first hour's open, close = last hour's close,
+    extrema/volume re-aggregated. The second rollup's input is
+    |keys| x 24 rows/day whatever the raw volume — the hypertable
+    continuous-aggregate cascade. bar_ts is unique per key, so
+    min_by/max_by are deterministic."""
+    from .transforms import ohlc_bars
+    hours = ohlc_bars(spark, sf_dir)
+    return (
+        hours.groupBy("user_id",
+                      F.date_trunc("day", F.col("bar_ts")).alias("day_ts"))
+        .agg(F.min_by("open", F.col("bar_ts")).alias("open"),
+             F.max("high").alias("high"),
+             F.min("low").alias("low"),
+             F.max_by("close", F.col("bar_ts")).alias("close"),
+             F.sum("volume").alias("volume"))
+        .orderBy("user_id", "day_ts")
+    )
+
+
+_DAY_ROLLUP_SQL = """
+WITH bars AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS bar_ts,
+         first(value ORDER BY ts, event_id) AS open,
+         MAX(value) AS high,
+         MIN(value) AS low,
+         last(value ORDER BY ts, event_id) AS close,
+         COUNT(*) AS volume
+  FROM events
+  GROUP BY user_id, date_trunc('hour', ts))
+SELECT user_id, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
+       first(open ORDER BY bar_ts) AS open,
+       MAX(high) AS high, MIN(low) AS low,
+       last(close ORDER BY bar_ts) AS close,
+       SUM(volume) AS volume
+FROM bars
+GROUP BY user_id, date_trunc('day', bar_ts)
+ORDER BY user_id, day_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (zero-Exchange sort-merge)
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str,
+                             base_dir: str | None = None):
+    """Write orders and lineitem bucketed+sorted on the join key and
+    return the two catalog-backed DataFrames. Both sides hash into the
+    same _BUCKETS distribution, so a sort-merge join needs no Exchange
+    and no per-task Sort — the layout does the shuffle once at write
+    time, every later join rides it free."""
+    base = base_dir or os.path.join(tempfile.gettempdir(), "bdsm_bucketed")
+    specs = [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]
+    for name, key in specs:
+        tbl = f"bdsm_{name}_b"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (load_table(spark, sf_dir, name).write
+         .bucketBy(_BUCKETS, key).sortBy(key)
+         .option("path", os.path.join(base, tbl))
+         .mode("overwrite").format("parquet")
+         .saveAsTable(tbl))
+    return spark.table("bdsm_orders_b"), spark.table("bdsm_lineitem_b")
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority gross revenue through the bucketed orders x
+    lineitem join (MERGE hint pins sort-merge so the zero-Exchange
+    plan is what actually runs; tests/test_plans.py asserts it)."""
+    orders, li = bucketed_orders_lineitem(spark, sf_dir)
+    joined = orders.hint("merge").join(
+        li, orders.o_orderkey == li.l_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast(DEC)).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned storage layout
+# ---------------------------------------------------------------------------
+
+def partitioned_events(spark: SparkSession, sf_dir: str,
+                       path: str | None = None) -> DataFrame:
+    """Write events `partitionBy(event_type)` and read back — the
+    directory layout IS the index: an event_type predicate prunes at
+    file-listing time (PartitionFilters, asserted in test_plans)."""
+    out = path or os.path.join(tempfile.gettempdir(), "bdsm_events_parted")
+    (load_table(spark, sf_dir, "events").write
+     .partitionBy("event_type").mode("overwrite").parquet(out))
+    return spark.read.parquet(out)
+
+
+def q_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts for ONE event_type over the partitioned
+    layout — scans only that type's directory."""
+    ev = partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"))
+        .orderBy("hour_ts")
+    )
+
+
+_PARTITION_PRUNED_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour_ts,
+       COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY date_trunc('hour', ts)
+ORDER BY hour_ts
+"""
+
+
+QUERIES = {
+    "salted_skew_agg": (q_salted_skew_agg, _SALTED_SQL),
+    "orders_grouping_sets": (q_orders_grouping_sets, _GROUPING_SETS_SQL),
+    "customer_balance_ranks": (q_customer_balance_ranks, _BALANCE_RANKS_SQL),
+    "custkeys_intersect": (q_custkeys_intersect, _INTERSECT_SQL),
+    "custkeys_except": (q_custkeys_except, _EXCEPT_SQL),
+    "ohlc_day_rollup": (q_ohlc_day_rollup, _DAY_ROLLUP_SQL),
+    "bucketed_join_revenue": (q_bucketed_join_revenue, _BUCKETED_JOIN_SQL),
+    "partition_pruned_agg": (q_partition_pruned_agg, _PARTITION_PRUNED_SQL),
+}

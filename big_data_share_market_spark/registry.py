@@ -18,7 +18,8 @@ _MODULES = []
 def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     from .operators import relational, keyed
     mods = [relational, keyed]
-    for name in ("operators.advanced", "operators.indicators", "operators.ewm",
+    for name in ("operators.advanced", "operators.scale",
+                 "operators.indicators", "operators.ewm",
                  "operators.patterns", "operators.transforms",
                  "operators.dedup", "operators.similarity",
                  "operators.text", "operators.multimodal",

@@ -91,3 +91,29 @@ def test_ewm_kernel_single_exchange(spark):
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert plan.count("hashpartitioning(") == 1
     assert plan.count("MapInPandas") == 1
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """Bucketed+sorted layout on the join key: the sort-merge join must
+    run with NO Exchange on either side — the write-time bucketing did
+    the shuffle once, every later join rides it free."""
+    from big_data_share_market_spark.operators.scale import (
+        bucketed_orders_lineitem)
+    orders, li = bucketed_orders_lineitem(spark, SF_DIR)
+    joined = orders.hint("merge").join(li, orders.o_orderkey == li.l_orderkey)
+    plan = explain_str(joined, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+
+def test_partitioned_layout_prunes(spark):
+    """event_type predicate over the partitionBy(event_type) layout
+    must prune at file-listing time, not scan-filter time."""
+    from big_data_share_market_spark.operators.scale import partitioned_events
+    from pyspark.sql import functions as F
+    ev = partitioned_events(spark, SF_DIR)
+    plan = explain_str(ev.filter(F.col("event_type") == "purchase"))
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
