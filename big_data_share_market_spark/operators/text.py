@@ -281,8 +281,91 @@ ORDER BY doc_id, fp
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction pass for training corpora)
+# ---------------------------------------------------------------------------
+
+#: RE2-and-Java-compatible patterns (both engines must agree byte-for-
+#: byte): emails, then 7+-digit runs (phone/account numbers).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_DIGITS = r"[0-9][0-9 ()./-]{5,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and long digit runs from document text — the
+    mandatory scrub pass before a corpus ships to training. Pure
+    regexp_replace (codegen, no UDF); emits per-doc redaction counts
+    so the pass is auditable. Patterns restricted to the RE2 ∩ Java
+    regex dialect so the DuckDB oracle is exact."""
+    docs = _docs(spark, sf_dir)
+    n_email = F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+    scrub1 = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    n_digit = F.size(F.expr(
+        f"regexp_extract_all(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>'),"
+        f" '{_PII_DIGITS}', 0)"))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(scrub1, _PII_DIGITS, "<NUM>").alias("clean_text"),
+        n_email.alias("n_emails"),
+        n_digit.alias("n_digit_runs"),
+    ).orderBy("doc_id")
+
+
+_PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_DIGITS}', '<NUM>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{_PII_EMAIL}', 0)) AS n_emails,
+       len(regexp_extract_all(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_DIGITS}', 0)) AS n_digit_runs
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram frequency (corpus statistics)
+# ---------------------------------------------------------------------------
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus: tokenize (shared
+    contract: lower, squeeze \\s+, split on ' '), form bigrams with a
+    sequence transform (no UDF), explode, count. The explode fans out
+    ~n_tokens rows per doc but the count is map-side combined before
+    the single shuffle on the bigram key; top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1]))")
+    return (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+_BIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2)
+SELECT bigram, COUNT(*) AS n FROM bi
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "pii_scrub": (q_pii_scrub, _PII_SCRUB_SQL),
+    "bigram_counts": (q_bigram_counts, _BIGRAM_SQL),
     "winnowing_fingerprint": (q_winnowing_fingerprint, _WINNOW_SQL),
     "quality_score": (q_quality_score, _QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, _lang_id_sql()),

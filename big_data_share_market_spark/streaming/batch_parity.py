@@ -155,6 +155,66 @@ SELECT event_id, ts, user_id, event_type, value, props FROM (
 """
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: every micro-batch of the event stream
+    broadcast-joins the (slowly-changing) customer dimension — the
+    standard streaming enrichment shape. Stateless: no watermark, no
+    join state, the static side is re-broadcast per batch, so this
+    scales with the dim size only."""
+    from pyspark.sql import functions as F
+    from ..tables import load_table
+    sdf = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = (sdf.join(F.broadcast(cust),
+                         sdf.user_id == cust.c_custkey, "left")
+                .select("event_id", "user_id", "event_type", "value",
+                        "c_mktsegment"))
+    return run_available_now(enriched, spark, output_mode="append")
+
+
+_STREAM_STATIC_SQL = """
+SELECT event_id, user_id, event_type, value, c_mktsegment
+FROM events LEFT JOIN customer ON user_id = c_custkey
+"""
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval: each
+    purchase pairs with the same user's clicks from the preceding
+    hour. Both sides carry watermarks and the range predicate bounds
+    the buffered state to one hour per side — the canonical
+    funnel/attribution join, impossible with unbounded state at
+    100 TB. Inner matches emit as found; the watermark only evicts."""
+    p = events_stream(spark, sf_dir).filter("event_type = 'purchase'") \
+        .withWatermark("ts", "1 hour").alias("p")
+    c = events_stream(spark, sf_dir).filter("event_type = 'click'") \
+        .withWatermark("ts", "1 hour").alias("c")
+    from pyspark.sql import functions as F
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+    )
+    return run_available_now(joined, spark, output_mode="append")
+
+
+_STREAM_INTERVAL_SQL = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
 QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
@@ -164,4 +224,6 @@ QUERIES = {
     "stream_dedup_within_watermark": (q_stream_dedup_within_watermark,
                                       _STREAM_DEDUP_SQL),
     "stream_upsert_idempotent": (q_stream_upsert_idempotent, _STREAM_UPSERT_SQL),
+    "stream_static_enrich": (q_stream_static_enrich, _STREAM_STATIC_SQL),
+    "stream_interval_join": (q_stream_interval_join, _STREAM_INTERVAL_SQL),
 }

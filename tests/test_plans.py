@@ -26,7 +26,9 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 # Queries where a broadcast-nested-loop join is the INTENDED physical
 # shape (a broadcast single-row/codebook crossJoin, not an accident).
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-            "embedding_neardup", "range_trading_strategy"}
+            "embedding_neardup", "range_trading_strategy",
+            # intentional 1-row x 1-row crossJoin of two global aggs
+            "hll_merge_consistency"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n not in _PLAN_SKIP))
