@@ -49,6 +49,12 @@ HEADLINE = [
     "cosine_topk",          # similarity scan
     "embedding_neardup",    # multi-table LSH near-dup
     "quality_score",        # text analysis
+    "large_volume_orders",  # HAVING-join pipeline (Q18 shape)
+    "customer_order_distribution",  # group-on-aggregate (Q13 shape)
+    "sessionize_events",    # gap sessionization (lag + cumsum + agg)
+    "salted_skew_agg",      # two-stage salted aggregation
+    "ohlc_day_rollup",      # multi-resolution rollup cascade
+    "bigram_counts",        # corpus n-gram stats (explode + combine)
 ]
 
 

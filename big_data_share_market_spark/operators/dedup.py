@@ -441,8 +441,70 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup graph (transitive closure)
+# ---------------------------------------------------------------------------
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: pairwise near-dup decisions are not
+    enough to pick keepers (A~B, B~C must collapse A,B,C together even
+    if A!~C), so the verified MinHash pair graph is closed into
+    connected components by iterative min-label propagation — the
+    Pregel pattern expressed on DataFrames.
+
+    Per iteration: one shuffle joining labels onto edges + a min-agg
+    back onto nodes; `localCheckpoint` truncates the lineage so plan
+    depth stays constant; the driver reads ONE boolean per iteration
+    (did any label change) — not the data. Iteration count is the
+    cluster diameter, which for near-dup graphs is tiny (dup clusters
+    are cliques-ish); the same loop at 100 TB runs the same handful of
+    bounded shuffles. Oracle: DuckDB recursive CTE computing the same
+    min-reachable-id per node."""
+    pairs = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = (pairs.union(pairs.select("b_id", "a_id"))
+             .toDF("src", "dst").cache())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")).localCheckpoint())
+    while True:
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("dst"),
+                                     F.col("lbl").alias("dst_lbl")), "dst")
+            .groupBy("src").agg(F.min("dst_lbl").alias("nbr_lbl")))
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "node"), "node", "left")
+            .select("node",
+                    F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+            .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.lbl") != F.col("o.lbl"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("lbl").alias("component_id"))
+            .orderBy("doc_id"))
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM neardup_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM neardup_pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+SELECT node AS doc_id, MIN(lbl) AS component_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
+    "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
     "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, _MINHASH_SQL),
