@@ -1,0 +1,134 @@
+"""Training-sequence preparation: document chunking and token packing.
+
+Nothing in the reference (its texts are ticker symbols); these are the
+two operators that turn a cleaned corpus (operators/dedup.q_clean_corpus)
+into model-ready training sequences, shaped for 100 TB:
+
+* **chunking** — split each document into fixed-size token windows with
+  overlap (the RAG / long-doc training prep). Pure array expressions
+  (sequence -> slice -> explode): per-row work only, embarrassingly
+  parallel, no shuffle at all until the caller aggregates.
+* **packing** — pretraining packs corpora by concatenating all tokens
+  and cutting every `seq_len`: each doc maps to a [tok_start, tok_end)
+  span and the sequences it straddles. The global running offset is the
+  only sequential dependency, and it is per-BUCKET here: docs are
+  sharded by a deterministic key (doc_id % n_buckets), offsets are a
+  window cumsum within the bucket — one shuffle, each bucket an
+  independent token stream. At 100 TB you raise n_buckets; no stage is
+  global.
+
+Tokenization contract shared with text.py: lower, squeeze \\s+, split
+on ' '.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_CHUNK = 64        # tokens per chunk
+_STRIDE = 48       # overlap = _CHUNK - _STRIDE = 16 tokens
+_SEQ_LEN = 2048    # packed sequence length
+_BUCKETS = 8       # independent token streams
+
+
+def _tokens(col):
+    return F.split(F.regexp_replace(F.lower(col), r"\s+", " "), " ")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (64 tokens, stride 48): chunk i
+    covers tokens [i*48, i*48+64). Emits (doc_id, chunk_id, n_tokens,
+    chunk_text); the final partial window is kept iff non-empty.
+    n_chunks = ceil(max(n-CHUNK+STRIDE, 1) / STRIDE) via integer
+    arithmetic shared with the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n_chunks = F.expr(
+        f"greatest(1, cast(ceil((size(toks) - {_CHUNK}) / {_STRIDE}) as int)"
+        " + 1)")
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(1, cast(ceil((size(toks) - {_CHUNK})"
+        f" / {_STRIDE}) as int) + 1) - 1),"
+        f" i -> struct(i AS chunk_id,"
+        f" slice(toks, i * {_STRIDE} + 1, {_CHUNK}) AS ctoks))")
+    return (
+        toked.withColumn("n_chunks", n_chunks)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                F.size("c.ctoks").alias("n_tokens"),
+                F.array_join("c.ctoks", " ").alias("chunk_text"))
+        .filter(F.col("n_tokens") > 0)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CHUNK_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents),
+chunked AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(1, CAST(ceil((len(toks) - {_CHUNK})
+                                          / {_STRIDE}) AS INT) + 1)),
+           i -> struct_pack(chunk_id := i,
+                            ctoks := toks[i * {_STRIDE} + 1
+                                          : i * {_STRIDE} + {_CHUNK}])))
+           AS c
+  FROM toked)
+SELECT doc_id, c.chunk_id AS chunk_id, len(c.ctoks) AS n_tokens,
+       array_to_string(c.ctoks, ' ') AS chunk_text
+FROM chunked
+WHERE len(c.ctoks) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing bookkeeping: within each of 8 buckets
+    (doc_id % 8), documents concatenate in doc_id order into one token
+    stream cut every 2048 tokens. Each doc's [tok_start, tok_end) span
+    and the first/last sequence it lands in are window cumsums — one
+    shuffle on the bucket key, sequences materialize later by joining
+    spans to sequence ids (not needed for the bookkeeping contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", (F.col("doc_id") % _BUCKETS).alias("bucket"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    w = (W.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    spans = toked.withColumn("tok_end", F.sum("n_tokens").over(w)) \
+                 .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    return (spans.select(
+        "doc_id", "bucket", "n_tokens", "tok_start", "tok_end",
+        F.floor(F.col("tok_start") / _SEQ_LEN).alias("first_seq"),
+        F.floor((F.col("tok_end") - 1) / _SEQ_LEN).alias("last_seq"))
+        .orderBy("doc_id"))
+
+
+_PACK_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id, doc_id % {_BUCKETS} AS bucket,
+         len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))
+           AS n_tokens
+  FROM documents),
+spans AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS tok_end
+  FROM toked)
+SELECT doc_id, bucket, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+       CAST(floor((tok_end - n_tokens) / {_SEQ_LEN}) AS BIGINT) AS first_seq,
+       CAST(floor((tok_end - 1) / {_SEQ_LEN}) AS BIGINT) AS last_seq
+FROM spans ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "chunk_documents": (q_chunk_documents, _CHUNK_SQL),
+    "pack_tokens": (q_pack_tokens, _PACK_SQL),
+}

@@ -9,7 +9,7 @@ dedup.py: trim, lower, split on \\s+.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -362,8 +362,64 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF (salient terms per document)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1). Two shuffles total: one groupBy on
+    (doc_id, term) for tf, one on term for df; the df side is
+    |vocabulary| rows and broadcasts back onto the tf side, so the
+    fact-side explode never shuffles twice. Scores are rounded to 6
+    decimals on both engines so the ln() ULP difference can't flip
+    the hash compare (ordering uses the full-precision score first,
+    term as the deterministic tiebreak)."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar, computed once driver-side
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.regexp_replace(F.lower(F.col("text")),
+                                           r"\s+", " "), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df), "term")
+              .withColumn("tfidf",
+                          F.col("tf") * (F.log((F.lit(n_docs) + 1.0)
+                                               / (F.col("df") + 1.0)) + 1.0)))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term", "tf", "df",
+                    F.round("tfidf", 6).alias("tfidf"), "rnk")
+            .orderBy("doc_id", "rnk"))
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                             ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df.df + 1.0))
+                  + 1.0) AS tfidf
+  FROM tf JOIN df USING (term)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rnk
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
     "pii_scrub": (q_pii_scrub, _PII_SCRUB_SQL),
     "bigram_counts": (q_bigram_counts, _BIGRAM_SQL),
     "winnowing_fingerprint": (q_winnowing_fingerprint, _WINNOW_SQL),
