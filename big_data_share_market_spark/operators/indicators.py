@@ -254,8 +254,130 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Beyond-reference standard indicators: Bollinger, Stochastic, OBV
+# ---------------------------------------------------------------------------
+
+def _rolling_std(col, window_spec, n: int):
+    """pandas rolling(n).std() (ddof=1) via decimal-exact power sums:
+    sqrt((S2 - S1^2/n) / (n-1)). The sums are associative decimal
+    adds, the outer arithmetic is scalar IEEE — identical on both
+    engines — so no reliance on either engine's streaming-variance
+    kernel (whose partial-merge order is nondeterministic)."""
+    frame = window_spec.rowsBetween(-(n - 1), 0)
+    s1 = F.sum(col.cast(DEC)).over(frame).cast("double")
+    s2 = F.sum((col * col).cast(DEC)).over(frame).cast("double")
+    return F.when(
+        F.count(col).over(frame) == n,
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)))
+
+
+def _rolling_std_sql(expr: str, n: int, over: str = _ORACLE_KEY_WINDOW) -> str:
+    frame = f"OVER ({over[1:-1]} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    s1 = f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) {frame} AS DOUBLE)"
+    s2 = (f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(25,6))) {frame}"
+          " AS DOUBLE)")
+    return (f"CASE WHEN COUNT({expr}) {frame} = {n} THEN "
+            f"sqrt(({s2} - {s1} * {s1} / {n}) / {n - 1}) END")
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands(20, 2): SMA(20) +/- 2 rolling stddev (sample),
+    NULL until the window fills — the volatility-envelope companion
+    to the reference's SMA (E2)."""
+    s = _series(spark, sf_dir)
+    mid = _rolling_mean(F.col("close"), _w(), 20)
+    sd = _rolling_std(F.col("close"), _w(), 20)
+    return (s.withColumn("bb_mid", mid)
+            .withColumn("bb_up", mid + 2 * sd)
+            .withColumn("bb_dn", mid - 2 * sd))
+
+
+_BOLLINGER_SQL = f"""
+SELECT user_id, event_id, ts, value AS close,
+       {_rolling_mean_sql('value', 20)} AS bb_mid,
+       {_rolling_mean_sql('value', 20)}
+         + 2 * {_rolling_std_sql('value', 20)} AS bb_up,
+       {_rolling_mean_sql('value', 20)}
+         - 2 * {_rolling_std_sql('value', 20)} AS bb_dn
+FROM events
+"""
+
+
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K(14) / %D(3): %K = 100 (close - min14)
+    / (max14 - min14); %D = rolling mean(3) of %K (NULL until three
+    non-NULL %K values, pandas min_periods semantics via COUNT over
+    the frame, which skips NULLs on both engines)."""
+    s = _series(spark, sf_dir)
+    w = _w()
+    frame14 = w.rowsBetween(-13, 0)
+    k = F.when(
+        F.count("close").over(frame14) == 14,
+        100 * (F.col("close") - F.min("close").over(frame14))
+        / (F.max("close").over(frame14) - F.min("close").over(frame14)))
+    out = s.withColumn("pct_k", k)
+    d = F.when(
+        F.count("pct_k").over(w.rowsBetween(-2, 0)) == 3,
+        F.sum(F.col("pct_k").cast(DEC)).over(w.rowsBetween(-2, 0))
+        .cast("double") / 3)
+    return out.withColumn("pct_d", d)
+
+
+_STOCHASTIC_SQL = f"""
+WITH k AS (
+  SELECT user_id, event_id, ts, value AS close,
+         CASE WHEN COUNT(value) OVER w14 = 14 THEN
+           100 * (value - MIN(value) OVER w14)
+             / (MAX(value) OVER w14 - MIN(value) OVER w14) END AS pct_k
+  FROM events
+  WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, ts, close, pct_k,
+       CASE WHEN COUNT(pct_k) OVER w3 = 3 THEN
+         CAST(SUM(CAST(pct_k AS DECIMAL(25,6))) OVER w3 AS DOUBLE) / 3
+       END AS pct_d
+FROM k
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over hourly bars: cumulative
+    sign(close - prev_close) * volume per key. Integer arithmetic
+    (volume is a count), so the running sum is exact; one shuffle
+    shared by the lag and the cumsum (same window key)."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    signed = (F.signum(F.col("close") - F.lag("close").over(w))
+              .cast("long") * F.col("volume"))
+    return (bars.withColumn("signed_vol", F.coalesce(signed, F.lit(0)))
+            .withColumn("obv", F.sum("signed_vol")
+                        .over(w.rowsBetween(W.unboundedPreceding, 0)))
+            .select("user_id", "bar_ts", "close", "volume", "obv"))
+
+
+_OBV_SQL = f"""
+WITH {BARS_CTE},
+signed AS (
+  SELECT user_id, bar_ts, close, volume,
+         COALESCE(CAST(sign(close - lag(close) OVER w) AS BIGINT)
+                  * volume, 0) AS signed_vol
+  FROM bars
+  WINDOW w AS (PARTITION BY user_id ORDER BY bar_ts))
+SELECT user_id, bar_ts, close, volume,
+       SUM(signed_vol) OVER (PARTITION BY user_id ORDER BY bar_ts
+                             ROWS UNBOUNDED PRECEDING) AS obv
+FROM signed
+"""
+
+
 QUERIES = {
     "sma": (q_sma, _SMA_SQL),
+    "bollinger_bands": (q_bollinger, _BOLLINGER_SQL),
+    "stochastic_oscillator": (q_stochastic, _STOCHASTIC_SQL),
+    "obv": (q_obv, _OBV_SQL),
     "rsi": (q_rsi, _RSI_SQL),
     "scalping_strategy": (q_scalping, _SCALPING_SQL),
     "range_trading_strategy": (q_range_trading, _RANGE_TRADING_SQL),
