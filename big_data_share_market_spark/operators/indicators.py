@@ -306,9 +306,9 @@ FROM events
 
 def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stochastic oscillator %K(14) / %D(3): %K = 100 (close - min14)
-    / (max14 - min14); %D = rolling mean(3) of %K (NULL until three
-    non-NULL %K values, pandas min_periods semantics via COUNT over
-    the frame, which skips NULLs on both engines)."""
+    / (max14 - min14); %D = mean of the last three %K values, NULL
+    until three exist (pandas min_periods semantics — a NULL operand
+    nulls the lag-chain sum)."""
     s = _series(spark, sf_dir)
     w = _w()
     frame14 = w.rowsBetween(-13, 0)
@@ -317,10 +317,14 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
         100 * (F.col("close") - F.min("close").over(frame14))
         / (F.max("close").over(frame14) - F.min("close").over(frame14)))
     out = s.withColumn("pct_k", k)
-    d = F.when(
-        F.count("pct_k").over(w.rowsBetween(-2, 0)) == 3,
-        F.sum(F.col("pct_k").cast(DEC)).over(w.rowsBetween(-2, 0))
-        .cast("double") / 3)
+    # %D as an explicit lag chain, not SUM OVER: the three %K doubles
+    # are bit-identical across engines, and a left-to-right
+    # ((k2 + k1) + k0) / 3 is IEEE-deterministic, whereas a windowed
+    # decimal SUM exposes each engine's double->decimal rounding of
+    # %K (observed 1e-6 drift at sf 0.01). NULL-until-3 comes free:
+    # any NULL operand nulls the sum, matching pandas min_periods.
+    d = (F.lag("pct_k", 2).over(w) + F.lag("pct_k", 1).over(w)
+         + F.col("pct_k")) / 3
     return out.withColumn("pct_d", d)
 
 
@@ -334,12 +338,9 @@ WITH k AS (
   WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 SELECT user_id, event_id, ts, close, pct_k,
-       CASE WHEN COUNT(pct_k) OVER w3 = 3 THEN
-         CAST(SUM(CAST(pct_k AS DECIMAL(25,6))) OVER w3 AS DOUBLE) / 3
-       END AS pct_d
+       (lag(pct_k, 2) OVER w + lag(pct_k, 1) OVER w + pct_k) / 3 AS pct_d
 FROM k
-WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 

