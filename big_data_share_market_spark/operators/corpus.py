@@ -1,0 +1,241 @@
+"""Corpus-level quality operators for training-data pipelines over the
+`documents` table: Gopher-style repetition signals, cross-split
+contamination detection, per-source quality rollups, and length
+histograms.
+
+Beyond-reference scope (the reference computes no text analytics —
+SURVEY.md §2 has no text operators; these extend the engine's
+training-data family alongside operators/text.py and dedup.py, reusing
+the same tokenization contract: lower, squeeze \\s+, split on ' ').
+
+Scale notes (100 TB): every query is explode -> map-side-combined
+aggregate or a pure row-local projection; the widest shuffle key is
+(doc_id, term) which is near-unique, so no skew. Contamination joins
+hash-partition both sides on the fingerprint — the standard layout for
+corpus-vs-benchmark decontamination at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import davg, davg_sql
+from ..tables import load_table
+from .sampling import _TRAIN_LT, hash256, hash256_sql
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _toks():
+    return F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+
+
+_TOKS_SQL = "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+
+
+# ---------------------------------------------------------------------------
+# Repetition score (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals, the Gopher/FineWeb filters:
+    distinct-word fraction, top-word dominance (count of the most
+    frequent word / total words), and duplicate-bigram fraction.
+    Highly repetitive machine-generated text scores low/high on these
+    and is dropped before training.
+
+    Plan: one explode + two-stage aggregate per signal family. The
+    (doc_id, word) group is map-side combined before its shuffle and
+    near-unique, so no skew; the per-doc reduction rides the same
+    partitioning (doc_id is a prefix of the group key)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _toks().alias("toks")) \
+               .filter(F.size("toks") >= 2)
+    words = toks.select("doc_id", F.explode("toks").alias("word"))
+    per_word = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    word_stats = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))")).alias("bg"))
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+    bg_stats = per_bg.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bg"))
+    return (
+        word_stats.join(bg_stats, "doc_id")
+        .select(
+            "doc_id", "n_words",
+            (F.col("n_distinct") / F.col("n_words"))
+            .alias("distinct_word_frac"),
+            (F.col("top_cnt") / F.col("n_words")).alias("top_word_frac"),
+            (1.0 - F.col("n_distinct_bg") / F.col("n_bigrams"))
+            .alias("dup_bigram_frac"))
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+  WHERE len({_TOKS_SQL}) >= 2),
+words AS (SELECT doc_id, unnest(t) AS word FROM toks),
+per_word AS (SELECT doc_id, word, COUNT(*) AS cnt
+             FROM words GROUP BY doc_id, word),
+word_stats AS (
+  SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct,
+         MAX(cnt) AS top_cnt
+  FROM per_word GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks),
+per_bg AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams
+           GROUP BY doc_id, bg),
+bg_stats AS (
+  SELECT doc_id, SUM(cnt) AS n_bigrams, COUNT(*) AS n_distinct_bg
+  FROM per_bg GROUP BY doc_id)
+SELECT w.doc_id, w.n_words,
+       CAST(w.n_distinct AS DOUBLE) / w.n_words AS distinct_word_frac,
+       CAST(w.top_cnt AS DOUBLE) / w.n_words AS top_word_frac,
+       1.0 - CAST(b.n_distinct_bg AS DOUBLE) / b.n_bigrams
+         AS dup_bigram_frac
+FROM word_stats w JOIN bg_stats b ON w.doc_id = b.doc_id
+ORDER BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination (train/eval leakage detection)
+# ---------------------------------------------------------------------------
+
+def q_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-split documents whose 8-word-prefix fingerprint also
+    appears in the train split — the decontamination check every
+    benchmark-aware corpus build runs before training. Reuses the
+    hash_split assignment (sampling.py) and the prefix fingerprint
+    contract (text.q_doc_fingerprint).
+
+    Plan: one scan computes (split, prefix_fp) row-locally; the
+    self-join hash-partitions both sides on the 128-bit fingerprint
+    (near-unique key, no skew). At 100 TB the train side would be
+    written bucketed by fingerprint once and reused across eval
+    sets."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    prefix_fp = F.md5(F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 8)))
+    tagged = docs.select(
+        "doc_id",
+        F.when(hash256(F.col("doc_id"), "split:") < _TRAIN_LT, "train")
+        .otherwise("eval").alias("split"),
+        prefix_fp.alias("prefix_fp"))
+    train = (tagged.filter(F.col("split") == "train")
+             .select(F.col("doc_id").alias("train_doc_id"), "prefix_fp"))
+    ev = (tagged.filter(F.col("split") == "eval")
+          .select(F.col("doc_id").alias("eval_doc_id"), "prefix_fp"))
+    return (ev.join(train, "prefix_fp")
+            .select("eval_doc_id", "train_doc_id", "prefix_fp")
+            .orderBy("eval_doc_id", "train_doc_id"))
+
+
+_CONTAMINATION_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {hash256_sql('doc_id', 'split:')} < {_TRAIN_LT}
+              THEN 'train' ELSE 'eval' END AS split,
+         md5(array_to_string(list_slice(string_split(
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+           1, 8), ' ')) AS prefix_fp
+  FROM documents)
+SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id, e.prefix_fp
+FROM tagged e JOIN tagged t ON e.prefix_fp = t.prefix_fp
+WHERE e.split = 'eval' AND t.split = 'train'
+ORDER BY eval_doc_id, train_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality rollup
+# ---------------------------------------------------------------------------
+
+def q_source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus health: doc count, average length,
+    average token count, and the fraction of short documents (< 200
+    chars) — the dashboard that decides which crawl sources to keep.
+    One map-side-combined aggregate over a tiny (source x lang)
+    domain; the token count is a row-local array size, so the whole
+    query is a single shuffle of partial aggregates."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+             davg(F.size(_toks()).cast("double")).alias("avg_tokens"),
+             davg(F.when(F.col("n_chars") < 200, 1.0).otherwise(0.0))
+             .alias("short_doc_frac"))
+        .orderBy("source", "lang")
+    )
+
+
+_SOURCE_QUALITY_SQL = f"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       {davg_sql('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+       {davg_sql(f'CAST(len({_TOKS_SQL}) AS DOUBLE)')} AS avg_tokens,
+       {davg_sql('CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END')}
+         AS short_doc_frac
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length histogram (order-of-magnitude buckets)
+# ---------------------------------------------------------------------------
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in decimal order-of-magnitude
+    buckets (bucket = digit count of n_chars — exact integer
+    arithmetic on both engines, unlike floor(log10) whose FP rounding
+    can flip at bucket edges). Per (lang, bucket): count, min/max,
+    and corpus share."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.length(F.col("n_chars").cast("string")).alias("magnitude")
+    per = (docs.groupBy("lang", bucket)
+           .agg(F.count("*").alias("n_docs"),
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars")))
+    total = per.agg(F.sum("n_docs").alias("n_total"))
+    return (per.join(F.broadcast(total))
+            .select("lang", "magnitude", "n_docs", "min_chars", "max_chars",
+                    (F.col("n_docs") / F.col("n_total")).alias("corpus_frac"))
+            .orderBy("lang", "magnitude"))
+
+
+_LENGTH_HISTOGRAM_SQL = """
+WITH per AS (
+  SELECT lang, length(CAST(n_chars AS VARCHAR)) AS magnitude,
+         COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+         MAX(n_chars) AS max_chars
+  FROM documents GROUP BY lang, magnitude)
+SELECT lang, magnitude, n_docs, min_chars, max_chars,
+       CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM per) AS corpus_frac
+FROM per
+ORDER BY lang, magnitude
+"""
+
+
+QUERIES = {
+    "repetition_score": (q_repetition_score, _REPETITION_SQL),
+    "cross_split_contamination": (q_cross_split_contamination,
+                                  _CONTAMINATION_SQL),
+    "source_quality_stats": (q_source_quality_stats, _SOURCE_QUALITY_SQL),
+    "length_histogram": (q_length_histogram, _LENGTH_HISTOGRAM_SQL),
+}

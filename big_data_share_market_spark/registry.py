@@ -24,7 +24,8 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.indicators", "operators.ewm",
                  "operators.patterns", "operators.transforms",
                  "operators.dedup", "operators.similarity",
-                 "operators.text", "operators.multimodal",
+                 "operators.text", "operators.corpus",
+                 "operators.multimodal",
                  "operators.sampling",
                  "sources.json_io", "streaming.batch_parity"):
         modpath = f"{__package__}.{name}"
