@@ -28,7 +28,11 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             "embedding_neardup", "range_trading_strategy",
             # intentional 1-row x 1-row crossJoin of two global aggs
-            "hll_merge_consistency"}
+            "hll_merge_consistency",
+            # scalar-subquery thresholds: 1-row global agg broadcast
+            # onto the probe side (Q11/Q15/Q22 shapes, corpus share)
+            "important_part_value", "top_revenue_supplier",
+            "idle_customer_balance", "length_histogram"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n not in _PLAN_SKIP))
@@ -69,6 +73,31 @@ def test_column_pruning_reaches_scan(spark):
     assert li is not None
     assert "l_comment" not in li and "l_partkey" not in li
     assert "l_quantity" in li and "l_extendedprice" in li
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    """Q6 is the pushdown benchmark: every predicate (shipdate range,
+    discount band, quantity cap) must reach the parquet scan as a
+    pushed filter, and the scan must read only the 4 touched columns."""
+    fn, _ = _QUERIES["forecast_revenue"]
+    df = fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1][:400], (
+            f"{col} not pushed to scan")
+    schemas = scan_read_schemas(df)
+    li = next((v for k, v in schemas.items() if "lineitem" in k), None)
+    assert li is not None and "l_orderkey" not in li and "l_partkey" not in li
+
+
+def test_bilateral_volume_broadcasts_dims(spark):
+    """Q7's supplier/customer/nation sides must all broadcast — the
+    only shuffle a 100 TB run can afford is lineitem⋈orders."""
+    fn, _ = _QUERIES["bilateral_volume"]
+    plan = explain_str(fn(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
 
 
 def test_topk_avoids_global_sort(spark):
