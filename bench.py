@@ -55,6 +55,12 @@ HEADLINE = [
     "salted_skew_agg",      # two-stage salted aggregation
     "ohlc_day_rollup",      # multi-resolution rollup cascade
     "bigram_counts",        # corpus n-gram stats (explode + combine)
+    "forecast_revenue",     # Q6: pure pushdown + single agg
+    "bilateral_volume",     # Q7: broadcast dims + fact-fact join
+    "returned_item_revenue",  # Q10: agg-then-decorate top-k
+    "suppliers_kept_waiting",  # Q21: decorrelated exists pair
+    "repetition_score",     # corpus repetition signals (2x explode-agg)
+    "cross_split_contamination",  # fingerprint self-join
 ]
 
 

@@ -11,12 +11,15 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..functions import dsum_sql
+from ..operators.ewm import _ewm_sql, _ORACLE_KEY_WINDOW
 from ..operators.transforms import BARS_CTE
 from .pipeline import (events_stream, run_available_now, signal_over_bars,
                        stream_ohlc_bars, stream_session_windows,
                        stream_sliding_bars, with_watermark)
-from .state import last_n_per_key
+from .state import ema_per_key, last_n_per_key
 from .upsert import upsert_stream
 
 
@@ -109,6 +112,30 @@ SELECT user_id, event_id, ts, value, rn FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn <= 20
+"""
+
+
+def q_stream_ema_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6+: the reference's live indicator loop (EMA 5/15 per symbol,
+    `streamlit_app/streamlit_app.py:165-166` fed by the provider
+    thread) as a checkpointed applyInPandasWithState operator. Oracle
+    = the batch ewm closed form — stream and batch agree bit-for-bit
+    because the kernel shares the recurrence with operators/ewm."""
+    sdf = events_stream(spark, sf_dir)
+    out = run_available_now(ema_per_key(sdf), spark, output_mode="append")
+    # pre-first-valid positions surface as NaN in the Arrow transfer;
+    # the oracle (and the batch kernel via nanvl) emits NULL.
+    return out.select(
+        "user_id", "event_id", "ts", "close",
+        F.nanvl("ema_5", F.lit(None).cast("double")).alias("ema_5"),
+        F.nanvl("ema_15", F.lit(None).cast("double")).alias("ema_15"))
+
+
+_STREAM_EMA_SQL = f"""
+SELECT user_id, event_id, ts, value AS close,
+       {_ewm_sql('value', '2.0/(5.0+1.0)', _ORACLE_KEY_WINDOW)} AS ema_5,
+       {_ewm_sql('value', '2.0/(15.0+1.0)', _ORACLE_KEY_WINDOW)} AS ema_15
+FROM events
 """
 
 
@@ -221,6 +248,7 @@ QUERIES = {
     "stream_sliding_bars": (q_stream_sliding_bars, _STREAM_SLIDING_SQL),
     "stream_session_windows": (q_stream_session_windows, _STREAM_SESSION_SQL),
     "stream_last20_per_key": (q_stream_last20_per_key, _STREAM_LAST20_SQL),
+    "stream_ema_per_key": (q_stream_ema_per_key, _STREAM_EMA_SQL),
     "stream_dedup_within_watermark": (q_stream_dedup_within_watermark,
                                       _STREAM_DEDUP_SQL),
     "stream_upsert_idempotent": (q_stream_upsert_idempotent, _STREAM_UPSERT_SQL),

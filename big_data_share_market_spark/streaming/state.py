@@ -82,3 +82,88 @@ def last_n_per_key(sdf: DataFrame, n: int = _N_DEFAULT) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EMA: the reference's live indicator loop as keyed state
+# ---------------------------------------------------------------------------
+
+#: Output mirrors the batch EMA (operators/ewm.q_ema) for oracle parity.
+EMA_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                  "close DOUBLE, ema_5 DOUBLE, ema_15 DOUBLE")
+#: State: one (accumulator, started) pair per span.
+EMA_STATE_DDL = "acc ARRAY<DOUBLE>, started ARRAY<BOOLEAN>"
+
+
+def _ema_fn(alphas: list[float]):
+    """Per-key seeded continuation of the adjust=False ewm recurrence
+    (`acc := acc + alpha*(x - acc)`, NULL inputs carry the
+    accumulator) — the same IEEE op order as the batch kernel
+    `operators/ewm.ewm_mean`, so stream output is bit-identical to the
+    batch result when events arrive in order. The reference computes
+    this eagerly per dashboard refresh (`streamlit_app/
+    streamlit_app.py:165-166,346-347`); here the state lives in the
+    checkpoint, updated once per event."""
+    import math
+
+    import numpy as np
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            accs_t, started_t = state.get
+            accs, started = list(accs_t), list(started_t)
+        else:
+            accs = [math.nan] * len(alphas)
+            started = [False] * len(alphas)
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((accs, started))
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out_cols = []
+        for j, alpha in enumerate(alphas):
+            acc, on = accs[j], started[j]
+            col = np.empty(len(vals), dtype="float64")
+            for i, x in enumerate(vals):
+                if math.isnan(x):
+                    col[i] = acc if on else math.nan
+                    continue
+                if not on:
+                    acc, on = float(x), True
+                else:
+                    acc = acc + alpha * (float(x) - acc)
+                col[i] = acc
+            accs[j], started[j] = acc, on
+            out_cols.append(col)
+        state.update((accs, started))
+        yield pd.DataFrame({
+            "user_id": user_id,
+            "event_id": pdf["event_id"].astype("int64"),
+            "ts": pdf["ts"],
+            "close": vals,
+            "ema_5": out_cols[0],
+            "ema_15": out_cols[1],
+        })
+
+    return fn
+
+
+def ema_per_key(sdf: DataFrame,
+                alphas: tuple[float, float] = (2.0 / 6.0, 2.0 / 16.0)) -> DataFrame:
+    """Streaming EMA(5)/EMA(15) per user_id with checkpointed
+    accumulator state. One hash shuffle on the key per micro-batch;
+    state is O(n_keys x 2 doubles) — negligible at any key count."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ema_fn(list(alphas)),
+            outputStructType=EMA_OUTPUT_DDL,
+            stateStructType=EMA_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
