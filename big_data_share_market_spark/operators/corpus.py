@@ -232,8 +232,78 @@ ORDER BY lang, magnitude
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-
+    smoothed corpus bigram model: score(d) = mean over bigrams of
+    ln((c(w1 w2) + 1) / (c(w1) + V)). The self-trained flavor of the
+    perplexity filters (CCNet/Gopher) used to drop incoherent text —
+    documents far below the corpus mean are outliers.
+
+    Plan: two count aggregates (bigram, unigram) over one explode;
+    the model tables join back onto the exploded fact side keyed by
+    near-unique n-grams (no skew), then one per-doc reduction. At
+    100 TB the model side is vocabulary-sized — still orders of
+    magnitude under the corpus, broadcast or bucketed once. Scores
+    round to 6 decimals on both engines so ln() ULP noise cannot flip
+    the hash compare."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _toks().alias("toks")) \
+               .filter(F.size("toks") >= 2)
+    words = toks.select("doc_id", F.explode("toks").alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+    model = (bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    scored = (
+        bigrams
+        .join(model, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(vocab))
+        .withColumn("logp", F.log((F.col("c12") + 1.0)
+                                  / (F.col("c1") + F.col("v"))))
+    )
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("logp"), 6).alias("avg_logprob"))
+            .orderBy("doc_id"))
+
+
+_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+  WHERE len({_TOKS_SQL}) >= 2),
+words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+uni AS (SELECT w, COUNT(*) AS c1 FROM words GROUP BY w),
+bigrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+    i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS bg
+  FROM toks),
+flat AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bigrams),
+model AS (SELECT w1, w2, COUNT(*) AS c12 FROM flat GROUP BY w1, w2),
+scored AS (
+  SELECT f.doc_id,
+         ln((m.c12 + 1.0) / (u.c1 + (SELECT COUNT(*) FROM uni))) AS logp
+  FROM flat f
+  JOIN model m ON f.w1 = m.w1 AND f.w2 = m.w2
+  JOIN uni u ON f.w1 = u.w)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(AVG(logp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
+    "bigram_lm_score": (q_bigram_lm_score, _BIGRAM_LM_SQL),
     "cross_split_contamination": (q_cross_split_contamination,
                                   _CONTAMINATION_SQL),
     "source_quality_stats": (q_source_quality_stats, _SOURCE_QUALITY_SQL),

@@ -20,7 +20,7 @@ aggregate collapses the fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql
@@ -518,27 +518,27 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the max shipdate and the distinct supplier count plus the
     max shipdate over OTHER suppliers; the strictly-latest test is
     max(own) > max(others) — same semantics as the EXISTS/NOT EXISTS
-    pair, but a single shuffle on l_orderkey instead of two correlated
-    probes of lineitem."""
+    pair, but two shuffles total instead of three lineitem scans: one
+    aggregate to (order, supplier) grain, then window functions over
+    the order key derive supplier count, order-wide max shipdate, and
+    the tie count in one pass over the already-collapsed aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    per_order = (li.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("n_supps"),
-                      F.max("l_shipdate").alias("order_max_ship")))
-    per_supplier_order = (li.groupBy("l_orderkey", "l_suppkey")
-                          .agg(F.max("l_shipdate").alias("supp_max_ship")))
-    at_ship = (li.groupBy(F.col("l_orderkey").alias("as_orderkey"),
-                          F.col("l_shipdate").alias("ship"))
-               .agg(F.countDistinct("l_suppkey").alias("n_at_ship")))
+    pso = (li.groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max("l_shipdate").alias("supp_max_ship")))
+    w = W.partitionBy("l_orderkey")
     waiting = (
-        per_supplier_order
-        .join(per_order.filter(F.col("n_supps") > 1), "l_orderkey")
-        .filter(F.col("supp_max_ship") == F.col("order_max_ship"))
+        pso.withColumn("n_supps", F.count("*").over(w))
+        .withColumn("order_max_ship", F.max("supp_max_ship").over(w))
         # strictly latest: nobody else ties at the max shipdate
-        .join(at_ship,
-              (F.col("l_orderkey") == F.col("as_orderkey"))
-              & (F.col("supp_max_ship") == F.col("ship")))
-        .filter(F.col("n_at_ship") == 1)
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("supp_max_ship")
+                         == F.max("supp_max_ship").over(w), 1)
+                  .otherwise(0)).over(w))
+        .filter((F.col("n_supps") > 1)
+                & (F.col("supp_max_ship") == F.col("order_max_ship"))
+                & (F.col("n_at_max") == 1))
     )
     return (
         waiting.groupBy("l_suppkey")

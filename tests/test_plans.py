@@ -32,7 +32,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # scalar-subquery thresholds: 1-row global agg broadcast
             # onto the probe side (Q11/Q15/Q22 shapes, corpus share)
             "important_part_value", "top_revenue_supplier",
-            "idle_customer_balance", "length_histogram"}
+            "idle_customer_balance", "length_histogram",
+            # 1-row vocabulary-size broadcast for the smoothing term
+            "bigram_lm_score"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n not in _PLAN_SKIP))
