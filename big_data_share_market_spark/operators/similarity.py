@@ -410,8 +410,69 @@ FROM per_dim GROUP BY label ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN index quality: recall@k of the LSH path vs the exact scan
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed index against the exact
+    brute-force top-5 — the evaluation loop every ANN deployment runs
+    before trusting an index. One row: exact size, ANN candidate
+    count, overlap, recall. Both rankings are bit-deterministic
+    (sequential-reduce cosines, vec_id tiebreak), so the recall value
+    is oracle-checkable, not just a rows-only smoke.
+
+    Scale notes: the exact side is the one-query linear scan
+    (broadcast + TakeOrdered); the ANN side prunes to one bucket. The
+    final compare is a broadcast join of two k-row sets — at any
+    corpus size the evaluation costs one extra scan, nothing more."""
+    exact = (q_cosine_topk(spark, sf_dir).limit(_RECALL_K)
+             .select("vec_id"))
+    ann = (q_ann_lsh_topk(spark, sf_dir)
+           .select(F.col("vec_id").alias("a_vec")))
+    joined = exact.join(F.broadcast(ann),
+                        exact.vec_id == F.col("a_vec"), "left")
+    hits = joined.agg(
+        F.count("vec_id").alias("n_exact"),
+        F.count("a_vec").alias("n_overlap"))
+    n_ann = ann.agg(F.count("*").alias("n_ann"))
+    return (hits.join(F.broadcast(n_ann))
+            .select("n_exact", "n_ann", "n_overlap",
+                    (F.col("n_overlap") / F.lit(float(_RECALL_K)))
+                    .alias("recall_at_5")))
+
+
+_ANN_RECALL_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+ann AS (
+  SELECT vec_id, {_cosine_sql('embedding', 'q_emb')} AS cosine
+  FROM b, q
+  WHERE bucket = q_bucket AND vec_id <> 0
+  ORDER BY cosine DESC, vec_id ASC LIMIT {_RECALL_K}),
+exact AS (
+  SELECT vec_id,
+         {_cosine_sql('embedding', 'q_emb')} AS cosine
+  FROM embeddings, q
+  WHERE vec_id <> 0
+  ORDER BY cosine DESC, vec_id ASC LIMIT {_RECALL_K})
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM ann) AS n_ann,
+       (SELECT COUNT(*) FROM exact JOIN ann USING (vec_id)) AS n_overlap,
+       CAST((SELECT COUNT(*) FROM exact JOIN ann USING (vec_id)) AS DOUBLE)
+         / {float(_RECALL_K)} AS recall_at_5
+"""
+
+
 QUERIES = {
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "ann_recall_eval": (q_ann_recall_eval, _ANN_RECALL_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),

@@ -34,7 +34,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             "important_part_value", "top_revenue_supplier",
             "idle_customer_balance", "length_histogram",
             # 1-row vocabulary-size broadcast for the smoothing term
-            "bigram_lm_score"}
+            "bigram_lm_score",
+            # composes cosine_topk + ann_lsh_topk + k-row broadcasts
+            "ann_recall_eval"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n not in _PLAN_SKIP))
