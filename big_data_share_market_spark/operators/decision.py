@@ -508,6 +508,54 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 
 
 # ---------------------------------------------------------------------------
+# Q20 — suppliers of high-volume parts (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+def q_high_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp): suppliers who shipped more
+    than 60 units of any 'red'-named part in 1997 — the nested
+    IN(IN(...)) semi-join chain. Decorrelated inside-out: the part
+    filter broadcast-semi-prunes lineitem, the (supplier, part)
+    aggregate collapses it, the HAVING threshold filters, and a final
+    left-semi picks the suppliers. Every reduction happens before the
+    next join, so the chain's widest edge is one lineitem shuffle on
+    the (suppkey, partkey) grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    red_parts = part.filter(F.col("p_name").contains("red")) \
+                    .select("p_partkey")
+    qualifying = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01")))
+        .join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"),
+              "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 60)
+        .select("l_suppkey")
+    )
+    return (supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey"),
+                      "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal")
+            .orderBy("s_suppkey"))
+
+
+_HIGH_VOLUME_SUPPLIERS_SQL = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {dsum_sql('l_quantity')} > 60)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q21 — suppliers who kept multi-supplier orders waiting
 # ---------------------------------------------------------------------------
 
@@ -625,6 +673,8 @@ QUERIES = {
     "top_revenue_supplier": (q_top_revenue_supplier, _TOP_REVENUE_SUPPLIER_SQL),
     "small_quantity_revenue": (q_small_quantity_revenue, _SMALL_QUANTITY_SQL),
     "disjunctive_revenue": (q_disjunctive_revenue, _DISJUNCTIVE_SQL),
+    "high_volume_part_suppliers": (q_high_volume_part_suppliers,
+                                   _HIGH_VOLUME_SUPPLIERS_SQL),
     "suppliers_kept_waiting": (q_suppliers_kept_waiting, _SUPPLIERS_WAITING_SQL),
     "idle_customer_balance": (q_idle_customer_balance, _IDLE_CUSTOMER_SQL),
 }
