@@ -190,8 +190,59 @@ FROM orders
 """
 
 
+def q_jsonl_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's `'json.ignore-parse-errors' = 'True'`
+    (`flink_processor/flink_processor.py:72`) against a REAL corrupted
+    file: stage the events as JSON-lines with malformed lines
+    interleaved (truncated JSON, non-JSON garbage, wrong-type field),
+    scan with PERMISSIVE `from_json`, drop the nulls, return the typed
+    rows. The oracle certifies the survivors equal the clean fixture
+    exactly — garbage neither kills the job nor leaks rows.
+
+    Plan: a text scan + codegen'd from_json + filter; tolerance costs
+    zero extra passes. At 100 TB the malformed fraction only wastes
+    its own bytes."""
+    import os
+
+    stage_dir = f"/tmp/bdsm_jsonl{sf_dir.replace('/', '_')}"
+    marker = f"{stage_dir}/garbage.txt"
+    if not os.path.exists(marker):
+        # Stage distributed (no driver-side collect of the data), then
+        # drop a separate file of deterministic garbage into the dir:
+        # truncated JSON, bare text, wrong-type field.
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"))
+        (ev.select(F.to_json(F.struct("*")).alias("value"))
+         .write.mode("overwrite").text(stage_dir))
+        with open(marker, "w") as f:
+            f.write('{"event_id": 1, "user_id": \n'      # truncated
+                    "not json at all\n"
+                    '{"event_id": "NaN-ish", "user_id": {}}\n')
+    schema = ("event_id BIGINT, user_id BIGINT, event_type STRING, "
+              "value DOUBLE, ts_s STRING")
+    raw = (spark.read.format("text")
+           .option("pathGlobFilter", "{part,garbage}*").load(stage_dir))
+    parsed = raw.select(
+        F.from_json(F.col("value"), schema,
+                    {"mode": "PERMISSIVE"}).alias("rec"))
+    return (parsed.filter(F.col("rec").isNotNull()
+                          & F.col("rec.event_id").isNotNull())
+            .select("rec.event_id", "rec.user_id", "rec.event_type",
+                    F.col("rec.value").alias("value"),
+                    F.to_timestamp("rec.ts_s",
+                                   "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")))
+
+
+_JSONL_CORRUPT_SQL = """
+SELECT event_id, user_id, event_type, value, ts FROM events
+"""
+
+
 QUERIES = {
     "props_json_extract": (q_props_json_extract, _PROPS_JSON_SQL),
     "json_envelope_roundtrip": (q_json_envelope_roundtrip, _ROUNDTRIP_SQL),
     "flatten_nested": (q_flatten_nested, _FLATTEN_SQL),
+    "jsonl_corrupt_tolerant_scan": (q_jsonl_corrupt_tolerant_scan,
+                                    _JSONL_CORRUPT_SQL),
 }
