@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql
-from ..tables import load_table
+from ..tables import fan_out, load_table
 from .sampling import _TRAIN_LT, hash256, hash256_sql
 
 
@@ -47,37 +47,41 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Highly repetitive machine-generated text scores low/high on these
     and is dropped before training.
 
-    Plan: one explode + two-stage aggregate per signal family. The
-    (doc_id, word) group is map-side combined before its shuffle and
-    near-unique, so no skew; the per-doc reduction rides the same
-    partitioning (doc_id is a prefix of the group key)."""
-    docs = _docs(spark, sf_dir)
+    Plan: the distinct fractions are ROW-LOCAL array expressions
+    (size/array_distinct inside codegen — no fan-out, no shuffle);
+    only the top-word count needs a histogram, which is the single
+    explode + two-stage aggregate. The (doc_id, word) group is
+    map-side combined and near-unique, so no skew; the per-doc
+    reduction rides the same partitioning (doc_id is a key prefix).
+    The top-word count folds over the SORTED token array (longest run
+    of equal adjacent tokens == max frequency) so the whole query is
+    one scan of row-local array expressions — no explode, no shuffle,
+    no self-join. fan_out widens the CPU-bound stage across cores
+    (the single-file fixture scan otherwise pins it to one task; a
+    no-op at real scale where the scan already splits)."""
+    docs = fan_out(spark, _docs(spark, sf_dir))
     toks = docs.select("doc_id", _toks().alias("toks")) \
                .filter(F.size("toks") >= 2)
-    words = toks.select("doc_id", F.explode("toks").alias("word"))
-    per_word = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-    word_stats = per_word.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.max("cnt").alias("top_cnt"))
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(0, size(toks) - 2),"
-            " i -> concat(toks[i], ' ', toks[i + 1]))")).alias("bg"))
-    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
-    bg_stats = per_bg.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bg"))
+    bigrams = F.expr("transform(sequence(0, size(toks) - 2),"
+                     " i -> concat(toks[i], ' ', toks[i + 1]))")
+    top_cnt = F.expr("""
+        aggregate(
+          array_sort(toks),
+          struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),
+          (acc, x) -> struct(
+            x AS prev,
+            IF(x = acc.prev, acc.run + 1, 1L) AS run,
+            GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1L)) AS best),
+          acc -> acc.best)""")
     return (
-        word_stats.join(bg_stats, "doc_id")
-        .select(
-            "doc_id", "n_words",
-            (F.col("n_distinct") / F.col("n_words"))
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_words"),
+            (F.size(F.array_distinct("toks")) / F.size("toks"))
             .alias("distinct_word_frac"),
-            (F.col("top_cnt") / F.col("n_words")).alias("top_word_frac"),
-            (1.0 - F.col("n_distinct_bg") / F.col("n_bigrams"))
-            .alias("dup_bigram_frac"))
+            (top_cnt / F.size("toks")).alias("top_word_frac"),
+            (1.0 - F.size(F.array_distinct(bigrams))
+             / (F.size("toks") - 1)).alias("dup_bigram_frac"))
         .orderBy("doc_id")
     )
 
