@@ -87,6 +87,34 @@ def test_sma_matches_pandas(spark):
     np.testing.assert_allclose(ours[~both_nan], ref[~both_nan], rtol=1e-9)
 
 
+def test_stochastic_matches_pandas(spark):
+    """Spark stochastic %K/%D vs the pandas rolling formulation
+    (rolling(14) extrema, rolling(3, min_periods=3) mean of %K)."""
+    from big_data_share_market_spark.operators.indicators import q_stochastic
+    from .conftest import SF_DIR
+
+    got = (q_stochastic(spark, SF_DIR).orderBy("user_id", "ts", "event_id")
+           .toPandas())
+    import duckdb
+    ev = duckdb.sql(
+        f"SELECT user_id, value FROM '{SF_DIR}/events.parquet' "
+        "ORDER BY user_id, ts, event_id").fetchdf()
+    ks, ds = [], []
+    for _uid, g in ev.groupby("user_id", sort=True):
+        s = g["value"].reset_index(drop=True)
+        lo = s.rolling(14).min()
+        hi = s.rolling(14).max()
+        k = 100 * (s - lo) / (hi - lo)
+        ks.append(k)
+        ds.append(k.rolling(3, min_periods=3).mean())
+    for col, ref_series in (("pct_k", ks), ("pct_d", ds)):
+        ref = pd.concat(ref_series).to_numpy()
+        ours = got[col].to_numpy()
+        both_nan = np.isnan(ref) & np.isnan(ours)
+        np.testing.assert_allclose(ours[~both_nan], ref[~both_nan],
+                                   rtol=1e-9)
+
+
 def test_minhash_recall_is_subset_of_exact_jaccard(spark):
     """LSH invariant: every MinHash-verified pair must appear in the
     exhaustive shingle-join pair set with the same jaccard (LSH prunes
