@@ -323,7 +323,65 @@ ORDER BY hour_ts
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _interleave_expr(x: str, y: str) -> str:
+    """Bit-interleave two {0..2^16-1} ints into one Morton (Z-order)
+    code — identical integer shifts on both engines. x occupies even
+    bits, y odd bits."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (user_id, event-hour): the
+    layout key behind multi-dimensional data skipping (Delta
+    OPTIMIZE ZORDER, Iceberg sort orders). Sorting a 100 TB table by
+    this key makes parquet row-group min/max stats selective on BOTH
+    dimensions at once, so either a user_id predicate or a time-range
+    predicate prunes most of the file list — a plain (user_id, ts)
+    sort only serves the leading column.
+
+    The key itself is pure integer bit arithmetic inside codegen (no
+    UDF); writing is `repartitionByRange(z).sortWithinPartitions(z)`.
+    Output: each event with its z-code, ordered — verifying the exact
+    interleave against the oracle's identical expression."""
+    ev = load_table(spark, sf_dir, "events")
+    dims = ev.select(
+        "event_id",
+        F.expr(f"CAST(user_id % {1 << _Z_BITS} AS BIGINT)").alias("xd"),
+        F.expr(f"CAST((unix_timestamp(ts) div 3600) % {1 << _Z_BITS} "
+               "AS BIGINT)").alias("yd"))
+    return (dims.select(
+        "event_id",
+        F.expr(_interleave_expr("xd", "yd")).alias("z"))
+        .orderBy("z", "event_id"))
+
+
+_ZORDER_SQL = f"""
+WITH dims AS (
+  SELECT event_id,
+         CAST(user_id % {1 << _Z_BITS} AS BIGINT) AS xd,
+         -- date_trunc first: epoch() carries fractional seconds and a
+         -- bare ::BIGINT cast ROUNDS, which can bump an hour boundary
+         CAST((epoch(date_trunc('hour', ts))::BIGINT // 3600)
+              % {1 << _Z_BITS} AS BIGINT) AS yd
+  FROM events)
+SELECT event_id, {_interleave_expr('xd', 'yd')} AS z
+FROM dims ORDER BY z, event_id
+"""
+
+
 QUERIES = {
+    "zorder_key": (q_zorder_key, _ZORDER_SQL),
     "salted_skew_agg": (q_salted_skew_agg, _SALTED_SQL),
     "orders_grouping_sets": (q_orders_grouping_sets, _GROUPING_SETS_SQL),
     "customer_balance_ranks": (q_customer_balance_ranks, _BALANCE_RANKS_SQL),
