@@ -19,7 +19,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     from .operators import relational, keyed
     mods = [relational, keyed]
     for name in ("operators.advanced", "operators.decision",
-                 "operators.scale",
+                 "operators.behavior", "operators.scale",
                  "operators.sketches", "operators.packing",
                  "operators.indicators", "operators.ewm",
                  "operators.patterns", "operators.transforms",
