@@ -19,7 +19,8 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     from .operators import relational, keyed
     mods = [relational, keyed]
     for name in ("operators.advanced", "operators.decision",
-                 "operators.behavior", "operators.scale",
+                 "operators.behavior", "operators.profile",
+                 "operators.scale",
                  "operators.sketches", "operators.packing",
                  "operators.indicators", "operators.ewm",
                  "operators.patterns", "operators.transforms",
