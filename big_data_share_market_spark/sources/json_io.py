@@ -239,10 +239,34 @@ SELECT event_id, user_id, event_type, value, ts FROM events
 """
 
 
+def q_nested_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4's array-of-records shape end-to-end: nest each order's lines
+    into a sorted ARRAY<STRUCT> (the document form a financial-feed
+    record carries, e.g. the yfinance sub-dataset lists), then explode
+    back to rows with `inline`. The oracle certifies zero loss either
+    direction. Both steps stay columnar — collect_list is one
+    map-side-combined aggregate on the key; inline is a generator in
+    the same stage as its input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "l_linenumber", "l_quantity", "l_extendedprice"))).alias("lines"))
+    )
+    return nested.select("l_orderkey", F.inline("lines"))
+
+
+_NESTED_ARRAY_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+"""
+
+
 QUERIES = {
     "props_json_extract": (q_props_json_extract, _PROPS_JSON_SQL),
     "json_envelope_roundtrip": (q_json_envelope_roundtrip, _ROUNDTRIP_SQL),
     "flatten_nested": (q_flatten_nested, _FLATTEN_SQL),
     "jsonl_corrupt_tolerant_scan": (q_jsonl_corrupt_tolerant_scan,
                                     _JSONL_CORRUPT_SQL),
+    "nested_array_roundtrip": (q_nested_array_roundtrip, _NESTED_ARRAY_SQL),
 }
