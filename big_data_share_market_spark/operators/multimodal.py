@@ -262,8 +262,78 @@ FROM r
 """
 
 
+# Audio segmentation: fixed-duration windows with 50% overlap.
+_SEG_BYTES = 64          # bytes per segment ("samples per window")
+_SEG_HOP = 32            # hop size — 50% overlap
+
+
+def _audio_segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic audio segmenter (stands in for soundfile +
+    resample after decode_audio): overlapping fixed-size byte windows
+    with hop _SEG_HOP, each fingerprinted — the 1→N windowing shape
+    (STFT frames, VAD chunks) every audio pipeline uses. Window count
+    follows payload size, unlike the fixed-count video sampler."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, dur in zip(pdf["doc_id"], pdf["payload"],
+                                        pdf["duration_s"]):
+            data = bytes(payload)
+            n = len(data)
+            n_segs = max((max(n - _SEG_BYTES, 0)) // _SEG_HOP + 1, 1)
+            bytes_per_s = n / float(dur) if dur else 0.0
+            for k in range(n_segs):
+                start = k * _SEG_HOP
+                seg = data[start:start + _SEG_BYTES]
+                rows.append((
+                    int(doc_id), k,
+                    start / bytes_per_s if bytes_per_s else 0.0,
+                    min(start + _SEG_BYTES, n) / bytes_per_s
+                    if bytes_per_s else 0.0,
+                    hashlib.md5(seg).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "seg_idx", "start_s",
+                                          "end_s", "seg_md5"])
+
+
+def q_media_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window segmentation over audio payloads: modality
+    filter at the scan, then a narrow 1→N mapInPandas emitting per-
+    segment time bounds + fingerprints. Zero shuffle; segment count
+    scales with payload bytes, so output size tracks audio hours, not
+    file count."""
+    media = (media_table(spark, sf_dir)
+             .filter(F.col("media_type") == "audio")
+             .select("doc_id", "payload", F.col("meta.duration_s")
+                     .alias("duration_s")))
+    return media.mapInPandas(
+        _audio_segment_batches,
+        schema=("doc_id BIGINT, seg_idx INT, start_s DOUBLE, "
+                "end_s DOUBLE, seg_md5 STRING"),
+    )
+
+
+_AUDIO_SEGMENTS_SQL = f"""
+WITH {_MEDIA_CTE},
+auds AS (
+  SELECT doc_id, text, length(text) AS n, duration_s,
+         length(text) / duration_s AS bytes_per_s,
+         greatest((greatest(length(text) - {_SEG_BYTES}, 0))
+                  // {_SEG_HOP} + 1, 1) AS n_segs
+  FROM media WHERE media_type = 'audio'),
+segs AS (
+  SELECT doc_id, unnest(range(0, n_segs)) AS seg_idx, text, n, bytes_per_s
+  FROM auds)
+SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+       seg_idx * {_SEG_HOP} / bytes_per_s AS start_s,
+       least(seg_idx * {_SEG_HOP} + {_SEG_BYTES}, n) / bytes_per_s AS end_s,
+       md5(substring(text, CAST(seg_idx * {_SEG_HOP} AS INT) + 1,
+                     {_SEG_BYTES})) AS seg_md5
+FROM segs
+"""
+
+
 QUERIES = {
     "media_metadata_stats": (q_media_metadata_stats, _MEDIA_STATS_SQL),
+    "media_audio_segments": (q_media_audio_segments, _AUDIO_SEGMENTS_SQL),
     "media_resize": (q_media_resize, _MEDIA_RESIZE_SQL),
     "media_decode_features": (q_media_decode_features, _MEDIA_FEATURES_SQL),
     "media_frame_sample": (q_media_frame_sample, _FRAME_SAMPLE_SQL),
