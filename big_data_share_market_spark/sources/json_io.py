@@ -239,6 +239,37 @@ SELECT event_id, user_id, event_type, value, ts FROM events
 """
 
 
+def q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end (the one Spark complex type the other
+    queries don't touch): parse `props` as MAP<STRING,INT> without a
+    declared struct schema — the schema-free path for JSON objects
+    with open key sets — explode the entries, aggregate per key.
+    At 100 TB this is the idiomatic shape for sparse attribute bags
+    (the declared-schema alternative is q_props_json_extract)."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = (ev.select(F.explode(F.from_json("props", "MAP<STRING, INT>"))
+                         .alias("key", "val")))
+    return (entries.groupBy("key")
+            .agg(F.count("*").alias("n"),
+                 F.sum("val").alias("sum_val"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val"))
+            .orderBy("key"))
+
+
+_PROPS_MAP_SQL = """
+WITH entries AS (
+  SELECT unnest(json_keys(props)) AS key,
+         CAST(props AS JSON) AS j
+  FROM events)
+SELECT key, COUNT(*) AS n,
+       SUM(CAST(json_extract(j, '$.' || key) AS INTEGER)) AS sum_val,
+       MIN(CAST(json_extract(j, '$.' || key) AS INTEGER)) AS min_val,
+       MAX(CAST(json_extract(j, '$.' || key) AS INTEGER)) AS max_val
+FROM entries GROUP BY key ORDER BY key
+"""
+
+
 def q_nested_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4's array-of-records shape end-to-end: nest each order's lines
     into a sorted ARRAY<STRUCT> (the document form a financial-feed
@@ -269,4 +300,5 @@ QUERIES = {
     "jsonl_corrupt_tolerant_scan": (q_jsonl_corrupt_tolerant_scan,
                                     _JSONL_CORRUPT_SQL),
     "nested_array_roundtrip": (q_nested_array_roundtrip, _NESTED_ARRAY_SQL),
+    "props_map_explode": (q_props_map_explode, _PROPS_MAP_SQL),
 }
