@@ -420,8 +420,11 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLEAN_CORPUS_SQL = f"""
-WITH {_MINHASH_CTES},
+#: Reusable cleaning CTEs (quality gate -> exact-dedup survivors ->
+#: near-dup removal); `kept` is the cleaned doc set. Shared by the
+#: clean_corpus oracle and the composed training-set pipeline
+#: (operators/packing.q_corpus_to_training_set).
+_CLEAN_CTES = """
 quality AS (
   SELECT doc_id,
          len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
@@ -434,9 +437,17 @@ survivors AS (
     SELECT doc_id, n_tokens,
            MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
     FROM quality)
-  WHERE doc_id = keep_id)
-SELECT doc_id, n_tokens FROM survivors
-WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM neardup_pairs)
+  WHERE doc_id = keep_id),
+kept AS (
+  SELECT doc_id, n_tokens FROM survivors
+  WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM neardup_pairs))
+"""
+
+
+_CLEAN_CORPUS_SQL = f"""
+WITH {_MINHASH_CTES},
+{_CLEAN_CTES.strip()}
+SELECT doc_id, n_tokens FROM kept
 ORDER BY doc_id
 """
 

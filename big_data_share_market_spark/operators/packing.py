@@ -128,7 +128,81 @@ FROM spans ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed pipeline: cleaned corpus -> train split -> chunks
+# ---------------------------------------------------------------------------
+
+def q_corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE declarative plan:
+
+      quality gate -> exact dedup -> near-dup removal   (clean_corpus)
+      -> deterministic train-split assignment           (hash_split)
+      -> overlapping token-window chunks                (chunk_documents)
+
+    emitting (doc_id, chunk_id, n_tokens, chunk_md5) for every chunk
+    of every train-split document that survived cleaning. Catalyst
+    sees the whole composition: the split predicate and the cleaning
+    anti-joins all land before the chunk fan-out, so the expensive
+    explode runs only on kept train docs. Each stage is the
+    oracle-checked operator it reuses — the composition adds no new
+    semantics, just the plan."""
+    from .dedup import q_clean_corpus
+    from .sampling import _TRAIN_LT, hash256
+
+    kept = q_clean_corpus(spark, sf_dir).select("doc_id")
+    train = kept.filter(hash256(F.col("doc_id"), "split:") < _TRAIN_LT)
+    docs = load_table(spark, sf_dir, "documents").join(train, "doc_id")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(1, cast(ceil((size(toks) - {_CHUNK})"
+        f" / {_STRIDE}) as int) + 1) - 1),"
+        f" i -> struct(i AS chunk_id,"
+        f" slice(toks, i * {_STRIDE} + 1, {_CHUNK}) AS ctoks))")
+    return (
+        toked.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                F.size("c.ctoks").alias("n_tokens"),
+                F.md5(F.array_join("c.ctoks", " ")).alias("chunk_md5"))
+        .filter(F.col("n_tokens") > 0)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def _training_set_sql() -> str:
+    from .dedup import _CLEAN_CTES, _MINHASH_CTES
+    from .sampling import _TRAIN_LT, hash256_sql
+
+    return rf"""
+WITH {_MINHASH_CTES},
+{_CLEAN_CTES.strip()},
+train AS (
+  SELECT doc_id FROM kept
+  WHERE {hash256_sql('doc_id', 'split:')} < {_TRAIN_LT}),
+toked AS (
+  SELECT d.doc_id,
+         string_split(regexp_replace(lower(d.text), '\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents d JOIN train USING (doc_id)),
+chunked AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(1, CAST(ceil((len(toks) - {_CHUNK})
+                                          / {_STRIDE}) AS INT) + 1)),
+           i -> struct_pack(chunk_id := i,
+                            ctoks := toks[i * {_STRIDE} + 1
+                                          : i * {_STRIDE} + {_CHUNK}])))
+           AS c
+  FROM toked)
+SELECT doc_id, c.chunk_id AS chunk_id, len(c.ctoks) AS n_tokens,
+       md5(array_to_string(c.ctoks, ' ')) AS chunk_md5
+FROM chunked
+WHERE len(c.ctoks) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "pack_tokens": (q_pack_tokens, _PACK_SQL),
+    "corpus_to_training_set": (q_corpus_to_training_set, _training_set_sql()),
 }
