@@ -1,0 +1,64 @@
+"""Semantic invariants the oracle equality cannot express: properties
+that must hold for ANY data, not just match DuckDB on this data."""
+
+from __future__ import annotations
+
+from big_data_share_market_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+_QUERIES = all_queries()
+
+
+def test_funnel_is_monotone(spark):
+    """Each funnel stage can only lose users, and rates are in [0,1]."""
+    fn, _ = _QUERIES["funnel_conversion"]
+    rows = {r["stage"]: r for r in fn(spark, SF_DIR).collect()}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    for r in rows.values():
+        if r["conversion_rate"] is not None:
+            assert 0.0 <= r["conversion_rate"] <= 1.0
+
+
+def test_retention_rates_bounded(spark):
+    """Retained users never exceed the cohort; week 0 retention is 1."""
+    fn, _ = _QUERIES["cohort_retention"]
+    rows = fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_retained"] <= r["cohort_size"]
+        assert 0.0 < r["retention_rate"] <= 1.0
+        if r["week_number"] == 0:
+            assert r["retention_rate"] == 1.0
+
+
+def test_ann_recall_bounded(spark):
+    """Recall@5 is a true fraction of the exact top-5."""
+    fn, _ = _QUERIES["ann_recall_eval"]
+    (row,) = fn(spark, SF_DIR).collect()
+    assert row["n_overlap"] <= row["n_exact"]
+    assert row["n_overlap"] <= row["n_ann"]
+    assert 0.0 <= row["recall_at_5"] <= 1.0
+
+
+def test_repetition_fractions_bounded(spark):
+    """All three repetition signals are fractions in [0, 1]."""
+    fn, _ = _QUERIES["repetition_score"]
+    for r in fn(spark, SF_DIR).collect():
+        assert 0.0 < r["distinct_word_frac"] <= 1.0
+        assert 0.0 < r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+
+
+def test_training_set_is_subset_of_clean_train_docs(spark):
+    """Every chunk's doc survived cleaning AND landed in train."""
+    chunks_fn, _ = _QUERIES["corpus_to_training_set"]
+    clean_fn, _ = _QUERIES["clean_corpus"]
+    split_fn, _ = _QUERIES["hash_split"]
+    chunk_docs = {r["doc_id"] for r in chunks_fn(spark, SF_DIR).collect()}
+    clean_docs = {r["doc_id"] for r in clean_fn(spark, SF_DIR).collect()}
+    train_docs = {r["doc_id"] for r in split_fn(spark, SF_DIR).collect()
+                  if r["split"] == "train"}
+    assert chunk_docs <= clean_docs
+    assert chunk_docs <= train_docs
+    assert chunk_docs == clean_docs & train_docs
