@@ -23,6 +23,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.scale",
                  "operators.sketches", "operators.packing",
                  "operators.indicators", "operators.ewm",
+                 "operators.resample",
                  "operators.patterns", "operators.transforms",
                  "operators.dedup", "operators.similarity",
                  "operators.text", "operators.corpus",
