@@ -206,7 +206,9 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("b_ts") > F.col("a_ts")) &
                 (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {_RANGE_H} HOURS")))
         .select(a_exp.user_id, "a_id", "b_id",
-                (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"))
+                # timestampdiff accepts both TIMESTAMP and TIMESTAMP_NTZ
+                # (unix_micros rejects NTZ, which the fixtures now carry)
+                F.expr("timestampdiff(MICROSECOND, a_ts, b_ts)").alias("gap_us"))
     )
 
 
