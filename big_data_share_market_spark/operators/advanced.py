@@ -228,9 +228,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+              AS BIGINT) AS session_seq
   FROM flagged)
 SELECT user_id, session_seq, MIN(ts) AS session_start,
        MAX(ts) AS session_end, COUNT(*) AS n_events,

@@ -70,11 +70,13 @@ WITH per_user AS (
          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
   FROM events GROUP BY user_id),
 counts AS (
-  SELECT SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-         SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                  THEN 1 ELSE 0 END) AS n_click,
-         SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                   AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchase
+  SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchase
   FROM per_user)
 SELECT stage, event_type, n_users,
        CAST(n_users AS DOUBLE) / nullif(prev_users, 0) AS conversion_rate

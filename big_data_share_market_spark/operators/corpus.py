@@ -94,7 +94,7 @@ words AS (SELECT doc_id, unnest(t) AS word FROM toks),
 per_word AS (SELECT doc_id, word, COUNT(*) AS cnt
              FROM words GROUP BY doc_id, word),
 word_stats AS (
-  SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct,
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
          MAX(cnt) AS top_cnt
   FROM per_word GROUP BY doc_id),
 bigrams AS (

@@ -298,28 +298,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on candidates only. The oracle keeps the all-pairs form: the
     chunk split is lossless for d ≤ 1, so the result sets are equal."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    tokens = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
-    tokens = tokens.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
-    bits = tokens.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"))
-    votes = (
-        bits.withColumn(
-            "vote",
-            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-    )
+    # Entirely map-side per doc (mirrors minhash_pairs' signature
+    # strategy): token hashes as an array expression, one fold over it
+    # accumulating the 32 bit-vote counters, one fold over the bits to
+    # assemble the hash. Zero shuffle until the tiny (2 rows/doc)
+    # chunk-bucket groupBy — the 32-rows-per-token explode this
+    # replaces shuffled 32x the token count.
+    hashes = F.expr(
+        r"transform(split(trim(lower(text)), '\\s+'), "
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))")
+    votes = F.expr(
+        f"aggregate(hs, array_repeat(0, {_SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}), "
+        "(a, b) -> a + IF(((h >> b) & 1) = 1, 1, -1)))")
+    simhash_bits = F.expr(
+        f"aggregate(sequence(0, {_SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
+        "(acc, b) -> acc + IF(vs[b] > 0, "
+        "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
     simhash = (
-        votes.withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b"))
-            .otherwise(F.lit(0).cast("long")))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+        docs.select("doc_id", hashes.alias("hs"))
+        .select("doc_id", votes.alias("vs"))
+        .select("doc_id", simhash_bits.alias("simhash"))
     )
     chunks = simhash.select(
         "doc_id",

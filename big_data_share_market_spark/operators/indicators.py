@@ -368,8 +368,8 @@ signed AS (
   FROM bars
   WINDOW w AS (PARTITION BY user_id ORDER BY bar_ts))
 SELECT user_id, bar_ts, close, volume,
-       SUM(signed_vol) OVER (PARTITION BY user_id ORDER BY bar_ts
-                             ROWS UNBOUNDED PRECEDING) AS obv
+       CAST(SUM(signed_vol) OVER (PARTITION BY user_id ORDER BY bar_ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
 FROM signed
 """
 

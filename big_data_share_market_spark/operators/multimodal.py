@@ -106,7 +106,7 @@ def q_media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_STATS_SQL = f"""
 WITH {_MEDIA_CTE}
 SELECT media_type, origin, COUNT(*) AS n_items,
-       SUM(octet_length(payload)) AS total_bytes,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
        AVG(duration_s) AS avg_duration_s
 FROM media GROUP BY media_type, origin ORDER BY media_type, origin
 """

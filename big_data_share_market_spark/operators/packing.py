@@ -118,8 +118,8 @@ WITH toked AS (
            AS n_tokens
   FROM documents),
 spans AS (
-  SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                                ROWS UNBOUNDED PRECEDING) AS tok_end
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
   FROM toked)
 SELECT doc_id, bucket, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
        CAST(floor((tok_end - n_tokens) / {_SEQ_LEN}) AS BIGINT) AS first_seq,

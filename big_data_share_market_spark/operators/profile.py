@@ -64,7 +64,8 @@ def q_dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile_branch_sql(col: str) -> str:
     return f"""
   SELECT '{col}' AS "column", COUNT(*) AS n_rows,
-         SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_nulls,
          COUNT(DISTINCT {col}) AS n_distinct,
          CAST(MIN({col}) AS VARCHAR) AS min_value,
          CAST(MAX({col}) AS VARCHAR) AS max_value

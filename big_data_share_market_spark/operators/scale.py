@@ -226,7 +226,7 @@ SELECT user_id, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
        first(open ORDER BY bar_ts) AS open,
        MAX(high) AS high, MIN(low) AS low,
        last(close ORDER BY bar_ts) AS close,
-       SUM(volume) AS volume
+       CAST(SUM(volume) AS BIGINT) AS volume
 FROM bars
 GROUP BY user_id, date_trunc('day', bar_ts)
 ORDER BY user_id, day_ts

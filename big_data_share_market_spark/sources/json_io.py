@@ -263,7 +263,8 @@ WITH entries AS (
          CAST(props AS JSON) AS j
   FROM events)
 SELECT key, COUNT(*) AS n,
-       SUM(CAST(json_extract(j, '$.' || key) AS INTEGER)) AS sum_val,
+       CAST(SUM(CAST(json_extract(j, '$.' || key) AS INTEGER))
+            AS BIGINT) AS sum_val,
        MIN(CAST(json_extract(j, '$.' || key) AS INTEGER)) AS min_val,
        MAX(CAST(json_extract(j, '$.' || key) AS INTEGER)) AS max_val
 FROM entries GROUP BY key ORDER BY key

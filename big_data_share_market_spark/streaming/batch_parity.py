@@ -7,7 +7,7 @@ not just that the code runs.
 
 from __future__ import annotations
 
-import tempfile
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -163,15 +163,20 @@ def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-write-wins upsert; the final table must equal a single pass —
     oracle = the batch dedup_upsert SQL. This is the property the
     reference's whole at-least-once design rests on."""
-    with tempfile.TemporaryDirectory(prefix="bdsm_upsert_") as tmp:
-        target = f"{tmp}/target"
-        for replay in range(2):
-            upsert_stream(events_stream(spark, sf_dir), spark, target,
-                          checkpoint_dir=f"{tmp}/ckpt{replay}")
-        # Materialize before the TemporaryDirectory vanishes.
-        rows = spark.read.parquet(target)
-        return spark.createDataFrame(rows.collect(), rows.schema).select(
-            "event_id", "ts", "user_id", "event_type", "value", "props")
+    # Stable per-(query, sf) scratch dir that outlives this function so
+    # the returned DataFrame stays LAZY — no driver-side collect; the
+    # caller reads the upsert target distributed, exactly as a real
+    # consumer of the upserted table would. Wiped up front so each run
+    # replays from scratch (a reused checkpoint would skip the source).
+    target_root = ("/tmp/bdsm_upsert_target"
+                   + sf_dir.replace("/", "_").replace(".", "_"))
+    shutil.rmtree(target_root, ignore_errors=True)
+    target = f"{target_root}/target"
+    for replay in range(2):
+        upsert_stream(events_stream(spark, sf_dir), spark, target,
+                      checkpoint_dir=f"{target_root}/ckpt{replay}")
+    return spark.read.parquet(target).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 _STREAM_UPSERT_SQL = """

@@ -17,9 +17,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Explicit source schema (streaming reads cannot infer). `ts` arrives
-#: as int64 nanos in the fixture parquet (see tables.load_table).
-EVENTS_DDL = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
+#: Explicit source schema (streaming reads cannot infer). The fixture
+#: parquet stores `ts` as timestamp[us], which the parquet source reads
+#: natively as TIMESTAMP — same dtype the batch path yields
+#: (tables.load_table), so batch/stream parity is exact.
+EVENTS_DDL = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
               "event_type STRING, value DOUBLE, props STRING")
 
 
@@ -27,7 +29,6 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events fixture as a stream (G1 event time derived
     from the raw field, exactly like the reference's computed `ts`
     column, `flink_processor/flink_processor.py:56`)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source requires a DIRECTORY; the fixtures are
     # read-only single files, so stage a symlink dir (no data copy).
     src_dir = f"/tmp/bdsm_stream_src{sf_dir.replace('/', '_')}"
@@ -35,12 +36,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir, exist_ok=True)
     if not os.path.islink(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_DDL)
         .format("parquet")
         .load(src_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def with_watermark(sdf: DataFrame, delay: str = "1 second") -> DataFrame:

@@ -141,6 +141,23 @@ def test_bucketed_join_zero_exchange(spark):
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
 
 
+def test_simhash_map_side(spark):
+    """SimHash must be computed per-doc map-side (array folds), never
+    via a per-token/per-bit explode — that shape shuffles 32x the token
+    count. The only Generates allowed are the 2-row chunk split and the
+    in-bucket pair expansion, both AFTER the per-doc hash exists."""
+    import re
+    fn, _ = _QUERIES["simhash_pairs"]
+    plan = explain_str(fn(spark, SF_DIR))
+    n_generate = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_generate <= 2, (
+        f"simhash plan re-grew an explode stage ({n_generate} Generates):\n"
+        f"{plan}")
+    # No aggregation keyed by a bit index — the vote fold is an array
+    # expression inside a Project, not a groupBy(doc_id, b).
+    assert "hashpartitioning(doc_id" not in plan.replace(" ", "")
+
+
 def test_partitioned_layout_prunes(spark):
     """event_type predicate over the partitionBy(event_type) layout
     must prune at file-listing time, not scan-filter time."""
