@@ -1,11 +1,13 @@
 """Connector builders (SURVEY §2.A5-A9): Kafka source/sink, JDBC
 upsert sink, console dry-run sink.
 
-No Kafka broker or Postgres exists in the test container, so these
-return configured (but unstarted) readers/writers; tests assert the
-configuration shape and exercise the JDBC-upsert semantics through its
-`foreachBatch` function against Parquet. The builders mirror the
-reference exactly:
+No Kafka broker exists in the test container, so the Kafka builders
+return configured (but unstarted) readers/writers and tests pin the
+configuration contract. The JDBC upsert path DOES run end-to-end:
+Spark ships embedded Derby, and `tests/test_connectors.py` replays
+the event stream through `jdbc_merge_write` (distributed staging
+write + one MERGE INTO a composite-PK table) and verifies
+idempotence. The builders mirror the reference exactly:
 
 - Kafka source: `flink_processor/flink_processor.py:52-74` — earliest
   offsets, JSON decode, parse-error tolerance.
@@ -29,21 +31,30 @@ from pyspark.sql.streaming import DataStreamReader, DataStreamWriter
 from .json_io import decode_envelope, encode_envelope
 
 
+#: A6 source options, mirroring `'scan.startup.mode' =
+#: 'earliest-offset'` and json.ignore-parse-errors
+#: (`flink_processor/flink_processor.py:66-74`). `failOnDataLoss`
+#: off because the upsert sink dedups under at-least-once replay
+#: (SURVEY §2.G4). Module-level so tests pin the contract.
+KAFKA_SOURCE_OPTIONS = {
+    "startingOffsets": "earliest",
+    "failOnDataLoss": "false",
+}
+
+
 def kafka_stream_reader(spark: SparkSession, bootstrap: str,
                         topics: str,
-                        starting_offsets: str = "earliest") -> DataStreamReader:
-    """Configured Kafka stream reader (A6). `earliest` replicates
-    `'scan.startup.mode' = 'earliest-offset'`
-    (`flink_processor/flink_processor.py:70`). Call `.load()` when a
+                        starting_offsets: str | None = None) -> DataStreamReader:
+    """Configured Kafka stream reader (A6). Call `.load()` when a
     broker exists; pipe through :func:`decode_stream` for typed rows."""
+    opts = dict(KAFKA_SOURCE_OPTIONS)
+    if starting_offsets is not None:
+        opts["startingOffsets"] = starting_offsets
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        # At-least-once replay tolerance (SURVEY §2.G4): the upsert
-        # sink dedups, so failing on data loss is unnecessary.
-        .option("failOnDataLoss", "false")
+        .options(**opts)
     )
 
 
@@ -112,3 +123,70 @@ def jdbc_upsert_sql(table: str, columns: list[str], keys: list[str]) -> str:
                         if c not in keys)
     return (f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
             f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}")
+
+
+def merge_upsert_sql(target: str, staging: str, columns: list[str],
+                     keys: list[str]) -> str:
+    """ANSI `MERGE INTO` equivalent of :func:`jdbc_upsert_sql` for
+    engines without ON CONFLICT (Derby, SQL Server, Oracle). Paired
+    with a distributed staging-table write this is the scalable upsert:
+    executors append the micro-batch to `staging` in parallel, then ONE
+    driver-side statement merges it — no per-row round-trips."""
+    # Identifiers are double-quoted: Spark's JDBC writers create
+    # staging columns as case-sensitive quoted names, so an unquoted
+    # reference would be case-folded by the engine and not resolve.
+    def q(c: str) -> str:
+        return f'"{c}"'
+
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    updates = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in columns
+                        if c not in keys)
+    collist = ", ".join(q(c) for c in columns)
+    vals = ", ".join(f"s.{q(c)}" for c in columns)
+    return (f"MERGE INTO {target} t USING {staging} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})")
+
+
+def jdbc_execute(spark: SparkSession, url: str, *statements: str) -> None:
+    """Run DDL/DML statements over a plain JDBC connection (py4j →
+    java.sql.DriverManager) — the driver-side half of the staged-merge
+    upsert. One connection, autocommitted statements, always closed."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_merge_write(spark: SparkSession, url: str, target: str,
+                     keys: list[str],
+                     driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+                     create_col_types: str | None = None):
+    """Storage adapter for :func:`upsert_batch_fn` performing a REAL
+    JDBC upsert (A7): distributed append of the deduped micro-batch
+    into a staging table, then one MERGE INTO the PK'd target —
+    `flink_processor/flink_processor.py:77-91` semantics. The staging
+    write scales with executors; the merge is one statement regardless
+    of batch size, so nothing is ever collected to the driver."""
+    def write(deduped: DataFrame) -> None:
+        staging = f"{target}_staging"
+        w = (deduped.write.format("jdbc")
+             .option("url", url).option("dbtable", staging)
+             .option("driver", driver).option("truncate", "true"))
+        if create_col_types:
+            # e.g. "event_type VARCHAR(32), props VARCHAR(4000)" —
+            # Derby's default StringType mapping is CLOB, which its
+            # MERGE cannot copy; bounded VARCHAR staging avoids that.
+            w = w.option("createTableColumnTypes", create_col_types)
+        w.mode("overwrite").save()
+        jdbc_execute(
+            spark, url,
+            merge_upsert_sql(target, staging, deduped.columns, keys))
+
+    return write

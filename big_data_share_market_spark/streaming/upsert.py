@@ -60,3 +60,27 @@ def upsert_stream(sdf: DataFrame, spark: SparkSession, target_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def upsert_stream_jdbc(sdf: DataFrame, spark: SparkSession, url: str,
+                       table: str, checkpoint_dir: str,
+                       keys: list[str] | None = None,
+                       order_col: str = ORDER_COL,
+                       create_col_types: str | None = None) -> None:
+    """A7 with a REAL database: stream → foreachBatch → staged JDBC
+    MERGE into a PK'd table (sources/connectors.jdbc_merge_write).
+    The target table must already exist with its composite PK — the
+    reference creates it up front too (`postgres/init.sql:3-13`)."""
+    from ..sources.connectors import jdbc_merge_write
+    q = (
+        sdf.writeStream
+        .foreachBatch(upsert_batch_fn(
+            keys or KEYS,
+            jdbc_merge_write(spark, url, table, keys or KEYS,
+                             create_col_types=create_col_types),
+            order_col=order_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,143 @@
+"""Connector integration tests (SURVEY §2.A5-A7).
+
+A7 runs END-TO-END against a real database: Spark ships embedded
+Apache Derby, so the JDBC upsert sink — streaming foreachBatch →
+distributed staging-table write → one MERGE INTO a composite-PK
+target — executes for real (reference semantics:
+`flink_processor/flink_processor.py:77-91`, `postgres/init.sql:12`).
+No Kafka broker exists in the harness, so A5/A6 stay
+configuration-shape tests (see COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from big_data_share_market_spark.sources.connectors import (
+    jdbc_execute, jdbc_upsert_sql, kafka_stream_reader, kafka_stream_writer,
+    merge_upsert_sql)
+from big_data_share_market_spark.streaming.pipeline import events_stream
+from big_data_share_market_spark.streaming.upsert import upsert_stream_jdbc
+from big_data_share_market_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+_DERBY_URL_FMT = "jdbc:derby:memory:bdsm_{};create=true"
+
+# Derby maps Spark StringType to CLOB by default, which MERGE can't
+# compare but we only compare key columns (BIGINT, TIMESTAMP).
+_EVENTS_DERBY_DDL = """CREATE TABLE {table} (
+  "event_id" BIGINT, "ts" TIMESTAMP NOT NULL, "user_id" BIGINT NOT NULL,
+  "event_type" VARCHAR(32), "value" DOUBLE, "props" VARCHAR(4000),
+  PRIMARY KEY ("user_id", "ts"))"""
+
+
+def test_jdbc_upsert_roundtrip_idempotent(spark):
+    """G3/G4/A7 against embedded Derby: replay the event stream TWICE
+    through the staged-MERGE JDBC sink; the PK'd table must equal a
+    single-pass last-write-wins — byte-identical rows, no PK
+    violations, proving the upsert is idempotent in a real database."""
+    db = uuid.uuid4().hex[:8]
+    url = _DERBY_URL_FMT.format(db)
+    jdbc_execute(spark, url, _EVENTS_DERBY_DDL.format(table="events_t"))
+
+    ckpt = f"/tmp/bdsm_jdbc_ckpt_{db}"
+    for replay in range(2):
+        upsert_stream_jdbc(
+            events_stream(spark, SF_DIR), spark, url, "events_t",
+            checkpoint_dir=f"{ckpt}/{replay}",
+            create_col_types="event_type VARCHAR(32), props VARCHAR(4000)")
+    got = (spark.read.format("jdbc")
+           .option("url", url).option("dbtable", "events_t")
+           .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+           .load())
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    expect = (ev.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+    assert got.count() == expect.count()
+    joined = got.select("user_id", "ts", "event_id").join(
+        expect.select("user_id", "ts",
+                      F.col("event_id").alias("want_id")),
+        on=["user_id", "ts"], how="full")
+    mismatches = joined.filter(
+        F.col("event_id").isNull() | F.col("want_id").isNull()
+        | (F.col("event_id") != F.col("want_id"))).count()
+    assert mismatches == 0
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_jdbc_merge_updates_matched_rows(spark):
+    """MERGE must UPDATE on key collision, not just ignore: seed one
+    row per key with a sentinel value, run one streamed upsert pass,
+    and verify every sentinel was overwritten by the real value."""
+    db = uuid.uuid4().hex[:8]
+    url = _DERBY_URL_FMT.format(db)
+    jdbc_execute(spark, url, _EVENTS_DERBY_DDL.format(table="events_t"))
+
+    ev = load_table(spark, SF_DIR, "events")
+    seed = (ev.dropDuplicates(["user_id", "ts"])
+            .withColumn("value", F.lit(-1.0e9))
+            .withColumn("event_id", F.lit(-1).cast("long")))
+    (seed.write.format("jdbc")
+     .option("url", url).option("dbtable", "events_t")
+     .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+     .mode("append").save())
+
+    upsert_stream_jdbc(
+        events_stream(spark, SF_DIR), spark, url, "events_t",
+        checkpoint_dir=f"/tmp/bdsm_jdbc_ckpt_{db}/m",
+        create_col_types="event_type VARCHAR(32), props VARCHAR(4000)")
+    got = (spark.read.format("jdbc")
+           .option("url", url).option("dbtable", "events_t")
+           .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+           .load())
+    assert got.filter(F.col("event_id") < 0).count() == 0
+    assert got.count() == seed.count()
+    shutil.rmtree(f"/tmp/bdsm_jdbc_ckpt_{db}", ignore_errors=True)
+
+
+def test_upsert_sql_shapes():
+    sql = jdbc_upsert_sql("quotes", ["symbol", "datetime", "price"],
+                          ["symbol", "datetime"])
+    assert "ON CONFLICT (symbol, datetime)" in sql
+    assert "price = EXCLUDED.price" in sql
+    assert "symbol = EXCLUDED" not in sql
+
+    m = merge_upsert_sql("quotes", "quotes_staging",
+                         ["symbol", "datetime", "price"],
+                         ["symbol", "datetime"])
+    assert m.startswith("MERGE INTO quotes t USING quotes_staging s")
+    assert 't."symbol" = s."symbol" AND t."datetime" = s."datetime"' in m
+    assert 'UPDATE SET t."price" = s."price"' in m
+    assert 'INSERT ("symbol", "datetime", "price")' in m
+
+
+def test_kafka_builders_configured(spark):
+    """A5/A6 without a broker: the configured reader/writer must carry
+    the reference's options (earliest offsets, tolerant decode, keyed
+    envelope) — the most the harness can check; see COVERAGE.md."""
+    from big_data_share_market_spark.sources.connectors import (
+        KAFKA_SOURCE_OPTIONS)
+    assert KAFKA_SOURCE_OPTIONS["startingOffsets"] == "earliest"
+    assert KAFKA_SOURCE_OPTIONS["failOnDataLoss"] == "false"
+    r = kafka_stream_reader(spark, "broker:9092", "quotes")
+    # No kafka source package in the harness: load() must fail at
+    # SOURCE RESOLUTION (proving format+options reached Spark), not
+    # at broker connect.
+    with pytest.raises(Exception, match="(?i)kafka"):
+        r.load()
+
+    df = load_table(spark, SF_DIR, "events").limit(1)
+    with pytest.raises(Exception):
+        # A streaming writer over a batch frame must refuse — guards
+        # against silently building a no-op sink.
+        kafka_stream_writer(df, "broker:9092", "quotes",
+                            key_col="user_id", checkpoint="/tmp/x").start()
