@@ -120,6 +120,33 @@ def test_upsert_sql_shapes():
     assert 'INSERT ("symbol", "datetime", "price")' in m
 
 
+def test_console_sink_runs(spark):
+    """A8: the debug print sink must actually execute — run the event
+    stream through the real console sink to completion
+    (`flink_processor/flink_processor.py:19-24`'s dry-run switch)."""
+    from big_data_share_market_spark.sources.connectors import console_writer
+    q = (console_writer(events_stream(spark, SF_DIR), "a8_dry_run")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    assert q.lastProgress["sink"]["description"].startswith(
+        "org.apache.spark.sql.execution.streaming.ConsoleTable")
+
+
+def test_tz_helpers(spark):
+    """C1/C7: UTC canonical string + wall-clock conversion."""
+    from big_data_share_market_spark.sources.json_io import (in_timezone,
+                                                             utc_string)
+    row = (spark.sql("SELECT TIMESTAMP '2024-07-01 12:00:00' AS ts")
+           .select(utc_string("ts").alias("s"),
+                   in_timezone("ts", "America/New_York").alias("nyc"),
+                   in_timezone("ts", "Asia/Kolkata").alias("ist"))
+           .first())
+    assert row.s == "2024-07-01 12:00:00"
+    assert str(row.nyc) == "2024-07-01 08:00:00"   # EDT = UTC-4
+    assert str(row.ist) == "2024-07-01 17:30:00"   # IST = UTC+5:30
+
+
 def test_kafka_builders_configured(spark):
     """A5/A6 without a broker: the configured reader/writer must carry
     the reference's options (earliest offsets, tolerant decode, keyed
