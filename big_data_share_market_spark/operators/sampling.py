@@ -104,7 +104,60 @@ WHERE {hash256_sql('d.doc_id', 'sample:')} * r.cnt < 256 * r.min_cnt
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: downsample each source so the kept
+    corpus matches target mixture WEIGHTS (here 3:1 for even-/odd-
+    numbered sources — the "more web, less forum" knob of a real
+    pretraining mix) at the largest feasible total without
+    upsampling. All-integer math: the feasible scale T* =
+    min_s floor(cnt_s * Wsum / w_s), and a row survives iff
+    h * cnt_s * Wsum < 256 * w_s * T* — exact cross-multiply, no
+    float rates, so Spark and the oracle agree row-for-row.
+
+    Scale: counts aggregate is one row per source (broadcast back);
+    the keep decision is row-local. Same shape as stratified_sample —
+    the only shuffle is over the bytes-sized counts side."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    weight = F.when(src_num % 2 == 0, F.lit(3)).otherwise(F.lit(1))
+    counts = (docs.groupBy("source")
+              .agg(F.count("*").alias("cnt"))
+              .withColumn("w", weight))
+    sized = (counts
+             .withColumn("wsum", F.sum("w").over(W.partitionBy()))
+             .withColumn("tstar",
+                         F.min(F.expr("(cnt * wsum) div w"))
+                         .over(W.partitionBy())))
+    h = hash256(F.col("doc_id"), "mix:")
+    return (
+        docs.join(F.broadcast(sized), "source")
+        .filter(h * F.col("cnt") * F.col("wsum")
+                < 256 * F.col("w") * F.col("tstar"))
+        .select("doc_id", "source", F.col("w").alias("weight"))
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS cnt,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 0
+              THEN 3 ELSE 1 END AS w
+  FROM documents GROUP BY source),
+sized AS (
+  SELECT source, cnt, w,
+         (SELECT SUM(w) FROM counts) AS wsum,
+         (SELECT MIN(cnt * (SELECT SUM(w) FROM counts) // w) FROM counts)
+           AS tstar
+  FROM counts)
+SELECT d.doc_id, d.source, s.w AS weight
+FROM documents d JOIN sized s USING (source)
+WHERE {hash256_sql('d.doc_id', 'mix:')} * s.cnt * s.wsum
+      < 256 * s.w * s.tstar
+"""
+
+
 QUERIES = {
     "hash_split": (q_hash_split, _HASH_SPLIT_SQL),
     "stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
+    "mixture_sample": (q_mixture_sample, _MIXTURE_SQL),
 }

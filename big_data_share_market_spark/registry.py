@@ -26,6 +26,7 @@ _FIRST_50 = (
     "stream_session_windows", "stream_last20_per_key", "stream_ema_per_key",
     "stream_dedup_within_watermark", "stream_upsert_idempotent",
     "stream_static_enrich", "stream_interval_join",
+    "stream_left_outer_interval_join",
     # §2.E indicators + strategies
     "sma", "rsi", "scalping_strategy", "range_trading_strategy",
     "momentum_strategy", "breakout_strategy",
@@ -34,7 +35,7 @@ _FIRST_50 = (
     # §2.E chart patterns
     "ascending_triangle", "descending_triangle", "rounding_bottom",
     # §2.E/B transforms
-    "ohlc_bars", "heikin_ashi", "renko", "raindrop", "candle_color",
+    "ohlc_bars", "heikin_ashi", "renko", "raindrop",
     # §2.A/B/D keyed
     "signal_case", "last_per_key", "latest_n_per_key", "dedup_upsert",
     # §2.C JSON I/O
@@ -64,7 +65,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.dedup", "operators.similarity",
                  "operators.text", "operators.corpus",
                  "operators.multimodal",
-                 "operators.sampling",
+                 "operators.sampling", "operators.warehouse",
                  "sources.json_io", "streaming.batch_parity"):
         modpath = f"{__package__}.{name}"
         try:

@@ -247,6 +247,59 @@ FROM events p JOIN events c
 """
 
 
+def q_stream_left_outer_interval_join(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an event-time interval:
+    every purchase emits, paired with same-user clicks from the
+    preceding hour or with NULL click columns if none arrived. The
+    outer side is the part plain inner joins can't do on a stream —
+    Spark holds the unmatched left rows in state and releases them
+    (with NULLs) only once the watermark proves no match can still
+    arrive. A finite replay's watermark stops short of the last real
+    events, so the source appends a flush sentinel
+    (pipeline.events_stream_flushed) that drives the watermark past
+    them — the standard end-of-replay barrier. The sentinel passes
+    the per-side filters (a filter that dropped it would be pushed
+    below the watermark node and stop the clock — Catalyst even
+    INFERS `user_id >= 0` onto both scans from a post-join filter via
+    constraint propagation, so the sentinel is removed only AFTER the
+    stream materializes). Same bounded state as the inner form: one
+    hour per side."""
+    from .pipeline import events_stream_flushed
+    p = (events_stream_flushed(spark, sf_dir)
+         .withWatermark("ts", "1 hour")
+         .filter("event_type IN ('purchase', '__flush__')").alias("p"))
+    c = (events_stream_flushed(spark, sf_dir)
+         .withWatermark("ts", "1 hour")
+         .filter("event_type IN ('click', '__flush__')").alias("c"))
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+        "leftOuter",
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+    )
+    out = run_available_now(joined, spark, output_mode="append")
+    return out.filter(F.col("user_id") >= 0)
+
+
+_STREAM_LEFT_OUTER_SQL = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
@@ -259,4 +312,6 @@ QUERIES = {
     "stream_upsert_idempotent": (q_stream_upsert_idempotent, _STREAM_UPSERT_SQL),
     "stream_static_enrich": (q_stream_static_enrich, _STREAM_STATIC_SQL),
     "stream_interval_join": (q_stream_interval_join, _STREAM_INTERVAL_SQL),
+    "stream_left_outer_interval_join": (q_stream_left_outer_interval_join,
+                                        _STREAM_LEFT_OUTER_SQL),
 }

@@ -43,6 +43,57 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: End-of-replay barrier instant — far past any fixture event.
+FLUSH_TS = "2099-01-01 00:00:00"
+
+
+def events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay variant that appends ONE sentinel event (user_id=-1,
+    event_type='__flush__') at :data:`FLUSH_TS`, far past every real
+    event. Replays and backfills use exactly this barrier trick to
+    close out watermarked state at end-of-stream: outer-join and
+    session state can only be finalized once the watermark PASSES the
+    last real event, which a finite replay otherwise never achieves.
+
+    Caveat for consumers: Catalyst pushes deterministic filters BELOW
+    the EventTimeWatermark node, so a filter that drops the sentinel
+    drops it before it can advance the clock. Let the sentinel flow
+    through the per-side filters (it carries user_id = -1, so one
+    post-join `user_id >= 0` removes its output)."""
+    src_dir = f"/tmp/bdsm_stream_srcf{sf_dir.replace('/', '_')}"
+    link = f"{src_dir}/events-0.parquet"
+    flush = f"{src_dir}/events-1-flush.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    if not os.path.exists(flush):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        sentinel = pa.table({
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(FLUSH_TS)], pa.timestamp("us")),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["__flush__"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        })
+        pq.write_table(sentinel, flush)
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        # One file per micro-batch: the sentinel lands in its own
+        # batch AFTER the watermark has absorbed the real events, so
+        # the batch that processes it both advances the clock to
+        # FLUSH_TS and (in the availableNow trailing batch) flushes
+        # remaining outer-join / session state.
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+
 def with_watermark(sdf: DataFrame, delay: str = "1 second") -> DataFrame:
     """G2: bounded disorder, the reference's `WATERMARK FOR ts AS ts -
     INTERVAL '1' SECOND` (`flink_processor/flink_processor.py:64`)."""
