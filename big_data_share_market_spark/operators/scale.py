@@ -380,8 +380,65 @@ FROM dims ORDER BY z, event_id
 """
 
 
+def q_incremental_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the base 90% of
+    events is the already-materialized hourly-bar table; the remaining
+    10% (event_id % 10 = 0) arrives late. Bars are kept in MERGEABLE
+    partial form — open/close carry their ordering key as a
+    min/max struct(ts, event_id, value) — so maintenance is
+    aggregate(DELTA ONLY) → keyed merge with the base. The base FACT
+    rows are never rescanned; at 100 TB the delta agg touches only the
+    late partitions and the merge is an equi-join on the bar key
+    (restricted to delta keys in a real sink; emitted in full here so
+    the oracle can certify merge ≡ full recompute over all events)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+
+    def bars(df: DataFrame) -> DataFrame:
+        return (df.groupBy(
+                    "user_id",
+                    F.date_trunc("hour", F.col("ts")).alias("bar_ts"))
+                .agg(F.min(key).alias("o"), F.max(key).alias("c"),
+                     F.max("value").alias("high"),
+                     F.min("value").alias("low"),
+                     F.count("*").alias("volume")))
+
+    base = bars(ev.filter(F.col("event_id") % 10 != 0)).alias("b")
+    delta = bars(ev.filter(F.col("event_id") % 10 == 0)).alias("d")
+    merged = base.join(delta, ["user_id", "bar_ts"], "full_outer")
+    # least/greatest skip NULLs, so one-sided bars pass through.
+    return (
+        merged.select(
+            "user_id", "bar_ts",
+            F.least("b.o", "d.o").alias("o"),
+            F.greatest("b.c", "d.c").alias("c"),
+            F.greatest("b.high", "d.high").alias("high"),
+            F.least("b.low", "d.low").alias("low"),
+            (F.coalesce("b.volume", F.lit(0))
+             + F.coalesce("d.volume", F.lit(0))).alias("volume"))
+        .select("user_id", "bar_ts",
+                F.col("o.value").alias("open"), "high", "low",
+                F.col("c.value").alias("close"), "volume")
+        .orderBy("user_id", "bar_ts")
+    )
+
+
+_INCREMENTAL_ROLLUP_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS bar_ts,
+       first(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       COUNT(*) AS volume
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+ORDER BY user_id, bar_ts
+"""
+
+
 QUERIES = {
     "zorder_key": (q_zorder_key, _ZORDER_SQL),
+    "incremental_ohlc_rollup": (q_incremental_ohlc_rollup,
+                                _INCREMENTAL_ROLLUP_SQL),
     "salted_skew_agg": (q_salted_skew_agg, _SALTED_SQL),
     "orders_grouping_sets": (q_orders_grouping_sets, _GROUPING_SETS_SQL),
     "customer_balance_ranks": (q_customer_balance_ranks, _BALANCE_RANKS_SQL),

@@ -322,13 +322,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spreads the interpreted dot-product work across cores — the
     # distinct's exchange is tiny, so AQE would otherwise coalesce the
     # verify stage to one task.
+    # Pre-cast each vector to array<double> ONCE per row and fold the
+    # dot product over INDICES — no per-pair zip array, no per-element
+    # casts inside the O(candidates) hot loop. Same left-to-right
+    # summation order as the zip_with form, so values (and the oracle
+    # hash) are bit-identical.
+    embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     ea = emb.select(F.col("vec_id").alias("a_id"),
-                    F.col("embedding").alias("emb_a"), nrm.alias("nrm_a"))
+                    embd.alias("emb_a"), nrm.alias("nrm_a"))
     eb = emb.select(F.col("vec_id").alias("b_id"),
-                    F.col("embedding").alias("emb_b"), nrm.alias("nrm_b"))
+                    embd.alias("emb_b"), nrm.alias("nrm_b"))
     cand = cand.repartition(spark.sparkContext.defaultParallelism)
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    dot = F.expr(
+        "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
+        "(acc, i) -> acc + emb_a[i] * emb_b[i])")
     return (
         cand.join(F.broadcast(ea), "a_id").join(F.broadcast(eb), "b_id")
         .withColumn("cosine",
