@@ -155,6 +155,74 @@ ORDER BY a_id, b_id
 """
 
 
+_DF_CAP = 32
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe form of the shingle-join baseline: shingles with
+    document frequency > {cap} are excluded from CANDIDATE generation
+    (they are the join-explosion source — a shingle shared by n docs
+    contributes n² candidate rows), and candidates come from one
+    groupBy(shingle) + bounded in-bucket pair expansion instead of a
+    self-join. The exact-Jaccard verify still runs on FULL shingle
+    sets, so scores are exact; only recall is capped: a pair sharing
+    exclusively hot shingles is missed — by construction those pairs
+    are overwhelmingly boilerplate, the thing near-dup capping is FOR.
+    The oracle applies the identical cap, so parity is exact.
+    Fan-out bound: ≤ cap²/2 candidate rows per shingle vs unbounded
+    in the naive join.""".format(cap=_DF_CAP)
+    sh = _shingled(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    cand = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _DF_CAP))
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"),
+                   F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_NGRAM_CAPPED_SQL = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+df AS (SELECT shingle, COUNT(*) AS n_docs FROM e GROUP BY shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN df ON df.shingle = a.shingle
+  WHERE df.n_docs <= {_DF_CAP})
+SELECT a_id, b_id,
+       len(list_intersect(sa.shingles, sb.shingles))
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = a_id
+JOIN sh sb ON sb.doc_id = b_id
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+ORDER BY a_id, b_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (the 100 TB path)
 # ---------------------------------------------------------------------------
@@ -517,6 +585,7 @@ QUERIES = {
     "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
     "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
+    "ngram_jaccard_capped": (q_ngram_jaccard_capped, _NGRAM_CAPPED_SQL),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, _MINHASH_SQL),
     "simhash_pairs": (q_simhash_pairs, _SIMHASH_SQL),
 }

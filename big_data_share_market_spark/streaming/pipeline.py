@@ -188,3 +188,24 @@ def run_available_now(sdf: DataFrame, spark: SparkSession,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_with_cadence(sdf: DataFrame, spark: SparkSession,
+                     interval: str = "60 seconds",
+                     output_mode: str = "complete"):
+    """G7: the production ingestion-cadence form — a long-running
+    query triggered every `interval` (the reference producer's 60 s
+    re-send loop, `kafka_producer/yahoo_finance_producer.py:117-119`).
+    Returns (query, result_table): the caller reads the continuously
+    refreshed table and must `query.stop()` when done. The harness
+    uses :func:`run_available_now` instead because its queries must
+    terminate; this entry point is the deployment shape."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    q.processAllAvailable()
+    return q, spark.table(name)

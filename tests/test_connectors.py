@@ -147,6 +147,24 @@ def test_tz_helpers(spark):
     assert str(row.ist) == "2024-07-01 17:30:00"   # IST = UTC+5:30
 
 
+def test_processing_time_cadence(spark):
+    """G7: the 60 s-cadence production trigger actually executes — a
+    processingTime-triggered query over the replayed stream must
+    produce the same bars as the availableNow harness form."""
+    from big_data_share_market_spark.streaming.pipeline import (
+        events_stream, run_available_now, run_with_cadence,
+        stream_ohlc_bars)
+    q, live = run_with_cadence(stream_ohlc_bars(events_stream(spark, SF_DIR)),
+                               spark, interval="1 second")
+    try:
+        n_live = live.count()
+    finally:
+        q.stop()
+    n_batch = run_available_now(
+        stream_ohlc_bars(events_stream(spark, SF_DIR)), spark).count()
+    assert n_live == n_batch > 0
+
+
 def test_kafka_builders_configured(spark):
     """A5/A6 without a broker: the configured reader/writer must carry
     the reference's options (earliest offsets, tolerant decode, keyed
