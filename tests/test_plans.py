@@ -158,6 +158,24 @@ def test_simhash_map_side(spark):
     assert "hashpartitioning(doc_id" not in plan.replace(" ", "")
 
 
+def test_scd2_single_exchange(spark):
+    """Both SCD2 window passes (change detection, validity lead) are
+    over the same (custkey, orderdate) partitioning — Catalyst must
+    plan exactly ONE hash exchange, reusing the sort."""
+    fn, _ = _QUERIES["scd2_order_priority"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_incremental_rollup_merge_rides_agg_partitioning(spark):
+    """The base/delta merge join must reuse the two aggregates' hash
+    partitioning — 2 exchanges total (one per aggregate side), none
+    for the join itself."""
+    fn, _ = _QUERIES["incremental_ohlc_rollup"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("hashpartitioning(") == 2, plan
+
+
 def test_partitioned_layout_prunes(spark):
     """event_type predicate over the partitionBy(event_type) layout
     must prune at file-listing time, not scan-filter time."""
