@@ -147,6 +147,30 @@ def test_tz_helpers(spark):
     assert str(row.ist) == "2024-07-01 17:30:00"   # IST = UTC+5:30
 
 
+def test_checkpoint_resume_is_noop(spark):
+    """G4 exactly-once, checkpoint half: restarting a completed
+    streaming upsert WITH ITS CHECKPOINT must process nothing — the
+    source offsets are committed, so the target stays byte-identical
+    (this is what makes crash-restart safe; replay-safety without the
+    checkpoint is covered by the double-replay oracle queries)."""
+    from big_data_share_market_spark.streaming.upsert import upsert_stream
+    root = "/tmp/bdsm_ckpt_resume_test"
+    shutil.rmtree(root, ignore_errors=True)
+    target, ckpt = f"{root}/target", f"{root}/ckpt"
+    upsert_stream(events_stream(spark, SF_DIR), spark, target, ckpt)
+    first = spark.read.parquet(target)
+    n_first, sum_first = first.count(), first.agg(
+        F.sum(F.crc32(F.col("event_id").cast("string")))).first()[0]
+    # Same checkpoint, same source: a resume must find zero new data.
+    upsert_stream(events_stream(spark, SF_DIR), spark, target, ckpt)
+    second = spark.read.parquet(target)
+    assert second.count() == n_first
+    assert second.agg(
+        F.sum(F.crc32(F.col("event_id").cast("string")))).first()[0] \
+        == sum_first
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_processing_time_cadence(spark):
     """G7: the 60 s-cadence production trigger actually executes — a
     processingTime-triggered query over the replayed stream must
