@@ -160,23 +160,32 @@ _DF_CAP = 32
 
 def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-safe form of the shingle-join baseline: shingles with
-    document frequency > {cap} are excluded from CANDIDATE generation
-    (they are the join-explosion source — a shingle shared by n docs
-    contributes n² candidate rows), and candidates come from one
-    groupBy(shingle) + bounded in-bucket pair expansion instead of a
-    self-join. The exact-Jaccard verify still runs on FULL shingle
-    sets, so scores are exact; only recall is capped: a pair sharing
-    exclusively hot shingles is missed — by construction those pairs
-    are overwhelmingly boilerplate, the thing near-dup capping is FOR.
+    document frequency > _DF_CAP (32) are excluded from CANDIDATE
+    generation (they are the join-explosion source — a shingle shared
+    by n docs contributes n² candidate rows), and candidates come from
+    a bounded in-bucket pair expansion instead of a self-join. The
+    exact-Jaccard verify still runs on FULL shingle sets, so scores
+    are exact; only recall is capped: a pair sharing exclusively hot
+    shingles is missed — by construction those pairs are
+    overwhelmingly boilerplate, the thing near-dup capping is FOR.
     The oracle applies the identical cap, so parity is exact.
     Fan-out bound: ≤ cap²/2 candidate rows per shingle vs unbounded
-    in the naive join.""".format(cap=_DF_CAP)
+    in the naive join."""
     sh = _shingled(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Two-step cap: COUNT first (constant-size aggregation buffer even
+    # for a shingle shared by millions of docs), join the surviving
+    # rare shingles back, and only then collect the ≤ cap ids per
+    # shingle. A single collect_list-then-filter pass would build the
+    # full id array for exactly the hot shingles the cap neutralizes.
+    rare = (exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
+            .select("shingle"))
     cand = (
-        exploded.groupBy("shingle")
+        exploded.join(rare, "shingle")
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= _DF_CAP))
         .select(F.explode(F.expr(
             "flatten(transform(ids, (x, i) -> "
             "transform(slice(ids, i + 2, size(ids)), "

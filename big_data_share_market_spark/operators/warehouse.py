@@ -40,9 +40,8 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNull()
                 | (F.col("prev") != F.col("o_orderpriority")))
     )
-    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        changes.withColumn("valid_to", F.lead("o_orderdate").over(w2))
+        changes.withColumn("valid_to", F.lead("o_orderdate").over(w))
         .select(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderpriority").alias("priority"),

@@ -175,10 +175,15 @@ def jdbc_merge_write(spark: SparkSession, url: str, target: str,
     write scales with executors; the merge is one statement regardless
     of batch size, so nothing is ever collected to the driver."""
     def write(deduped: DataFrame) -> None:
-        staging = f"{target}_staging"
+        # Unique staging table per batch: a fixed name would let two
+        # concurrent writers on the same target (live stream +
+        # backfill) truncate each other's staging rows between write
+        # and MERGE — silently merging the wrong batch.
+        import uuid
+        staging = f"{target}_stg_{uuid.uuid4().hex[:8]}"
         w = (deduped.write.format("jdbc")
              .option("url", url).option("dbtable", staging)
-             .option("driver", driver).option("truncate", "true"))
+             .option("driver", driver))
         if create_col_types:
             # e.g. "event_type VARCHAR(32), props VARCHAR(4000)" —
             # Derby's default StringType mapping is CLOB, which its
@@ -187,6 +192,7 @@ def jdbc_merge_write(spark: SparkSession, url: str, target: str,
         w.mode("overwrite").save()
         jdbc_execute(
             spark, url,
-            merge_upsert_sql(target, staging, deduped.columns, keys))
+            merge_upsert_sql(target, staging, deduped.columns, keys),
+            f"DROP TABLE {staging}")
 
     return write

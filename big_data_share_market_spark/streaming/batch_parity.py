@@ -7,8 +7,6 @@ not just that the code runs.
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
@@ -163,14 +161,16 @@ def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-write-wins upsert; the final table must equal a single pass —
     oracle = the batch dedup_upsert SQL. This is the property the
     reference's whole at-least-once design rests on."""
-    # Stable per-(query, sf) scratch dir that outlives this function so
+    # Unique scratch dir per invocation that outlives this function so
     # the returned DataFrame stays LAZY — no driver-side collect; the
     # caller reads the upsert target distributed, exactly as a real
-    # consumer of the upserted table would. Wiped up front so each run
-    # replays from scratch (a reused checkpoint would skip the source).
+    # consumer of the upserted table would. Unique (not shared/wiped)
+    # so a prior call's still-lazy result is never invalidated and
+    # concurrent runs cannot race; the dirs are /tmp-lifetime.
+    import uuid
     target_root = ("/tmp/bdsm_upsert_target"
-                   + sf_dir.replace("/", "_").replace(".", "_"))
-    shutil.rmtree(target_root, ignore_errors=True)
+                   + sf_dir.replace("/", "_").replace(".", "_")
+                   + "_" + uuid.uuid4().hex[:8])
     target = f"{target_root}/target"
     for replay in range(2):
         upsert_stream(events_stream(spark, sf_dir), spark, target,

@@ -66,21 +66,26 @@ def events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir, exist_ok=True)
     if not os.path.islink(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    if not os.path.exists(flush):
-        import datetime as dt
+    # ALWAYS rewritten: the file source orders files by modification
+    # time, and the barrier only works if the sentinel sorts AFTER the
+    # real events — a sentinel cached from a previous provisioning
+    # could predate a regenerated fixture and silently flip the order
+    # (watermark jumps to 2098 in batch 1, every real event dropped
+    # as late). Rewriting also picks up FLUSH_TS/schema changes.
+    import datetime as dt
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        sentinel = pa.table({
-            "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array(
-                [dt.datetime.fromisoformat(FLUSH_TS)], pa.timestamp("us")),
-            "user_id": pa.array([-1], pa.int64()),
-            "event_type": pa.array(["__flush__"], pa.string()),
-            "value": pa.array([0.0], pa.float64()),
-            "props": pa.array(["{}"], pa.string()),
-        })
-        pq.write_table(sentinel, flush)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    sentinel = pa.table({
+        "event_id": pa.array([-1], pa.int64()),
+        "ts": pa.array(
+            [dt.datetime.fromisoformat(FLUSH_TS)], pa.timestamp("us")),
+        "user_id": pa.array([-1], pa.int64()),
+        "event_type": pa.array(["__flush__"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    pq.write_table(sentinel, flush)
     return (
         spark.readStream.schema(EVENTS_DDL)
         .format("parquet")

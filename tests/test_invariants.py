@@ -10,6 +10,17 @@ from .conftest import SF_DIR
 _QUERIES = all_queries()
 
 
+def test_first50_names_all_registered():
+    """The driver checks the first 50 registry entries; every
+    _FIRST_50 name must resolve (the runtime deliberately degrades
+    instead of crashing on a mismatch, so THIS is the gate)."""
+    from big_data_share_market_spark.registry import _FIRST_50, all_queries
+    merged = all_queries()
+    missing = [n for n in _FIRST_50 if n not in merged]
+    assert not missing, f"_FIRST_50 names not registered: {missing}"
+    assert list(merged)[:len(_FIRST_50)] == list(_FIRST_50)
+
+
 def test_funnel_is_monotone(spark):
     """Each funnel stage can only lose users, and rates are in [0,1]."""
     fn, _ = _QUERIES["funnel_conversion"]
