@@ -4,13 +4,17 @@ over `mapInPandas` (the training-data-pipeline pattern: media blobs
 ride through Spark as `binary` columns; per-row Python touches them
 only inside vectorized batches).
 
-The container has no image/audio codecs, so `decode_image` /
-`decode_audio` are clearly-marked stubs (NotImplementedError); the
-Spark-side plumbing — binary column, metadata struct, UDF signatures,
-Arrow batch shapes, partitioning — is real and oracle-tested against a
-deterministic byte-level featurizer. The fixture payload is the
-document text encoded to UTF-8 (ASCII in the fixtures, verified, so
-DuckDB can mirror byte math at string level).
+`decode_image` / `decode_audio` are REAL for the formats decodable
+without codec libraries — 24-bit BMP (numpy header parse) and
+RIFF/WAVE PCM (stdlib `wave`) — and raise a clearly-marked
+NotImplementedError for codec-requiring formats (JPEG/PNG, MP3/AAC;
+this container has no PIL/ffmpeg). The Spark-side plumbing — binary
+column, metadata struct, UDF signatures, Arrow batch shapes,
+partitioning — is oracle-tested against a deterministic byte-level
+featurizer, and the real decoders are round-trip-tested through the
+same mapInPandas shape (tests/test_multimodal_decode.py). The fixture
+payload is the document text encoded to UTF-8 (ASCII in the fixtures,
+verified, so DuckDB can mirror byte math at string level).
 
 Scale notes: payloads never shuffle except where grouped — metadata
 stats aggregate AFTER projecting the payload away (map-side partial
@@ -36,15 +40,59 @@ _MEDIA_TYPES = ("image", "audio", "video")
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real image decode (PIL/opencv) — STUB: codecs are not available
-    in this container. The deterministic byte featurizer below stands
-    in for tests; swap this in production."""
-    raise NotImplementedError("image codecs not available in test container")
+    """REAL decode for 24-bit uncompressed BMP (pure numpy header
+    parse + strided pixel view — no codec library needed); JPEG/PNG/
+    WebP need PIL/opencv, absent in this container, and raise a
+    clearly-marked NotImplementedError. Returns an (H, W, 3) uint8
+    RGB array. Round-trip-tested in tests/test_multimodal_decode.py,
+    including through the mapInPandas plumbing."""
+    import struct
+
+    import numpy as np
+    payload = bytes(payload)
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only BMP is decodable without codec libraries "
+            "(JPEG/PNG need PIL/opencv, not in this container)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    flip = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    buf = np.frombuffer(payload, np.uint8, row_size * height, data_offset)
+    img = (buf.reshape(height, row_size)[:, :width * 3]
+           .reshape(height, width, 3)[:, :, ::-1])  # BGR -> RGB
+    return img[::-1] if flip else img  # bottom-up rows -> top-down
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Real audio decode (soundfile/ffmpeg) — STUB, as decode_image."""
-    raise NotImplementedError("audio codecs not available in test container")
+    """REAL decode for RIFF/WAVE PCM (stdlib `wave` + numpy — no
+    codec library needed); MP3/AAC/OGG need ffmpeg-class codecs,
+    absent here, and raise. Returns (samples[n_frames, n_channels]
+    int16/int32/uint8, sample_rate). Round-trip-tested in
+    tests/test_multimodal_decode.py."""
+    import io
+    import wave
+
+    import numpy as np
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM is decodable without codec libraries "
+            "(MP3/AAC/OGG need ffmpeg, not in this container)")
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch, samp_w, rate = w.getnchannels(), w.getsampwidth(), \
+            w.getframerate()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.dtype(np.uint8), 2: np.dtype("<i2"),
+             4: np.dtype("<i4")}.get(samp_w)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM sample width {samp_w}")
+    return np.frombuffer(raw, dtype=dtype).reshape(-1, n_ch), rate
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
