@@ -79,6 +79,45 @@ LIMIT 10
 """
 
 
+def q_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VECTORIZED form of q_cosine_topk — the kernel a 100 TB
+    deployment actually runs: one Arrow-batched mapInPandas pass
+    computing all cosines with a numpy matrix-vector product
+    (~100× the per-element throughput of the interpreted fold), then
+    the same TakeOrderedAndProject top-k. numpy's pairwise summation
+    orders float adds differently from the sequential fold, so scores
+    can differ in the last ulps — this registers WITHOUT a value
+    oracle; `tests/test_invariants.py` pins ids == exact ids and
+    |score − exact| < 1e-9 instead. Scale shape: narrow map pass, the
+    broadcast query vector rides the closure, zero shuffle."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (schema of yielded frames)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_vec = np.array(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = mat @ q_vec
+            nrm = np.linalg.norm(mat, axis=1) * np.linalg.norm(q_vec)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(nrm == 0.0, np.nan, dots / nrm)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "label": pdf["label"],
+                                "cosine": cos})
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(score, schema="vec_id BIGINT, label INT, cosine DOUBLE")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------
@@ -480,6 +519,9 @@ SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
 
 QUERIES = {
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    # numpy kernel: no value oracle by design (pairwise vs sequential
+    # float summation); invariant-tested against cosine_topk instead.
+    "cosine_topk_numpy": (q_cosine_topk_numpy, None),
     "ann_recall_eval": (q_ann_recall_eval, _ANN_RECALL_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),

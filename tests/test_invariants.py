@@ -21,6 +21,19 @@ def test_first50_names_all_registered():
     assert list(merged)[:len(_FIRST_50)] == list(_FIRST_50)
 
 
+def test_numpy_topk_matches_exact(spark):
+    """The vectorized cosine kernel must return the SAME neighbor ids
+    as the exact fold, with scores equal to float-summation-order
+    noise (numpy pairwise vs sequential adds)."""
+    from big_data_share_market_spark.registry import all_queries
+    q = all_queries()
+    exact = q["cosine_topk"][0](spark, SF_DIR).collect()
+    fast = q["cosine_topk_numpy"][0](spark, SF_DIR).collect()
+    assert [r.vec_id for r in fast] == [r.vec_id for r in exact]
+    for a, b in zip(fast, exact):
+        assert abs(a.cosine - b.cosine) < 1e-9
+
+
 def test_funnel_is_monotone(spark):
     """Each funnel stage can only lose users, and rates are in [0,1]."""
     fn, _ = _QUERIES["funnel_conversion"]
