@@ -300,6 +300,41 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q_stream_drawdown_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: running per-key peak and drawdown via the Spark 4
+    arbitrary-state v2 API (transformWithStateInPandas + typed
+    ValueState) where its protobuf dependency exists, else the
+    output-identical applyInPandasWithState form (state.py picks).
+    Oracle = the batch running-max window. The RocksDB provider (a
+    v2 requirement, harmless for v1) is set for this query and
+    restored after."""
+    from .state import drawdown_per_key
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        out = run_available_now(
+            drawdown_per_key(events_stream(spark, sf_dir)), spark,
+            output_mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return out
+
+
+_STREAM_DRAWDOWN_SQL = """
+SELECT user_id, event_id, ts, value,
+       MAX(value) OVER w AS peak,
+       MAX(value) OVER w - value AS drawdown
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
 QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
@@ -314,4 +349,6 @@ QUERIES = {
     "stream_interval_join": (q_stream_interval_join, _STREAM_INTERVAL_SQL),
     "stream_left_outer_interval_join": (q_stream_left_outer_interval_join,
                                         _STREAM_LEFT_OUTER_SQL),
+    "stream_drawdown_per_key": (q_stream_drawdown_per_key,
+                                _STREAM_DRAWDOWN_SQL),
 }

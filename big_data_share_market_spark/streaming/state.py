@@ -167,3 +167,116 @@ def ema_per_key(sdf: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Running peak / drawdown via transformWithStateInPandas (the Spark 4
+# arbitrary-state v2 API — typed per-key state handles, RocksDB-backed)
+# ---------------------------------------------------------------------------
+
+DRAWDOWN_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                       "value DOUBLE, peak DOUBLE, drawdown DOUBLE")
+
+
+def _v2_api_available() -> bool:
+    """transformWithStateInPandas speaks protobuf between the JVM and
+    the Python state server; the harness image ships pyspark without
+    `google.protobuf`, so the v2 path is selected only when it can
+    actually run."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def drawdown_per_key(sdf: DataFrame) -> DataFrame:
+    """Per-key running peak and drawdown (peak − value) — the risk
+    metric every trading dashboard keeps per symbol. Two
+    implementations with identical output: the Spark 4
+    arbitrary-state v2 API (`transformWithStateInPandas`, typed
+    ValueState, RocksDB) when its protobuf dependency exists, else
+    the v1 `applyInPandasWithState` form. Same shuffle shape either
+    way (one hash exchange); state is one double per key."""
+    if not _v2_api_available():
+        return _drawdown_per_key_v1(sdf)
+    return _drawdown_per_key_v2(sdf)
+
+
+def _cummax_frame(pdf: pd.DataFrame, prev_peak: float, user_id) -> tuple:
+    """Shared kernel: sort, numpy cummax seeded with the prior peak,
+    build the output frame. Returns (frame, new_peak)."""
+    import numpy as np
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    vals = pdf["value"].to_numpy(dtype="float64")
+    peaks = np.maximum.accumulate(np.r_[prev_peak, vals])[1:]
+    out = pd.DataFrame({
+        "user_id": int(user_id),
+        "event_id": pdf["event_id"].astype("int64"),
+        "ts": pdf["ts"],
+        "value": vals,
+        "peak": peaks,
+        "drawdown": peaks - vals,
+    })
+    return out, float(peaks[-1])
+
+
+def _drawdown_per_key_v1(sdf: DataFrame) -> DataFrame:
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        prev = state.get[0] if state.exists else float("-inf")
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((prev,))
+            return
+        out, peak = _cummax_frame(pd.concat(parts, ignore_index=True),
+                                  prev, user_id)
+        state.update((peak,))
+        yield out
+
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DRAWDOWN_OUTPUT_DDL,
+            stateStructType="peak DOUBLE",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _drawdown_per_key_v2(sdf: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._peak = handle.getValueState("peak", "peak DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            parts = [pdf for pdf in rows if len(pdf)]
+            if not parts:
+                return
+            prev = (self._peak.get()[0] if self._peak.exists()
+                    else float("-inf"))
+            (user_id,) = key
+            out, peak = _cummax_frame(pd.concat(parts, ignore_index=True),
+                                      prev, user_id)
+            self._peak.update((peak,))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Proc(),
+            outputStructType=DRAWDOWN_OUTPUT_DDL,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
