@@ -84,10 +84,17 @@ def decode_audio(payload: bytes) -> "object":
         raise NotImplementedError(
             "only RIFF/WAVE PCM is decodable without codec libraries "
             "(MP3/AAC/OGG need ffmpeg, not in this container)")
-    with wave.open(io.BytesIO(payload)) as w:
-        n_ch, samp_w, rate = w.getnchannels(), w.getsampwidth(), \
-            w.getframerate()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_ch, samp_w, rate = w.getnchannels(), w.getsampwidth(), \
+                w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as exc:
+        # e.g. IEEE-float WAV (format tag 3): valid RIFF/WAVE magic
+        # but not integer PCM — keep the documented contract that
+        # undecodable media raises NotImplementedError, never a
+        # library-specific error a skip-handler would miss.
+        raise NotImplementedError(f"non-PCM WAV variant: {exc}") from exc
     dtype = {1: np.dtype(np.uint8), 2: np.dtype("<i2"),
              4: np.dtype("<i4")}.get(samp_w)
     if dtype is None:

@@ -140,7 +140,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_SQL = f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS cnt,
-         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 0
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 0
               THEN 3 ELSE 1 END AS w
   FROM documents GROUP BY source),
 sized AS (

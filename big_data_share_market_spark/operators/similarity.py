@@ -103,16 +103,22 @@ def q_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             dots = mat @ q_vec
             nrm = np.linalg.norm(mat, axis=1) * np.linalg.norm(q_vec)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(nrm == 0.0, np.nan, dots / nrm)
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "label": pdf["label"],
-                                "cosine": cos})
+                                "dot": dots, "nrm": nrm})
 
+    # The division happens Spark-side through nullif so a zero-norm
+    # vector yields NULL exactly like the exact kernel — a NaN from
+    # numpy would sort FIRST under desc (Spark ranks NaN above any
+    # double) where the baseline's NULL sorts last.
     return (
         emb.filter(F.col("vec_id") != 0)
         .select("vec_id", "label", "embedding")
-        .mapInPandas(score, schema="vec_id BIGINT, label INT, cosine DOUBLE")
+        .mapInPandas(score,
+                     schema="vec_id BIGINT, label INT, dot DOUBLE, nrm DOUBLE")
+        .withColumn("cosine",
+                    F.col("dot") / F.nullif(F.col("nrm"), F.lit(0.0)))
+        .select("vec_id", "label", "cosine")
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )

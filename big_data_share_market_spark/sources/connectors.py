@@ -121,6 +121,9 @@ def jdbc_upsert_sql(table: str, columns: list[str], keys: list[str]) -> str:
     keylist = ", ".join(keys)
     updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns
                         if c not in keys)
+    if not updates:  # key-only table: nothing to update on conflict
+        return (f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+                f"ON CONFLICT ({keylist}) DO NOTHING")
     return (f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
             f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}")
 
@@ -143,8 +146,11 @@ def merge_upsert_sql(target: str, staging: str, columns: list[str],
                         if c not in keys)
     collist = ", ".join(q(c) for c in columns)
     vals = ", ".join(f"s.{q(c)}" for c in columns)
+    # Key-only table: a bare "UPDATE SET" is a syntax error; a MERGE
+    # with only the NOT MATCHED branch is valid and means insert-new.
+    matched = f"WHEN MATCHED THEN UPDATE SET {updates} " if updates else ""
     return (f"MERGE INTO {target} t USING {staging} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})")
 
 
@@ -190,9 +196,16 @@ def jdbc_merge_write(spark: SparkSession, url: str, target: str,
             # MERGE cannot copy; bounded VARCHAR staging avoids that.
             w = w.option("createTableColumnTypes", create_col_types)
         w.mode("overwrite").save()
-        jdbc_execute(
-            spark, url,
-            merge_upsert_sql(target, staging, deduped.columns, keys),
-            f"DROP TABLE {staging}")
+        try:
+            jdbc_execute(
+                spark, url,
+                merge_upsert_sql(target, staging, deduped.columns, keys))
+        finally:
+            # Drop even when the MERGE fails — a retried micro-batch
+            # would otherwise leak one orphan staging table per attempt.
+            try:
+                jdbc_execute(spark, url, f"DROP TABLE {staging}")
+            except Exception:
+                pass  # staging may not exist if the write itself failed
 
     return write

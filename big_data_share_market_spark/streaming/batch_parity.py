@@ -166,11 +166,15 @@ def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller reads the upsert target distributed, exactly as a real
     # consumer of the upserted table would. Unique (not shared/wiped)
     # so a prior call's still-lazy result is never invalidated and
-    # concurrent runs cannot race; the dirs are /tmp-lifetime.
+    # concurrent runs cannot race; removed at interpreter exit so
+    # repeated harness runs don't accumulate dirs unboundedly.
+    import atexit
+    import shutil
     import uuid
     target_root = ("/tmp/bdsm_upsert_target"
                    + sf_dir.replace("/", "_").replace(".", "_")
                    + "_" + uuid.uuid4().hex[:8])
+    atexit.register(shutil.rmtree, target_root, ignore_errors=True)
     target = f"{target_root}/target"
     for replay in range(2):
         upsert_stream(events_stream(spark, sf_dir), spark, target,

@@ -25,21 +25,29 @@ EVENTS_DDL = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
               "event_type STRING, value DOUBLE, props STRING")
 
 
+def _stage_events_dir(sf_dir: str, suffix: str = "") -> str:
+    """The file stream source requires a DIRECTORY; the fixtures are
+    read-only single files, so stage a symlink dir (no data copy).
+    Replaces a dangling symlink left behind by fixture regeneration
+    at a different path."""
+    src_dir = f"/tmp/bdsm_stream_src{suffix}{sf_dir.replace('/', '_')}"
+    link = f"{src_dir}/events-0.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return src_dir
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events fixture as a stream (G1 event time derived
     from the raw field, exactly like the reference's computed `ts`
     column, `flink_processor/flink_processor.py:56`)."""
-    # The file stream source requires a DIRECTORY; the fixtures are
-    # read-only single files, so stage a symlink dir (no data copy).
-    src_dir = f"/tmp/bdsm_stream_src{sf_dir.replace('/', '_')}"
-    link = f"{src_dir}/events-0.parquet"
-    os.makedirs(src_dir, exist_ok=True)
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
     return (
         spark.readStream.schema(EVENTS_DDL)
         .format("parquet")
-        .load(src_dir)
+        .load(_stage_events_dir(sf_dir))
     )
 
 
@@ -60,12 +68,8 @@ def events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops it before it can advance the clock. Let the sentinel flow
     through the per-side filters (it carries user_id = -1, so one
     post-join `user_id >= 0` removes its output)."""
-    src_dir = f"/tmp/bdsm_stream_srcf{sf_dir.replace('/', '_')}"
-    link = f"{src_dir}/events-0.parquet"
+    src_dir = _stage_events_dir(sf_dir, suffix="f")
     flush = f"{src_dir}/events-1-flush.parquet"
-    os.makedirs(src_dir, exist_ok=True)
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
     # ALWAYS rewritten: the file source orders files by modification
     # time, and the barrier only works if the sentinel sorts AFTER the
     # real events — a sentinel cached from a previous provisioning
