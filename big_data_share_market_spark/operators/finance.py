@@ -1,0 +1,300 @@
+"""Portfolio-grade finance analytics over the per-key bar series:
+VWAP, realized return volatility, beta against the equal-weight
+market, and cross-key return correlation — the questions a user of
+the reference's dashboard asks right after the indicator suite
+(`streamlit_app/streamlit_app.py:165-265` stops at indicators).
+
+Numerical contract (the part that makes these oracle-hash-exact):
+returns are QUANTIZED map-side to integers, ret_i = floor(ret·1e9) —
+floor of a double product is bit-identical on every engine, unlike a
+double→DECIMAL cast whose rounding mode (HALF_UP vs HALF_EVEN)
+differs between Spark and DuckDB on sub-ulp ties. Every moment
+(Σx, Σx², Σxy) is then EXACT integer/decimal arithmetic, identical
+on both engines and independent of partitioning; the closed-form
+variance/covariance/correlation is ordinary double math on identical
+inputs. The 1e-9 return quantum is far below any economic signal.
+Prices (VWAP) use the engine-wide DECIMAL(25,6) via functions.dsum.
+Oracle note: DuckDB's direct HUGEINT→DOUBLE conversion is not
+correctly rounded (it can be 1 ulp off for >2^53 sums); the oracle
+converts exact sums through VARCHAR, whose strtod parse IS correctly
+rounded and matches Spark's Decimal→double exactly.
+
+Scale notes per query are on the functions; the one shuffle-heavy
+shape (corr_pairs' per-timestamp key self-join) documents its 100 TB
+candidate-pruning strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import dsum, dsum_sql
+from .transforms import BARS_CTE, bar_window, ohlc_bars
+
+#: Return quantum: ret_i = floor(ret * 1e9), an exact BIGINT.
+_Q = int(1e9)
+#: Decimal wide enough for Σ(ret_i²) / Σ(ret_i·mkt): ret_i ≤ ~5e12,
+#: squares ~2.5e25, row counts ~1e3 per key → well inside 38 digits.
+_DEC0 = "decimal(38,0)"
+
+
+def _rets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key hourly simple returns (close/prev − 1) over the bar
+    series, plus the quantized integer form ret_i (see module
+    docstring). Simple, not log, returns on purpose: ln() is not
+    correctly rounded and differs by 1 ulp between the JVM and libm.
+    One aggregation (bars) + one window on the same key — the window
+    rides the groupBy's hash partitioning."""
+    bars = ohlc_bars(spark, sf_dir)
+    prev = F.lag("close").over(bar_window())
+    return (bars
+            .withColumn("ret", F.col("close") / prev - 1)
+            .filter(F.col("ret").isNotNull())
+            .withColumn("ret_i",
+                        F.floor(F.col("ret") * F.lit(float(_Q))))
+            .select("user_id", "bar_ts", "close", "volume", "ret", "ret_i"))
+
+
+_RETS_CTE = f"""{BARS_CTE},
+rets0 AS (
+  SELECT user_id, bar_ts, close, volume,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY bar_ts) - 1
+           AS ret
+  FROM bars
+  QUALIFY ret IS NOT NULL),
+rets AS (
+  SELECT *, CAST(floor(ret * {float(_Q)}) AS BIGINT) AS ret_i FROM rets0)
+"""
+
+
+def _s(col) -> F.Column:
+    """Exact Σ of integer returns (fits BIGINT), as double."""
+    return F.sum(col).cast("double")
+
+
+def _sq(a, b) -> F.Column:
+    """Exact Σ(a·b) for integer return columns via DECIMAL(38,0)."""
+    return F.sum(a.cast(_DEC0) * b.cast(_DEC0)).cast("double")
+
+
+def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP per key from the hourly bars: Σ(close·volume)/Σvolume
+    with decimal-exact sums. Two cascaded aggregations on the same
+    key prefix — the hour→day rollup shape of ohlc_day_rollup."""
+    bars = ohlc_bars(spark, sf_dir)
+    return (
+        bars.groupBy("user_id",
+                     F.date_trunc("day", F.col("bar_ts")).alias("day_ts"))
+        .agg((dsum(F.col("close") * F.col("volume"))
+              / F.sum("volume")).alias("vwap"),
+             F.sum("volume").alias("volume"))
+        .orderBy("user_id", "day_ts")
+    )
+
+
+_VWAP_SQL = f"""
+WITH {BARS_CTE}
+SELECT user_id, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
+       {dsum_sql('close * volume')} / SUM(volume) AS vwap,
+       CAST(SUM(volume) AS BIGINT) AS volume
+FROM bars
+GROUP BY user_id, date_trunc('day', bar_ts)
+ORDER BY user_id, day_ts
+"""
+
+
+def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key realized volatility: sample stddev of hourly returns
+    via the closed form sqrt((Σx² − (Σx)²/n)/(n−1)) on exact integer
+    moments, rescaled from the 1e-9 quantum at the end."""
+    rets = _rets(spark, sf_dir)
+    out = (rets.groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                _s(F.col("ret_i")).alias("s1"),
+                _sq(F.col("ret_i"), F.col("ret_i")).alias("s2")))
+    vol = F.when(
+        F.col("n") >= 2,
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+               / (F.col("n") - 1)) / _Q)
+    return (out.select("user_id", "n", vol.alias("realized_vol"))
+            .orderBy("user_id"))
+
+
+_REALIZED_VOL_SQL = f"""
+WITH {_RETS_CTE.strip()},
+mo AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(CAST(SUM(ret_i) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * ret_i) AS VARCHAR)
+              AS DOUBLE) AS s2
+  FROM rets GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN n >= 2 THEN
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) / {_Q} END AS realized_vol
+FROM mo
+ORDER BY user_id
+"""
+
+
+def q_beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key beta against the market index return:
+    cov(r_k, r_m)/var(r_m), where the market series is the
+    equal-weight TOTAL return index mkt_i = Σ_keys ret_i per bar_ts —
+    an exact BIGINT, so every moment stays integer/decimal-exact (a
+    mean-based market is a double whose decimal cast hits
+    rounding-mode ties; with a near-constant cross-section the two
+    definitions differ only by a constant scale on beta). The market
+    leg is one row per bar_ts and BROADCASTS onto the per-key
+    returns — at any scale it is |timestamps|-sized, so the join
+    never shuffles the fact side."""
+    rets = _rets(spark, sf_dir)
+    market = (rets.groupBy("bar_ts")
+              .agg(F.sum("ret_i").alias("mkt_i")))
+    j = rets.join(F.broadcast(market), "bar_ts")
+    out = (j.groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                _s(F.col("ret_i")).alias("sx"),
+                _s(F.col("mkt_i")).alias("sy"),
+                _sq(F.col("ret_i"), F.col("mkt_i")).alias("sxy"),
+                _sq(F.col("mkt_i"), F.col("mkt_i")).alias("syy")))
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_m = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return (out.select(
+                "user_id", "n",
+                F.when((n >= 2) & (var_m != 0), cov / var_m).alias("beta"))
+            .orderBy("user_id"))
+
+
+_BETA_SQL = f"""
+WITH {_RETS_CTE.strip()},
+market AS (
+  SELECT bar_ts, SUM(ret_i) AS mkt_i
+  FROM rets GROUP BY bar_ts),
+j AS (SELECT r.user_id, r.ret_i, m.mkt_i
+      FROM rets r JOIN market m USING (bar_ts)),
+mo AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(CAST(SUM(ret_i) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(mkt_i) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * mkt_i) AS VARCHAR)
+              AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(mkt_i AS HUGEINT) * mkt_i) AS VARCHAR)
+              AS DOUBLE) AS syy
+  FROM j GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN n >= 2 AND (syy - sy * sy / n) <> 0
+            THEN (sxy - sx * sy / n) / (syy - sy * sy / n) END AS beta
+FROM mo
+ORDER BY user_id
+"""
+
+
+_CORR_MIN_N = 15
+_CORR_TOP = 20
+
+
+def _daily_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key DAILY returns for cross-key correlation: hourly bars
+    are too sparse for pairwise timestamp overlap at low data density
+    (two thin keys rarely trade the same hour), while almost every
+    key closes every day. Same quantization contract as _rets."""
+    ev = ohlc_bars(spark, sf_dir)
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("bar_ts")).alias("day_ts"))
+             .agg(F.max_by("close", F.col("bar_ts")).alias("close")))
+    w = W.partitionBy("user_id").orderBy("day_ts")
+    return (daily
+            .withColumn("ret", F.col("close") / F.lag("close").over(w) - 1)
+            .filter(F.col("ret").isNotNull())
+            .withColumn("ret_i", F.floor(F.col("ret") * F.lit(float(_Q))))
+            .select("user_id", "day_ts", "ret_i"))
+
+
+_DAILY_RETS_CTE = f"""{BARS_CTE},
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
+         last(close ORDER BY bar_ts) AS close
+  FROM bars GROUP BY user_id, date_trunc('day', bar_ts)),
+drets0 AS (
+  SELECT user_id, day_ts,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY day_ts) - 1
+           AS ret
+  FROM daily
+  QUALIFY ret IS NOT NULL),
+drets AS (
+  SELECT *, CAST(floor(ret * {float(_Q)}) AS BIGINT) AS ret_i FROM drets0)
+"""
+
+
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (_CORR_TOP) most-correlated key pairs by daily
+    returns: self-join on day_ts (a < b), exact integer pair moments,
+    closed-form Pearson, TakeOrdered top-k.
+
+    Scale: the per-timestamp self-join is quadratic in keys sharing a
+    timestamp — fine for hundreds of symbols, not for millions of
+    keys. The 100 TB form prunes candidates first (correlate only
+    pairs sharing a sector/bucket, or sketch with SimHash over return
+    signs) and feeds the SAME moment aggregation; the quadratic
+    expansion here is the analytics-grade exact form, kept because
+    symbols (the reference's key domain) number in the thousands at
+    most."""
+    rets = _daily_rets(spark, sf_dir)
+    a = rets.select(F.col("user_id").alias("a_id"), "day_ts",
+                    F.col("ret_i").alias("x"))
+    b = rets.select(F.col("user_id").alias("b_id"), "day_ts",
+                    F.col("ret_i").alias("y"))
+    j = a.join(b, "day_ts").filter(F.col("a_id") < F.col("b_id"))
+    mo = (j.groupBy("a_id", "b_id")
+          .agg(F.count("*").alias("n"),
+               _s(F.col("x")).alias("sx"),
+               _s(F.col("y")).alias("sy"),
+               _sq(F.col("x"), F.col("y")).alias("sxy"),
+               _sq(F.col("x"), F.col("x")).alias("sxx"),
+               _sq(F.col("y"), F.col("y")).alias("syy")))
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = cov / F.sqrt(vx * vy)
+    return (mo.filter(n >= _CORR_MIN_N)
+            .filter((vx > 0) & (vy > 0))
+            .select("a_id", "b_id", "n", corr.alias("corr"))
+            .orderBy(F.desc("corr"), "a_id", "b_id")
+            .limit(_CORR_TOP))
+
+
+_CORR_PAIRS_SQL = f"""
+WITH {_DAILY_RETS_CTE.strip()},
+j AS (
+  SELECT a.user_id AS a_id, b.user_id AS b_id,
+         a.ret_i AS x, b.ret_i AS y
+  FROM drets a JOIN drets b ON a.day_ts = b.day_ts
+                           AND a.user_id < b.user_id),
+mo AS (
+  SELECT a_id, b_id, COUNT(*) AS n,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy
+  FROM j GROUP BY a_id, b_id)
+SELECT a_id, b_id, n,
+       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         AS corr
+FROM mo
+WHERE n >= {_CORR_MIN_N}
+  AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+ORDER BY corr DESC, a_id, b_id
+LIMIT {_CORR_TOP}
+"""
+
+
+QUERIES = {
+    "vwap_daily": (q_vwap_daily, _VWAP_SQL),
+    "realized_volatility": (q_realized_volatility, _REALIZED_VOL_SQL),
+    "beta_vs_market": (q_beta_vs_market, _BETA_SQL),
+    "corr_pairs": (q_corr_pairs, _CORR_PAIRS_SQL),
+}

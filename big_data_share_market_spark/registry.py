@@ -62,6 +62,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.indicators", "operators.ewm",
                  "operators.resample",
                  "operators.patterns", "operators.transforms",
+                 "operators.finance",
                  "operators.dedup", "operators.similarity",
                  "operators.text", "operators.corpus",
                  "operators.multimodal",
