@@ -292,8 +292,44 @@ LIMIT {_CORR_TOP}
 """
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key maximum drawdown over the bar series: running peak via
+    a cumulative-max window, relative drawdown (peak−close)/peak per
+    bar, max per key. The batch twin of the streaming
+    stream_drawdown_per_key operator; one hash exchange, both the
+    window and the final aggregate ride it. Pure ratios of identical
+    doubles — deterministic on both engines."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = (W.partitionBy("user_id").orderBy("bar_ts")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    peak = F.max("close").over(w)
+    dd = (peak - F.col("close")) / peak
+    return (bars.withColumn("dd", dd)
+            .groupBy("user_id")
+            .agg(F.max("dd").alias("max_drawdown"),
+                 F.max("close").alias("peak_close"))
+            .orderBy("user_id"))
+
+
+_MAX_DRAWDOWN_SQL = f"""
+WITH {BARS_CTE},
+dds AS (
+  SELECT user_id,
+         (MAX(close) OVER w - close) / MAX(close) OVER w AS dd,
+         close
+  FROM bars
+  WINDOW w AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS UNBOUNDED PRECEDING))
+SELECT user_id, MAX(dd) AS max_drawdown, MAX(close) AS peak_close
+FROM dds
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "vwap_daily": (q_vwap_daily, _VWAP_SQL),
+    "max_drawdown": (q_max_drawdown, _MAX_DRAWDOWN_SQL),
     "realized_volatility": (q_realized_volatility, _REALIZED_VOL_SQL),
     "beta_vs_market": (q_beta_vs_market, _BETA_SQL),
     "corr_pairs": (q_corr_pairs, _CORR_PAIRS_SQL),
