@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql
-from .transforms import BARS_CTE, bar_window, ohlc_bars
+from .transforms import (BARS_CTE, DAILY_CLOSE_CTE, bar_window, daily_close,
+                         ohlc_bars)
 
 #: Return quantum: ret_i = floor(ret * 1e9), an exact BIGINT.
 _Q = int(1e9)
@@ -44,8 +45,11 @@ def _rets(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, plus the quantized integer form ret_i (see module
     docstring). Simple, not log, returns on purpose: ln() is not
     correctly rounded and differs by 1 ulp between the JVM and libm.
-    One aggregation (bars) + one window on the same key — the window
-    rides the groupBy's hash partitioning."""
+    Shuffle budget: TWO exchanges — the bars aggregate partitions on
+    (user_id, hour) and the lag window needs user_id alone, so Spark
+    re-shuffles the (already bar-sized, not event-sized) series; a
+    materialized bar table bucketed by user_id would make the second
+    exchange free."""
     bars = ohlc_bars(spark, sf_dir)
     prev = F.lag("close").over(bar_window())
     return (bars
@@ -69,8 +73,12 @@ rets AS (
 
 
 def _s(col) -> F.Column:
-    """Exact Σ of integer returns (fits BIGINT), as double."""
-    return F.sum(col).cast("double")
+    """Exact Σ of integer returns, as double. Summed through
+    DECIMAL(38,0), not BIGINT: with ANSI off a long sum would WRAP
+    silently past 9.2e18 (the market-index leg can get there at
+    ~1e6 keys) while DuckDB promotes to int128 — decimal keeps both
+    engines exact and overflow loud (NULL) instead of wrong."""
+    return F.sum(col.cast(_DEC0)).cast("double")
 
 
 def _sq(a, b) -> F.Column:
@@ -113,10 +121,15 @@ def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("n"),
                 _s(F.col("ret_i")).alias("s1"),
                 _sq(F.col("ret_i"), F.col("ret_i")).alias("s2")))
+    # greatest(0, ·): an exactly-zero variance can compute as a few
+    # negative ulps once moments pass 2^53; Spark would return NaN
+    # where DuckDB ERRORS on sqrt(negative), so clamp on both sides.
     vol = F.when(
         F.col("n") >= 2,
-        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-               / (F.col("n") - 1)) / _Q)
+        F.sqrt(F.greatest(
+            F.lit(0.0),
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1))) / _Q)
     return (out.select("user_id", "n", vol.alias("realized_vol"))
             .orderBy("user_id"))
 
@@ -131,7 +144,8 @@ mo AS (
   FROM rets GROUP BY user_id)
 SELECT user_id, n,
        CASE WHEN n >= 2 THEN
-         sqrt((s2 - s1 * s1 / n) / (n - 1)) / {_Q} END AS realized_vol
+         sqrt(greatest(0.0, (s2 - s1 * s1 / n) / (n - 1))) / {_Q}
+       END AS realized_vol
 FROM mo
 ORDER BY user_id
 """
@@ -149,8 +163,12 @@ def q_beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns — at any scale it is |timestamps|-sized, so the join
     never shuffles the fact side."""
     rets = _rets(spark, sf_dir)
+    # Decimal sum for the same wrap-avoidance reason as _s. Capacity
+    # note: mkt_i ≤ keys·|ret_i|; its SQUARE must fit DECIMAL(38,0),
+    # which holds to ~1e6 moderately-volatile keys — beyond that,
+    # coarsen the return quantum (_Q) rather than widen the decimal.
     market = (rets.groupBy("bar_ts")
-              .agg(F.sum("ret_i").alias("mkt_i")))
+              .agg(F.sum(F.col("ret_i").cast(_DEC0)).alias("mkt_i")))
     j = rets.join(F.broadcast(market), "bar_ts")
     out = (j.groupBy("user_id")
            .agg(F.count("*").alias("n"),
@@ -199,11 +217,10 @@ def _daily_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key DAILY returns for cross-key correlation: hourly bars
     are too sparse for pairwise timestamp overlap at low data density
     (two thin keys rarely trade the same hour), while almost every
-    key closes every day. Same quantization contract as _rets."""
-    ev = ohlc_bars(spark, sf_dir)
-    daily = (ev.groupBy("user_id",
-                        F.date_trunc("day", F.col("bar_ts")).alias("day_ts"))
-             .agg(F.max_by("close", F.col("bar_ts")).alias("close")))
+    key closes every day. Day-close semantics shared with the scale
+    rollup via transforms.daily_close; same quantization contract as
+    _rets."""
+    daily = daily_close(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("day_ts")
     return (daily
             .withColumn("ret", F.col("close") / F.lag("close").over(w) - 1)
@@ -213,10 +230,7 @@ def _daily_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DAILY_RETS_CTE = f"""{BARS_CTE},
-daily AS (
-  SELECT user_id, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
-         last(close ORDER BY bar_ts) AS close
-  FROM bars GROUP BY user_id, date_trunc('day', bar_ts)),
+{DAILY_CLOSE_CTE.strip()},
 drets0 AS (
   SELECT user_id, day_ts,
          close / lag(close) OVER (PARTITION BY user_id ORDER BY day_ts) - 1
@@ -296,9 +310,11 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key maximum drawdown over the bar series: running peak via
     a cumulative-max window, relative drawdown (peak−close)/peak per
     bar, max per key. The batch twin of the streaming
-    stream_drawdown_per_key operator; one hash exchange, both the
-    window and the final aggregate ride it. Pure ratios of identical
-    doubles — deterministic on both engines."""
+    stream_drawdown_per_key operator. Shuffle budget: the bars
+    aggregate's (user_id, hour) exchange plus one re-shuffle to
+    user_id for the window; the final aggregate rides the window's
+    partitioning. Pure ratios of identical doubles — deterministic on
+    both engines."""
     bars = ohlc_bars(spark, sf_dir)
     w = (W.partitionBy("user_id").orderBy("bar_ts")
          .rowsBetween(W.unboundedPreceding, W.currentRow))

@@ -63,6 +63,26 @@ def bar_window():
     return W.partitionBy("user_id").orderBy("bar_ts")
 
 
+def daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last close per (user_id, day) from the hourly bars — the shared
+    hour→day close semantics (tie-break by bar_ts) consumed by the day
+    rollup (scale.q_ohlc_day_rollup keeps the full OHLC form) and the
+    finance daily-return series."""
+    return (ohlc_bars(spark, sf_dir)
+            .groupBy("user_id",
+                     F.date_trunc("day", F.col("bar_ts")).alias("day_ts"))
+            .agg(F.max_by("close", F.col("bar_ts")).alias("close")))
+
+
+#: DuckDB mirror of :func:`daily_close`.
+DAILY_CLOSE_CTE = """
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
+         last(close ORDER BY bar_ts) AS close
+  FROM bars GROUP BY user_id, date_trunc('day', bar_ts))
+"""
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(spark, sf_dir)
 
