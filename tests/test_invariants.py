@@ -42,6 +42,38 @@ def test_numpy_topk_matches_exact(spark):
             f"id {vid} differs beyond the boundary tie window")
 
 
+def test_finance_matches_pandas(spark):
+    """Independent semantic check for the finance kernels: the DuckDB
+    oracles MIRROR the engine's integer-moment formulas, so a formula
+    mistake would pass parity — recompute realized volatility and
+    beta from the raw bars with plain pandas/numpy float math and
+    compare within the 1e-9 return-quantization tolerance."""
+    import numpy as np
+    from big_data_share_market_spark.operators.transforms import ohlc_bars
+    from big_data_share_market_spark.registry import all_queries
+
+    bars = (ohlc_bars(spark, SF_DIR).toPandas()
+            .sort_values(["user_id", "bar_ts"]))
+    bars["ret"] = bars.groupby("user_id")["close"].pct_change()
+    rets = bars.dropna(subset=["ret"])
+
+    q = all_queries()
+    vol = {r.user_id: r.realized_vol
+           for r in q["realized_volatility"][0](spark, SF_DIR).collect()}
+    for uid, grp in rets.groupby("user_id"):
+        want = float(np.std(grp["ret"].to_numpy(), ddof=1))
+        assert abs(vol[uid] - want) < 1e-6 * max(1.0, want), uid
+
+    mkt = rets.groupby("bar_ts")["ret"].sum().rename("mkt")
+    joined = rets.join(mkt, on="bar_ts")
+    beta = {r.user_id: r.beta
+            for r in q["beta_vs_market"][0](spark, SF_DIR).collect()}
+    for uid, grp in joined.groupby("user_id"):
+        x, y = grp["ret"].to_numpy(), grp["mkt"].to_numpy()
+        want = float(np.cov(x, y, ddof=1)[0, 1] / np.var(y, ddof=1))
+        assert abs(beta[uid] - want) < 1e-5 * max(1.0, abs(want)), uid
+
+
 def test_funnel_is_monotone(spark):
     """Each funnel stage can only lose users, and rates are in [0,1]."""
     fn, _ = _QUERIES["funnel_conversion"]
