@@ -79,6 +79,86 @@ _DQ_PROFILE_SQL = (
 )
 
 
+def q_missing_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series completeness report: per key, how many hourly bar
+    slots between its first and last bar are EMPTY — the gap audit a
+    feed-health monitor runs (a missing bar means the upstream
+    producer or ingest dropped an interval). Expected slot count is
+    computed arithmetically from the per-key min/max (no calendar
+    explode); actual bars are one count — a single aggregate pass
+    over the bars, no joins. At 100 TB this is two cascaded
+    aggregations on the same key."""
+    from .transforms import ohlc_bars
+    bars = ohlc_bars(spark, sf_dir)
+    per_key = (bars.groupBy("user_id")
+               .agg(F.min("bar_ts").alias("first_bar"),
+                    F.max("bar_ts").alias("last_bar"),
+                    F.count("*").alias("n_bars")))
+    expected = (
+        (F.unix_timestamp("last_bar") - F.unix_timestamp("first_bar"))
+        / 3600 + 1).cast("long")
+    return (per_key
+            .withColumn("n_expected", expected)
+            .withColumn("n_missing", F.col("n_expected") - F.col("n_bars"))
+            .withColumn("completeness",
+                        F.col("n_bars") / F.col("n_expected").cast("double"))
+            .select("user_id", "first_bar", "last_bar", "n_bars",
+                    "n_expected", "n_missing", "completeness")
+            .orderBy("user_id"))
+
+
+_MISSING_BARS_SQL = """
+WITH bars AS (
+  SELECT user_id, date_trunc('hour', ts) AS bar_ts
+  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+per_key AS (
+  SELECT user_id, MIN(bar_ts) AS first_bar, MAX(bar_ts) AS last_bar,
+         COUNT(*) AS n_bars
+  FROM bars GROUP BY user_id)
+SELECT user_id, first_bar, last_bar, n_bars,
+       CAST(date_diff('hour', first_bar, last_bar) + 1 AS BIGINT)
+         AS n_expected,
+       CAST(date_diff('hour', first_bar, last_bar) + 1 - n_bars AS BIGINT)
+         AS n_missing,
+       CAST(n_bars AS DOUBLE)
+         / (date_diff('hour', first_bar, last_bar) + 1) AS completeness
+FROM per_key
+ORDER BY user_id
+"""
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week return seasonality: decimal-exact mean of the
+    quantized daily returns per weekday, across all keys — the
+    calendar-effect screen every systematic desk runs. One narrow
+    projection + one 7-group aggregate; scale cost is the daily-return
+    build it shares with corr_pairs."""
+    from .finance import _Q, _daily_rets
+    rets = _daily_rets(spark, sf_dir)
+    return (rets
+            .withColumn("dow", F.dayofweek("day_ts"))
+            .groupBy("dow")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.col("ret_i").cast("decimal(38,0)"))
+                  .cast("double") / F.count("*") / _Q).alias("mean_ret"))
+            .orderBy("dow"))
+
+
+def _dow_sql() -> str:
+    from .finance import _Q, _DAILY_RETS_CTE
+    return f"""
+WITH {_DAILY_RETS_CTE.strip()}
+SELECT dayofweek(day_ts) + 1 AS dow, COUNT(*) AS n,
+       CAST(CAST(SUM(ret_i) AS VARCHAR) AS DOUBLE) / COUNT(*) / {_Q}
+         AS mean_ret
+FROM drets
+GROUP BY dayofweek(day_ts)
+ORDER BY dow
+"""
+
+
 QUERIES = {
     "dq_profile_lineitem": (q_dq_profile_lineitem, _DQ_PROFILE_SQL),
+    "missing_bars": (q_missing_bars, _MISSING_BARS_SQL),
+    "dow_seasonality": (q_dow_seasonality, _dow_sql()),
 }

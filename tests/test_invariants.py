@@ -42,6 +42,35 @@ def test_numpy_topk_matches_exact(spark):
             f"id {vid} differs beyond the boundary tie window")
 
 
+def test_hash_split_stable_under_growth(spark):
+    """hash_split's docstring contract: adding documents never
+    reassigns existing ones. The sf0.001 corpus is a subset domain of
+    sf0.01's doc_ids, so every shared id must land in the same split
+    at both scales (row-local hashing makes this structural — this
+    test pins it against regressions toward corpus-relative logic)."""
+    q = all_queries()["hash_split"][0]
+    small = {r.doc_id: r.split for r in q(spark, SF_DIR).collect()}
+    big = {r.doc_id: r.split
+           for r in q(spark, "/root/testdata/sf0.01").collect()}
+    shared = set(small) & set(big)
+    assert shared
+    assert all(small[d] == big[d] for d in shared)
+
+
+def test_mixture_sample_hits_targets(spark):
+    """mixture_sample must land each source within sampling noise of
+    its target share: weight-3 sources should hold ~3x the kept rows
+    of weight-1 sources of similar size."""
+    from pyspark.sql import functions as F
+    out = (all_queries()["mixture_sample"][0](spark, "/root/testdata/sf0.01")
+           .groupBy("weight").agg(F.count("*").alias("n"),
+                                  F.countDistinct("source").alias("k"))
+           .collect())
+    per = {r.weight: r.n / r.k for r in out}  # kept rows per source
+    ratio = per[3] / per[1]
+    assert 2.0 < ratio < 4.0, f"weight-3:weight-1 kept ratio {ratio}"
+
+
 def test_finance_matches_pandas(spark):
     """Independent semantic check for the finance kernels: the DuckDB
     oracles MIRROR the engine's integer-moment formulas, so a formula
