@@ -372,6 +372,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # casts inside the O(candidates) hot loop. Same left-to-right
     # summation order as the zip_with form, so values (and the oracle
     # hash) are bit-identical.
+    # NO broadcast hint on ea/eb: hinting would pin the FULL embeddings
+    # table to the build side — fine at sf0.1 (2 k vectors), an
+    # executor OOM at 10^9 vectors. The LSH-bounded candidate set is
+    # the genuinely small side; stats/AQE pick the build side at
+    # runtime (candidates broadcast against the embeddings scan at
+    # scale). tests/test_plans.py pins that no explicit broadcast hint
+    # re-appears here.
     embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     ea = emb.select(F.col("vec_id").alias("a_id"),
@@ -383,7 +390,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
         "(acc, i) -> acc + emb_a[i] * emb_b[i])")
     return (
-        cand.join(F.broadcast(ea), "a_id").join(F.broadcast(eb), "b_id")
+        cand.join(ea, "a_id").join(eb, "b_id")
         .withColumn("cosine",
                     dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
         .filter(F.col("cosine") >= _ND_THRESHOLD)

@@ -158,6 +158,19 @@ def test_simhash_map_side(spark):
     assert "hashpartitioning(doc_id" not in plan.replace(" ", "")
 
 
+def test_neardup_verify_no_fulltable_broadcast_hint(spark):
+    """The near-dup verify join must not PIN the full embeddings table
+    to the broadcast build side (an executor OOM at 10^9 vectors). No
+    explicit broadcast hint may appear anywhere in the query — the
+    LSH-bounded candidate set is the small side and stats/AQE choose
+    the build side at runtime."""
+    fn, _ = _QUERIES["embedding_neardup"]
+    df = fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "embedding_neardup re-grew an explicit broadcast/join hint")
+
+
 def test_scd2_single_exchange(spark):
     """Both SCD2 window passes (change detection, validity lead) are
     over the same (custkey, orderdate) partitioning — Catalyst must
