@@ -109,28 +109,51 @@ FROM f JOIN g USING (fp)
 # n-gram Jaccard near-dup (shingle join)
 # ---------------------------------------------------------------------------
 
+_DF_CAP = 32
+
+
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8. Candidate
-    generation by shingle equi-join (a.doc_id < b.doc_id), exact
-    intersection count, |A∪B| = |A|+|B|−|A∩B|."""
+    """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8 — the
+    join-based candidate generator: shingle equi-join
+    (a.doc_id < b.doc_id) restricted to shingles with document
+    frequency ≤ _DF_CAP, then an exact-Jaccard verify over the FULL
+    shingle sets (array_intersect), so scores are exact and only
+    recall is capped (a pair sharing exclusively hot boilerplate
+    shingles is missed — the thing the cap is FOR).
+
+    The cap is what makes the self-join scale-safe: without it a
+    stop-phrase shingle appearing in k docs emits k² join rows — a
+    job-killing skew key at 100 TB. With it, fan-out is ≤ cap²/2 rows
+    per shingle. The oracle applies the identical cap, so parity is
+    exact. Sibling `q_ngram_jaccard_capped` produces the same pairs
+    from a groupBy pair-expansion instead of a self-join (one scan of
+    the shingle stream instead of two)."""
     sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
+    rare = (exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
+            .select("shingle"))
+    capped = exploded.join(rare, "shingle")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"))
+        .distinct()
     )
+    sa = sh.select(F.col("doc_id").alias("a_id"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"),
+                   F.col("shingles").alias("sh_b"))
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "a_id")
-                   .withColumnRenamed("n", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id")
-              .withColumnRenamed("n", "nb"), "b_id")
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard",
-                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
         .filter(F.col("jaccard") >= 0.8)
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
@@ -140,22 +163,24 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
 e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+df AS (SELECT shingle, COUNT(*) AS n_docs FROM e GROUP BY shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+  JOIN df ON df.shingle = a.shingle
+  WHERE df.n_docs <= {_DF_CAP})
 SELECT a_id, b_id,
-       inter / (sa.n + sb.n - inter) AS jaccard
-FROM pairs
-JOIN sizes sa ON sa.doc_id = a_id
-JOIN sizes sb ON sb.doc_id = b_id
-WHERE inter / (sa.n + sb.n - inter) >= 0.8
+       len(list_intersect(sa.shingles, sb.shingles))
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = a_id
+JOIN sh sb ON sb.doc_id = b_id
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
 ORDER BY a_id, b_id
 """
-
-
-_DF_CAP = 32
 
 
 def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +258,54 @@ ORDER BY a_id, b_id
 
 
 # ---------------------------------------------------------------------------
+# Bounded in-bucket pair expansion (shared by MinHash / SimHash /
+# embedding LSH candidate generation)
+# ---------------------------------------------------------------------------
+
+#: Max ids per LSH bucket entering pair expansion. Fixture buckets top
+#: out at ~190 (sf0.1 embeddings), so the cap never bites on test data;
+#: at scale ONE degenerate bucket (e.g. all-zero vectors, empty docs)
+#: would otherwise collect every id into a single array on one task —
+#: the cap bounds that to O(cap²) pairs.
+_BUCKET_CAP = 256
+
+
+def capped_pair_expand(buckets: DataFrame, cap: int = _BUCKET_CAP,
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Bounded in-bucket pair expansion over a frame with a sorted
+    `ids` array column: pairs come from only the first `cap` ids per
+    bucket, so a degenerate bucket costs O(cap²) rows instead of O(n²).
+
+    Returns ``(pairs, stats)``. ``pairs``: distinct (a_id < b_id).
+    ``stats``: one row — n_buckets, n_truncated, dropped_pairs — so
+    truncation is VISIBLE (the no-silent-caps rule); callers log or
+    assert on it, tests/test_invariants.py exercises the degenerate
+    path. The DuckDB oracles mirror the identical cap (row_number ≤
+    cap by ascending id over the same sorted order), so oracle parity
+    holds even when the cap bites."""
+    sized = (buckets
+             .withColumn("n", F.size("ids").cast("long"))
+             .withColumn("kept", F.least(F.col("n"), F.lit(cap).cast("long"))))
+    stats = sized.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("n") > cap).cast("long")).alias("n_truncated"),
+        F.sum(((F.col("n") * (F.col("n") - 1)
+                - F.col("kept") * (F.col("kept") - 1)) / F.lit(2))
+              .cast("long")).alias("dropped_pairs"))
+    pairs = (
+        sized.filter(F.col("n") > 1)
+        .select(F.slice("ids", 1, cap).alias("ids_c"))
+        .select(F.explode(F.expr(
+            "flatten(transform(ids_c, (x, i) -> "
+            "transform(slice(ids_c, i + 2, size(ids_c)), "
+            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    return pairs, stats
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (the 100 TB path)
 # ---------------------------------------------------------------------------
 
@@ -284,17 +357,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat_ws(",", f"mh{2 * k}", f"mh{2 * k + 1}").alias("sig"))
             for k in range(_N_HASHES // _BAND_ROWS)])).alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
-    cand = (
+    cand, _ = capped_pair_expand(
         bands.groupBy("band", "sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
-    )
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids")))
     # verify candidates with true Jaccard on the shingle sets
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
@@ -332,10 +397,15 @@ bands AS (
   {" UNION ALL ".join(
       f"SELECT doc_id, {k} AS band, mh{2 * k} || ',' || mh{2 * k + 1} AS sig FROM minhash"
       for k in range(_N_HASHES // _BAND_ROWS))}),
+ranked AS (
+  SELECT doc_id, band, sig,
+         row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+  FROM bands),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.rn <= {_BUCKET_CAP} AND b.rn <= {_BUCKET_CAP}),
 neardup_pairs AS (
   SELECT a_id, b_id,
          len(list_intersect(sa.shingles, sb.shingles))
@@ -372,8 +442,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from ONE groupBy(chunk, value) + in-bucket pair
     expansion — an equi-shuffle with bounded fanout instead of the
     all-pairs O(n²) broadcast-nested-loop join. Exact Hamming verify
-    runs on candidates only. The oracle keeps the all-pairs form: the
-    chunk split is lossless for d ≤ 1, so the result sets are equal."""
+    runs on candidates only. The oracle mirrors the chunk split AND
+    the bucket cap (lossless for d ≤ 1 below the cap), so the result
+    sets are equal even when a degenerate bucket truncates."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     # Entirely map-side per doc (mirrors minhash_pairs' signature
     # strategy): token hashes as an array expression, one fold over it
@@ -405,17 +476,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit(1).alias("chunk"),
                      F.expr("simhash & 65535").alias("val")))).alias("cv")
     ).select("doc_id", "cv.chunk", "cv.val")
-    cand = (
+    cand, _ = capped_pair_expand(
         chunks.groupBy("chunk", "val")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
-    )
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids")))
     sa = simhash.select(F.col("doc_id").alias("a_id"),
                         F.col("simhash").alias("sh_a"))
     sb = simhash.select(F.col("doc_id").alias("b_id"),
@@ -445,11 +508,26 @@ votes AS (
 simhash AS (
   SELECT doc_id,
          SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
-  FROM votes GROUP BY doc_id)
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+  FROM votes GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, 0 AS chunk, simhash >> 16 AS val FROM simhash
+  UNION ALL
+  SELECT doc_id, 1 AS chunk, simhash & 65535 AS val FROM simhash),
+ranked AS (
+  SELECT doc_id, chunk, val,
+         row_number() OVER (PARTITION BY chunk, val ORDER BY doc_id) AS rn
+  FROM chunks),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ranked a JOIN ranked b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+  WHERE a.rn <= {_BUCKET_CAP} AND b.rn <= {_BUCKET_CAP})
+SELECT a_id, b_id,
+       bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM cand
+JOIN simhash sa ON sa.doc_id = a_id
+JOIN simhash sb ON sb.doc_id = b_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
 ORDER BY a_id, b_id
 """
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import fan_out, load_table
+from .dedup import _BUCKET_CAP, capped_pair_expand
 
 #: dot(a, b) with double casts and sequential summation (Spark SQL).
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -350,17 +351,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr(_bucket_expr("embedding", f"t{t}.")).alias("bucket"))
             for t in range(_ND_TABLES)])).alias("tb")
     ).select("vec_id", "tb.tbl", "tb.bucket")
-    cand = (
+    cand, _ = capped_pair_expand(
         buckets.groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
-    )
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids")))
     # Verify stage: norms are computed ONCE per vector map-side (the
     # naive per-pair cosine costs 3 dot products; with precomputed
     # norms each candidate pays exactly one). The explicit repartition
@@ -405,12 +398,18 @@ WITH b AS (
          {", ".join(f"{_bucket_sql('embedding', f't{t}.')} AS bucket_{t}"
                     for t in range(_ND_TABLES))}
   FROM embeddings),
+{", ".join(
+    f"r{t} AS (SELECT vec_id, bucket_{t} AS bucket, "
+    f"row_number() OVER (PARTITION BY bucket_{t} ORDER BY vec_id) AS rn "
+    f"FROM b)"
+    for t in range(_ND_TABLES))},
 cand AS (
   SELECT DISTINCT a_id, b_id FROM (
     {" UNION ALL ".join(
         f"SELECT x.vec_id AS a_id, y.vec_id AS b_id "
-        f"FROM b x JOIN b y ON x.bucket_{t} = y.bucket_{t} "
-        f"AND x.vec_id < y.vec_id"
+        f"FROM r{t} x JOIN r{t} y ON x.bucket = y.bucket "
+        f"AND x.vec_id < y.vec_id "
+        f"WHERE x.rn <= {_BUCKET_CAP} AND y.rn <= {_BUCKET_CAP}"
         for t in range(_ND_TABLES))})),
 n AS (
   SELECT vec_id, embedding,

@@ -155,3 +155,24 @@ def test_training_set_is_subset_of_clean_train_docs(spark):
     assert chunk_docs <= clean_docs
     assert chunk_docs <= train_docs
     assert chunk_docs == clean_docs & train_docs
+
+
+def test_capped_pair_expand_degenerate_bucket(spark):
+    """A degenerate LSH bucket (every id colliding) must expand to a
+    BOUNDED pair set and report the truncation — the no-silent-caps
+    rule for the MinHash/SimHash/embedding candidate generators."""
+    from big_data_share_market_spark.operators.dedup import capped_pair_expand
+
+    buckets = spark.createDataFrame(
+        [(list(range(10)),), (list(range(100, 103)),)],
+        "ids: array<bigint>")
+    pairs, stats = capped_pair_expand(buckets, cap=4)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    # degenerate bucket contributes C(4,2)=6 pairs over its first 4
+    # ids; the healthy bucket keeps all C(3,2)=3.
+    assert got == ({(a, b) for a in range(4) for b in range(a + 1, 4)}
+                   | {(100, 101), (100, 102), (101, 102)})
+    s = stats.first()
+    assert s["n_buckets"] == 2
+    assert s["n_truncated"] == 1
+    assert s["dropped_pairs"] == (10 * 9 // 2) - 6
