@@ -54,6 +54,13 @@ def decode_image(payload: bytes) -> "object":
         raise NotImplementedError(
             "only BMP is decodable without codec libraries "
             "(JPEG/PNG need PIL/opencv, not in this container)")
+    # Malformed-BMP guards: the documented contract is that any
+    # undecodable payload raises NotImplementedError (so corpus skip
+    # handlers need exactly one except clause) — a truncated header
+    # must not surface as struct.error, nor a lying size field as a
+    # numpy ValueError.
+    if len(payload) < 34:
+        raise NotImplementedError("truncated BMP header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
@@ -62,7 +69,14 @@ def decode_image(payload: bytes) -> "object":
         raise NotImplementedError("only 24-bit uncompressed BMP supported")
     flip = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise NotImplementedError(
+            f"invalid BMP dimensions {width}x{height}")
     row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_offset < 34 or data_offset + row_size * height > len(payload):
+        raise NotImplementedError(
+            "BMP pixel data out of bounds (truncated payload or "
+            "corrupt header)")
     buf = np.frombuffer(payload, np.uint8, row_size * height, data_offset)
     img = (buf.reshape(height, row_size)[:, :width * 3]
            .reshape(height, width, 3)[:, :, ::-1])  # BGR -> RGB

@@ -156,6 +156,13 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+#: Scratch-dir ring per sf_dir for q_stream_upsert_idempotent: results
+#: from the last N invocations stay readable (lazy frames), older
+#: generations are deleted eagerly.
+_UPSERT_RING = 2
+_UPSERT_RUNS: dict[str, list[str]] = {}
+
+
 def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3/G4: replay the stream TWICE through the foreachBatch
     last-write-wins upsert; the final table must equal a single pass —
@@ -165,15 +172,22 @@ def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the returned DataFrame stays LAZY — no driver-side collect; the
     # caller reads the upsert target distributed, exactly as a real
     # consumer of the upserted table would. Unique (not shared/wiped)
-    # so a prior call's still-lazy result is never invalidated and
-    # concurrent runs cannot race; removed at interpreter exit so
-    # repeated harness runs don't accumulate dirs unboundedly.
+    # so the PREVIOUS call's still-lazy result is never invalidated and
+    # concurrent runs cannot race. Growth is bounded: a small ring per
+    # sf_dir deletes generations older than the last _UPSERT_RING
+    # eagerly (a long-lived driver re-running the query no longer
+    # accumulates /tmp dirs until exit), with atexit as the final
+    # sweep for the survivors.
     import atexit
     import shutil
     import uuid
     target_root = ("/tmp/bdsm_upsert_target"
                    + sf_dir.replace("/", "_").replace(".", "_")
                    + "_" + uuid.uuid4().hex[:8])
+    ring = _UPSERT_RUNS.setdefault(sf_dir, [])
+    ring.append(target_root)
+    while len(ring) > _UPSERT_RING:
+        shutil.rmtree(ring.pop(0), ignore_errors=True)
     atexit.register(shutil.rmtree, target_root, ignore_errors=True)
     target = f"{target_root}/target"
     for replay in range(2):

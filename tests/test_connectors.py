@@ -120,6 +120,46 @@ def test_upsert_sql_shapes():
     assert 'INSERT ("symbol", "datetime", "price")' in m
 
 
+def test_postgres_dialect_upsert_executes_on_duckdb():
+    """The exact `INSERT ... ON CONFLICT` text generated for the
+    Postgres JDBC writer (reference `postgres/init.sql:12`,
+    `flink_processor/flink_processor.py:89`) EXECUTED for real —
+    DuckDB speaks the same dialect, so the statement itself is
+    exercised, not just its shape: composite PK, double-replay
+    idempotence, matched-row update (last-write-wins), and the
+    key-only DO NOTHING branch."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE quotes (
+        symbol VARCHAR, datetime TIMESTAMP, price DOUBLE, volume BIGINT,
+        PRIMARY KEY (symbol, datetime))""")
+    sql = jdbc_upsert_sql("quotes", ["symbol", "datetime", "price", "volume"],
+                          ["symbol", "datetime"])
+    rows = [("AAPL", "2024-01-02 10:00:00", 190.0, 100),
+            ("AAPL", "2024-01-02 10:01:00", 191.0, 110),
+            ("MSFT", "2024-01-02 10:00:00", 370.0, 50)]
+    for replay in range(2):  # at-least-once delivery: send twice
+        for r in rows:
+            con.execute(sql, list(r))
+    assert con.execute("SELECT COUNT(*) FROM quotes").fetchone()[0] == 3
+    # last-write-wins on the matched composite key
+    con.execute(sql, ["AAPL", "2024-01-02 10:00:00", 195.5, 140])
+    got = con.execute(
+        "SELECT price, volume FROM quotes "
+        "WHERE symbol = 'AAPL' AND datetime = TIMESTAMP '2024-01-02 10:00:00'"
+    ).fetchone()
+    assert got == (195.5, 140)
+    # key-only table generates the DO NOTHING branch
+    con.execute("CREATE TABLE seen (symbol VARCHAR PRIMARY KEY)")
+    only = jdbc_upsert_sql("seen", ["symbol"], ["symbol"])
+    assert "DO NOTHING" in only
+    con.execute(only, ["AAPL"])
+    con.execute(only, ["AAPL"])
+    assert con.execute("SELECT COUNT(*) FROM seen").fetchone()[0] == 1
+    con.close()
+
+
 def test_console_sink_runs(spark):
     """A8: the debug print sink must actually execute — run the event
     stream through the real console sink to completion

@@ -107,3 +107,31 @@ def test_decode_through_map_in_pandas(spark):
     joined = out.join(df.select("item_id", "want_sum"), "item_id")
     assert joined.count() == 8
     assert joined.filter("got_sum <> want_sum").count() == 0
+
+
+def test_malformed_bmp_raises_notimplemented():
+    """Corrupt BMPs must honor the documented contract — a skip
+    handler catching NotImplementedError never sees struct.error /
+    ValueError from a truncated or lying payload."""
+    import struct
+
+    good = make_bmp(np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3))
+
+    # header shorter than the BITMAPINFOHEADER fields we read
+    with pytest.raises(NotImplementedError, match="truncated"):
+        decode_image(good[:20])
+    # pixel data truncated: header promises more rows than exist
+    with pytest.raises(NotImplementedError, match="out of bounds"):
+        decode_image(good[:-8])
+    # lying data_offset pointing past the payload
+    bad_off = bytearray(good)
+    struct.pack_into("<I", bad_off, 10, len(good) + 100)
+    with pytest.raises(NotImplementedError, match="out of bounds"):
+        decode_image(bytes(bad_off))
+    # zero/negative width
+    bad_w = bytearray(good)
+    struct.pack_into("<i", bad_w, 18, -3)
+    with pytest.raises(NotImplementedError, match="dimensions"):
+        decode_image(bytes(bad_w))
+    # the pristine payload still decodes after all that
+    assert decode_image(good).shape == (2, 3, 3)
