@@ -88,6 +88,21 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         timings[name] = round(sorted(reps)[1], 3)
 
+    # Streaming freshness probe (BASELINE.md envelope: <= 60 s from
+    # event to queryable row at sf0.1): timed available-now replays of
+    # the event stream through tumbling OHLC bars and through the
+    # double-replay foreachBatch upsert (full pipeline: micro-batch
+    # execution + final distributed read, no driver collect). One rep
+    # each — streaming runs are checkpointed and heavier; the number
+    # answers "does a full replay fit the freshness envelope", not a
+    # steady-state per-query latency.
+    stream_timings: dict[str, float] = {}
+    for name in ("stream_ohlc_bars", "stream_upsert_idempotent"):
+        fn, _ = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        stream_timings[name] = round(time.perf_counter() - t0, 3)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(json.dumps({
@@ -95,6 +110,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stream_suite_seconds": round(sum(stream_timings.values()), 3),
+        "stream_queries": stream_timings,
         "sf": sf,
     }))
 

@@ -5,10 +5,12 @@ ride through Spark as `binary` columns; per-row Python touches them
 only inside vectorized batches).
 
 `decode_image` / `decode_audio` are REAL for the formats decodable
-without codec libraries — 24-bit BMP (numpy header parse) and
+without codec libraries — 24-bit BMP (numpy header parse), baseline
+sequential JPEG (pure-numpy T.81 decoder, `operators/jpeg.py`), and
 RIFF/WAVE PCM (stdlib `wave`) — and raise a clearly-marked
-NotImplementedError for codec-requiring formats (JPEG/PNG, MP3/AAC;
-this container has no PIL/ffmpeg). The Spark-side plumbing — binary
+NotImplementedError for formats that genuinely need codec libraries
+(PNG/WebP, MP3/AAC, progressive JPEG; this container has no
+PIL/ffmpeg). The Spark-side plumbing — binary
 column, metadata struct, UDF signatures, Arrow batch shapes,
 partitioning — is oracle-tested against a deterministic byte-level
 featurizer, and the real decoders are round-trip-tested through the
@@ -41,19 +43,24 @@ _MEDIA_TYPES = ("image", "audio", "video")
 
 def decode_image(payload: bytes) -> "object":
     """REAL decode for 24-bit uncompressed BMP (pure numpy header
-    parse + strided pixel view — no codec library needed); JPEG/PNG/
-    WebP need PIL/opencv, absent in this container, and raise a
-    clearly-marked NotImplementedError. Returns an (H, W, 3) uint8
-    RGB array. Round-trip-tested in tests/test_multimodal_decode.py,
-    including through the mapInPandas plumbing."""
+    parse + strided pixel view) and baseline sequential JPEG (pure
+    numpy T.81 decoder, `operators/jpeg.py` — the format real corpora
+    actually contain). PNG/WebP and progressive JPEG need codec
+    libraries absent in this container and raise a clearly-marked
+    NotImplementedError. Returns an (H, W, 3) uint8 RGB array.
+    Round-trip-tested in tests/test_multimodal_decode.py, including
+    through the mapInPandas plumbing."""
     import struct
 
     import numpy as np
     payload = bytes(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_baseline_jpeg
+        return decode_baseline_jpeg(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP is decodable without codec libraries "
-            "(JPEG/PNG need PIL/opencv, not in this container)")
+            "only BMP and baseline JPEG are decodable without codec "
+            "libraries (PNG/WebP need PIL/opencv, not in this container)")
     # Malformed-BMP guards: the documented contract is that any
     # undecodable payload raises NotImplementedError (so corpus skip
     # handlers need exactly one except clause) — a truncated header

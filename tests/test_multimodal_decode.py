@@ -135,3 +135,107 @@ def test_malformed_bmp_raises_notimplemented():
         decode_image(bytes(bad_w))
     # the pristine payload still decodes after all that
     assert decode_image(good).shape == (2, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def _naive_dct8(block: np.ndarray) -> np.ndarray:
+    """Definitional O(N^4) 2-D DCT-II (T.81 A.3.3) — written
+    independently of the codec's matrix form so a shared bug cannot
+    cancel in round-trip tests."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (block[x, y]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def test_dct_matrix_matches_definition():
+    from big_data_share_market_spark.operators.jpeg import dct_matrix
+    rng = np.random.default_rng(11)
+    block = rng.uniform(-128, 127, size=(8, 8))
+    t = dct_matrix()
+    assert np.allclose(t @ block @ t.T, _naive_dct8(block), atol=1e-9)
+    # and T is orthonormal, so T.T really is the inverse
+    assert np.allclose(t @ t.T, np.eye(8), atol=1e-12)
+
+
+def _smooth_rgb(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (127 + 90 * np.sin(yy / 9) * np.cos(xx / 7)),
+        (127 + 80 * np.cos(yy / 6)),
+        (127 + 70 * np.sin(xx / 5))], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_color_and_gray():
+    from big_data_share_market_spark.operators.jpeg import (
+        decode_baseline_jpeg, encode_baseline_jpeg)
+    img = _smooth_rgb(24, 17)  # non-multiple-of-8 dims exercise padding
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    assert out.shape == (24, 17, 3) and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 4 and err.max() <= 20  # quantization-only loss
+    gray = img[..., 0]
+    outg = decode_baseline_jpeg(encode_baseline_jpeg(gray))
+    assert outg.shape == (24, 17, 3)
+    errg = np.abs(outg[..., 0].astype(int) - gray.astype(int))
+    assert errg.mean() < 3
+    # grayscale replicates to 3 identical channels
+    assert (outg[..., 0] == outg[..., 1]).all()
+
+
+def test_jpeg_dispatch_and_bad_streams():
+    """decode_image dispatches on the SOI magic; progressive and
+    corrupt streams honor the NotImplementedError contract."""
+    from big_data_share_market_spark.operators.jpeg import encode_baseline_jpeg
+
+    img = _smooth_rgb(16, 16)
+    payload = encode_baseline_jpeg(img)
+    assert decode_image(payload).shape == (16, 16, 3)
+    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_image(prog)
+    with pytest.raises(NotImplementedError):
+        decode_image(payload[:40])  # truncated before SOS
+
+
+def test_jpeg_through_map_in_pandas(spark):
+    """The verdict's stretch goal: a tiny baseline JPEG decoded
+    through the same Arrow-batched mapInPandas plumbing the BMP path
+    uses."""
+    import pandas as pd
+    from big_data_share_market_spark.operators.jpeg import encode_baseline_jpeg
+
+    imgs = [_smooth_rgb(16 + 8 * i, 8 + 8 * i) for i in range(3)]
+    rows = [(i, bytearray(encode_baseline_jpeg(im)))
+            for i, im in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "img_id INT, payload BINARY")
+
+    def run(batches):
+        for pdf in batches:
+            decoded = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "img_id": pdf["img_id"],
+                "h": [d.shape[0] for d in decoded],
+                "w": [d.shape[1] for d in decoded],
+                "mean_px": [float(d.mean()) for d in decoded]})
+
+    got = {r["img_id"]: r for r in
+           df.mapInPandas(run, "img_id INT, h INT, w INT, mean_px DOUBLE")
+           .collect()}
+    assert len(got) == 3
+    for i, im in enumerate(imgs):
+        assert (got[i]["h"], got[i]["w"]) == im.shape[:2]
+        assert abs(got[i]["mean_px"] - float(im.mean())) < 3.0
