@@ -374,10 +374,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-appears here.
     embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-    ea = emb.select(F.col("vec_id").alias("a_id"),
-                    embd.alias("emb_a"), nrm.alias("nrm_a"))
-    eb = emb.select(F.col("vec_id").alias("b_id"),
-                    embd.alias("emb_b"), nrm.alias("nrm_b"))
+    # fan_out: when AQE broadcasts the small candidate side, the
+    # verify fold runs over the embeddings SCAN's partitions — a
+    # single-file fixture would pin it to one task; at scale the scan
+    # is already wide and this is a guarded no-op.
+    emb_wide = fan_out(spark, emb)
+    ea = emb_wide.select(F.col("vec_id").alias("a_id"),
+                         embd.alias("emb_a"), nrm.alias("nrm_a"))
+    eb = emb_wide.select(F.col("vec_id").alias("b_id"),
+                         embd.alias("emb_b"), nrm.alias("nrm_b"))
     cand = cand.repartition(spark.sparkContext.defaultParallelism)
     dot = F.expr(
         "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
