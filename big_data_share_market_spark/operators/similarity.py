@@ -434,6 +434,68 @@ ORDER BY a_id, b_id
 
 
 # ---------------------------------------------------------------------------
+# LSH index health: bucket occupancy + cap truncation, per table
+# ---------------------------------------------------------------------------
+
+def q_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy statistics of the 3 near-dup LSH tables: bucket
+    count, max/mean occupancy, buckets over the pair-expansion cap,
+    and the candidate pairs the cap would drop — the numbers an
+    operator alarms on before trusting a near-dup sweep (at sf1.0
+    these showed 48/48 buckets truncated under the fixed plane count;
+    see SCALING.md). One groupBy(tbl, bucket) + one tiny re-agg; cost
+    is the same map-side bucket pass the dedup itself pays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.expr(_bucket_expr("embedding", f"t{t}.")).alias("bucket"))
+            for t in range(_ND_TABLES)])).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    per_bucket = (buckets.groupBy("tbl", "bucket")
+                  .agg(F.count("*").cast("long").alias("n")))
+    kept = F.least(F.col("n"), F.lit(_BUCKET_CAP).cast("long"))
+    return (per_bucket
+            .withColumn("kept", kept)
+            .groupBy("tbl")
+            .agg(F.count("*").alias("n_buckets"),
+                 F.max("n").alias("max_occupancy"),
+                 (F.sum("n") / F.count("*")).alias("mean_occupancy"),
+                 F.sum((F.col("n") > _BUCKET_CAP).cast("long"))
+                 .alias("n_truncated"),
+                 F.sum(((F.col("n") * (F.col("n") - 1)
+                         - F.col("kept") * (F.col("kept") - 1)) / F.lit(2))
+                       .cast("long")).alias("dropped_pairs"))
+            .orderBy("tbl"))
+
+
+_LSH_HEALTH_SQL = f"""
+WITH b AS (
+  SELECT vec_id,
+         {", ".join(f"{_bucket_sql('embedding', f't{t}.')} AS bucket_{t}"
+                    for t in range(_ND_TABLES))}
+  FROM embeddings),
+long AS (
+  {" UNION ALL ".join(f"SELECT {t} AS tbl, bucket_{t} AS bucket, vec_id FROM b"
+                      for t in range(_ND_TABLES))}),
+per_bucket AS (
+  SELECT tbl, bucket, COUNT(*) AS n,
+         LEAST(COUNT(*), {_BUCKET_CAP}) AS kept
+  FROM long GROUP BY tbl, bucket)
+SELECT tbl,
+       COUNT(*) AS n_buckets,
+       MAX(n) AS max_occupancy,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_occupancy,
+       CAST(SUM(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(SUM((n * (n - 1) - kept * (kept - 1)) / 2) AS BIGINT)
+         AS dropped_pairs
+FROM per_bucket GROUP BY tbl ORDER BY tbl
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label centroids (array aggregation)
 # ---------------------------------------------------------------------------
 
@@ -543,5 +605,6 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
+    "lsh_bucket_health": (q_lsh_bucket_health, _LSH_HEALTH_SQL),
     "label_centroids": (q_label_centroids, _LABEL_CENTROIDS_SQL),
 }

@@ -158,6 +158,19 @@ def test_simhash_map_side(spark):
     assert "hashpartitioning(doc_id" not in plan.replace(" ", "")
 
 
+def test_ngram_jaccard_join_is_df_capped(spark):
+    """The shingle self-join must gate candidate generation on the
+    document-frequency cap — the uncapped form lets one boilerplate
+    shingle shared by k docs emit k² join rows (a job-killing skew key
+    at 100 TB). The cap shows up as a Filter on the shingle count
+    aggregate feeding the join."""
+    import re
+    fn, _ = _QUERIES["ngram_jaccard_dedup"]
+    plan = explain_str(fn(spark, SF_DIR))
+    assert re.search(r"df#\d+L? <= 32", plan), (
+        "ngram_jaccard_dedup lost its document-frequency cap:\n" + plan)
+
+
 def test_neardup_verify_no_fulltable_broadcast_hint(spark):
     """The near-dup verify join must not PIN the full embeddings table
     to the broadcast build side (an executor OOM at 10^9 vectors). No
