@@ -440,12 +440,18 @@ def _encode_block(w: _BitWriter, block: np.ndarray, qt: np.ndarray,
     return int(zz[0])
 
 
-def encode_baseline_jpeg(img: np.ndarray) -> bytes:
+def encode_baseline_jpeg(img: np.ndarray, subsample: bool = False,
+                         restart_interval: int = 0) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) uint8 RGB as a baseline
-    JPEG with Annex K tables, no subsampling (4:4:4). Exists for
-    round-trip tests of :func:`decode_baseline_jpeg`."""
+    JPEG with Annex K tables. `subsample=True` emits 4:2:0 (2x2 luma
+    blocks per MCU, chroma averaged 2x2); `restart_interval` emits a
+    DRI segment and RSTn markers every N MCUs. Exists for round-trip
+    tests of :func:`decode_baseline_jpeg` — the options exist so the
+    decoder's MCU interleave, chroma upsampling, and restart-sync
+    paths are all exercised."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
+    sub = subsample and not gray
     h, w = img.shape[:2]
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -457,25 +463,29 @@ def encode_baseline_jpeg(img: np.ndarray) -> bytes:
     if not gray:
         segment(0xDB, bytes([1]) + bytes(QUANT_CHROMA.tolist()))
     ncomp = 1 if gray else 3
+    luma_hv = 0x22 if sub else 0x11
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        sof += bytes([c + 1, luma_hv if c == 0 else 0x11,
+                      0 if c == 0 else 1])
     segment(0xC0, sof)
     for tc_th, (bits, syms) in ((0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA),
                                 *(() if gray else
                                   ((0x01, HUFF_DC_CHROMA),
                                    (0x11, HUFF_AC_CHROMA),)),):
         segment(0xC4, bytes([tc_th]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
     sos += bytes([0, 63, 0])
     segment(0xDA, sos)
 
+    dc_l, ac_l = _encode_huffman(*HUFF_DC_LUMA), _encode_huffman(*HUFF_AC_LUMA)
     if gray:
         planes = [img.astype(np.float64)]
-        tabs = [(_encode_huffman(*HUFF_DC_LUMA), _encode_huffman(*HUFF_AC_LUMA),
-                 QUANT_LUMA)]
+        tabs = [(dc_l, ac_l, QUANT_LUMA)]
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -483,24 +493,51 @@ def encode_baseline_jpeg(img: np.ndarray) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
-        dc_l, ac_l = _encode_huffman(*HUFF_DC_LUMA), _encode_huffman(*HUFF_AC_LUMA)
         dc_c, ac_c = (_encode_huffman(*HUFF_DC_CHROMA),
                       _encode_huffman(*HUFF_AC_CHROMA))
         tabs = [(dc_l, ac_l, QUANT_LUMA), (dc_c, ac_c, QUANT_CHROMA),
                 (dc_c, ac_c, QUANT_CHROMA)]
-    # pad planes to 8-multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-              for p in planes]
+    # per-component sampling factors and padded planes
+    hv = [(2, 2) if sub and ci == 0 else (1, 1) for ci in range(ncomp)]
+    h_max = max(x for x, _ in hv)
+    v_max = max(x for _, x in hv)
+    mcu_h, mcu_w = 8 * v_max, 8 * h_max
+    mcus_y, mcus_x = -(-h // mcu_h), -(-w // mcu_w)
+    padded = []
+    for ci in range(ncomp):
+        p = planes[ci]
+        if sub and ci > 0:
+            # pad to even dims, then 2x2 mean downsample
+            pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            p = pe.reshape(pe.shape[0] // 2, 2,
+                           pe.shape[1] // 2, 2).mean(axis=(1, 3))
+        ch, cw = hv[ci]
+        th, tw = mcus_y * ch * 8, mcus_x * cw * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
     writer = _BitWriter()
     dc_pred = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                dc_pred = [0] * ncomp
+            mcu_count += 1
             for ci in range(ncomp):
                 dc_tab, ac_tab, qt = tabs[ci]
-                block = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                dc_pred[ci] = _encode_block(writer, block, qt,
-                                            dc_pred[ci], dc_tab, ac_tab)
+                ch, cv = hv[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        dc_pred[ci] = _encode_block(
+                            writer, block, qt, dc_pred[ci], dc_tab, ac_tab)
     writer.flush()
     out.extend(writer.out)
     out.extend(b"\xff\xd9")  # EOI

@@ -239,3 +239,25 @@ def test_jpeg_through_map_in_pandas(spark):
     for i, im in enumerate(imgs):
         assert (got[i]["h"], got[i]["w"]) == im.shape[:2]
         assert abs(got[i]["mean_px"] - float(im.mean())) < 3.0
+
+
+def test_jpeg_subsampled_and_restart_streams():
+    """The decoder's MCU interleave (2x2 luma + subsampled chroma),
+    chroma upsampling, and restart-marker resync paths — exercised via
+    the encoder's 4:2:0 and DRI options."""
+    from big_data_share_market_spark.operators.jpeg import (
+        decode_baseline_jpeg, encode_baseline_jpeg)
+
+    img = _smooth_rgb(37, 29)  # non-multiple of 16: MCU edge padding
+    p420 = decode_baseline_jpeg(encode_baseline_jpeg(img, subsample=True))
+    assert p420.shape == (37, 29, 3)
+    assert np.abs(p420.astype(int) - img.astype(int)).mean() < 8
+    # restart markers are lossless: identical output with and without
+    plain = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    rst = decode_baseline_jpeg(encode_baseline_jpeg(img, restart_interval=3))
+    assert (plain == rst).all()
+    both = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, subsample=True, restart_interval=2))
+    only420 = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, subsample=True))
+    assert (both == only420).all()
