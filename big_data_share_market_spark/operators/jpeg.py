@@ -440,18 +440,22 @@ def _encode_block(w: _BitWriter, block: np.ndarray, qt: np.ndarray,
     return int(zz[0])
 
 
-def encode_baseline_jpeg(img: np.ndarray, subsample: bool = False,
+def encode_baseline_jpeg(img: np.ndarray,
+                         subsample: bool | str = False,
                          restart_interval: int = 0) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) uint8 RGB as a baseline
-    JPEG with Annex K tables. `subsample=True` emits 4:2:0 (2x2 luma
-    blocks per MCU, chroma averaged 2x2); `restart_interval` emits a
+    JPEG with Annex K tables. `subsample` of True/"420" emits 4:2:0
+    (2x2 luma blocks per MCU, chroma averaged 2x2); "422" emits 4:2:2
+    (horizontal-only chroma averaging); `restart_interval` emits a
     DRI segment and RSTn markers every N MCUs. Exists for round-trip
     tests of :func:`decode_baseline_jpeg` — the options exist so the
-    decoder's MCU interleave, chroma upsampling, and restart-sync
-    paths are all exercised."""
+    decoder's MCU interleave, both chroma-upsampling axes, and the
+    restart-sync path are all exercised."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
-    sub = subsample and not gray
+    mode = "420" if subsample is True else (subsample or "")
+    sub = bool(mode) and not gray
+    sub_v = 2 if mode == "420" else 1  # vertical luma sampling factor
     h, w = img.shape[:2]
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -463,7 +467,7 @@ def encode_baseline_jpeg(img: np.ndarray, subsample: bool = False,
     if not gray:
         segment(0xDB, bytes([1]) + bytes(QUANT_CHROMA.tolist()))
     ncomp = 1 if gray else 3
-    luma_hv = 0x22 if sub else 0x11
+    luma_hv = (0x20 | sub_v) if sub else 0x11
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
         sof += bytes([c + 1, luma_hv if c == 0 else 0x11,
@@ -498,7 +502,7 @@ def encode_baseline_jpeg(img: np.ndarray, subsample: bool = False,
         tabs = [(dc_l, ac_l, QUANT_LUMA), (dc_c, ac_c, QUANT_CHROMA),
                 (dc_c, ac_c, QUANT_CHROMA)]
     # per-component sampling factors and padded planes
-    hv = [(2, 2) if sub and ci == 0 else (1, 1) for ci in range(ncomp)]
+    hv = [(2, sub_v) if sub and ci == 0 else (1, 1) for ci in range(ncomp)]
     h_max = max(x for x, _ in hv)
     v_max = max(x for _, x in hv)
     mcu_h, mcu_w = 8 * v_max, 8 * h_max
@@ -507,12 +511,18 @@ def encode_baseline_jpeg(img: np.ndarray, subsample: bool = False,
     for ci in range(ncomp):
         p = planes[ci]
         if sub and ci > 0:
-            # pad to even dims, then 2x2 mean downsample
-            pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
-            p = pe.reshape(pe.shape[0] // 2, 2,
-                           pe.shape[1] // 2, 2).mean(axis=(1, 3))
-        ch, cw = hv[ci]
-        th, tw = mcus_y * ch * 8, mcus_x * cw * 8
+            # pad to even dims, then mean-downsample: 2x2 for 4:2:0,
+            # horizontal pairs only for 4:2:2
+            pe = np.pad(p, ((0, h % 2 if sub_v == 2 else 0), (0, w % 2)),
+                        mode="edge")
+            if sub_v == 2:
+                p = pe.reshape(pe.shape[0] // 2, 2,
+                               pe.shape[1] // 2, 2).mean(axis=(1, 3))
+            else:
+                p = pe.reshape(pe.shape[0],
+                               pe.shape[1] // 2, 2).mean(axis=2)
+        ch, cv = hv[ci]
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
         padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
                              mode="edge"))
     writer = _BitWriter()

@@ -252,6 +252,9 @@ def test_jpeg_subsampled_and_restart_streams():
     p420 = decode_baseline_jpeg(encode_baseline_jpeg(img, subsample=True))
     assert p420.shape == (37, 29, 3)
     assert np.abs(p420.astype(int) - img.astype(int)).mean() < 8
+    p422 = decode_baseline_jpeg(encode_baseline_jpeg(img, subsample="422"))
+    assert p422.shape == (37, 29, 3)
+    assert np.abs(p422.astype(int) - img.astype(int)).mean() < 8
     # restart markers are lossless: identical output with and without
     plain = decode_baseline_jpeg(encode_baseline_jpeg(img))
     rst = decode_baseline_jpeg(encode_baseline_jpeg(img, restart_interval=3))
