@@ -243,6 +243,10 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
         while pos < len(payload):
             if payload[pos] != 0xFF:
                 raise NotImplementedError("corrupt JPEG: lost marker sync")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker — skip them rather than reading one as a marker.
+            while payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -273,10 +277,20 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 precision, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
                 if precision != 8:
                     raise NotImplementedError("only 8-bit precision supported")
+                if ncomp not in (1, 3):
+                    # 4-component (Adobe CMYK/YCCK) would entropy-decode
+                    # fine but the YCbCr transform below is wrong for it
+                    # — refuse loudly rather than emit garbage RGB.
+                    raise NotImplementedError(
+                        f"{ncomp}-component JPEG (CMYK/YCCK?) unsupported")
                 comps = []
                 for c in range(ncomp):
                     cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                    hs, vs = hv >> 4, hv & 15
+                    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                        raise NotImplementedError(
+                            f"corrupt JPEG: sampling factors {hs}x{vs}")
+                    comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
                 frame = {"h": height, "w": width, "comps": comps}
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -297,8 +311,14 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                                     huff_dc, huff_ac, scan_tables,
                                     restart_interval)
             pos += seglen
-    except (IndexError, ValueError, struct.error) as exc:
-        # ValueError: numpy frombuffer on a truncated segment
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error) as exc:
+        # IndexError/struct.error: truncated segment bytes; ValueError:
+        # numpy frombuffer on a short buffer; KeyError: a scan/component
+        # referencing a DQT/DHT/SOF id that was never defined;
+        # ZeroDivisionError: defensive (sampling factors are validated
+        # above). All are the same user-facing fact — undecodable
+        # payload — and must keep the one-except-clause contract.
         raise NotImplementedError(f"corrupt JPEG: {exc}") from exc
     raise NotImplementedError("corrupt JPEG: no SOS segment")
 

@@ -331,6 +331,19 @@ _ND_THRESHOLD = 0.4  # calibrated to the fixture corpus (max pairwise
                      # sf0.1) — a real near-dup sweep would use ≥0.95
 
 
+def _nd_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) rows over the _ND_TABLES LSH tables —
+    shared by the near-dup candidate generator and the bucket-health
+    report so the two can never disagree about the bucketing."""
+    return emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.expr(_bucket_expr("embedding", f"t{t}.")).alias("bucket"))
+            for t in range(_ND_TABLES)])).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from 3
     independent LSH tables (4 hyperplanes each — a pair qualifies if it
@@ -344,15 +357,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches only candidate rows. Recall < 1 by design; the oracle
     mirrors the same tables, so parity is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = emb.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     F.expr(_bucket_expr("embedding", f"t{t}.")).alias("bucket"))
-            for t in range(_ND_TABLES)])).alias("tb")
-    ).select("vec_id", "tb.tbl", "tb.bucket")
     cand, _ = capped_pair_expand(
-        buckets.groupBy("tbl", "bucket")
+        _nd_buckets(emb).groupBy("tbl", "bucket")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids")))
     # Verify stage: norms are computed ONCE per vector map-side (the
     # naive per-pair cosine costs 3 dot products; with precomputed
@@ -446,15 +452,11 @@ def q_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     see SCALING.md). One groupBy(tbl, bucket) + one tiny re-agg; cost
     is the same map-side bucket pass the dedup itself pays."""
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = emb.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     F.expr(_bucket_expr("embedding", f"t{t}.")).alias("bucket"))
-            for t in range(_ND_TABLES)])).alias("tb")
-    ).select("vec_id", "tb.tbl", "tb.bucket")
-    per_bucket = (buckets.groupBy("tbl", "bucket")
+    per_bucket = (_nd_buckets(emb).groupBy("tbl", "bucket")
                   .agg(F.count("*").cast("long").alias("n")))
+    # kept/n_truncated/dropped_pairs mirror capped_pair_expand's stats
+    # arithmetic exactly (and the SQL oracle mirrors both) — grouped
+    # per table here instead of globally.
     kept = F.least(F.col("n"), F.lit(_BUCKET_CAP).cast("long"))
     return (per_bucket
             .withColumn("kept", kept)

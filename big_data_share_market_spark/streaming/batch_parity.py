@@ -7,6 +7,8 @@ not just that the code runs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
@@ -161,6 +163,7 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 #: generations are deleted eagerly.
 _UPSERT_RING = 2
 _UPSERT_RUNS: dict[str, list[str]] = {}
+_UPSERT_LOCK = threading.Lock()
 
 
 def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,23 +174,29 @@ def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unique scratch dir per invocation that outlives this function so
     # the returned DataFrame stays LAZY — no driver-side collect; the
     # caller reads the upsert target distributed, exactly as a real
-    # consumer of the upserted table would. Unique (not shared/wiped)
-    # so the PREVIOUS call's still-lazy result is never invalidated and
-    # concurrent runs cannot race. Growth is bounded: a small ring per
-    # sf_dir deletes generations older than the last _UPSERT_RING
-    # eagerly (a long-lived driver re-running the query no longer
-    # accumulates /tmp dirs until exit), with atexit as the final
-    # sweep for the survivors.
+    # consumer of the upserted table would. Growth is bounded: a ring
+    # per sf_dir keeps the last _UPSERT_RING generations and deletes
+    # older ones eagerly (a long-lived driver re-running the query no
+    # longer accumulates /tmp dirs until exit), with atexit as the
+    # final sweep for survivors. Contract: the PREVIOUS invocation's
+    # lazy result stays readable; results ≥ _UPSERT_RING generations
+    # old are invalidated, and more than _UPSERT_RING truly CONCURRENT
+    # invocations on one sf_dir are unsupported (the harness runs
+    # queries sequentially). The lock only makes the ring bookkeeping
+    # itself thread-safe.
     import atexit
     import shutil
     import uuid
     target_root = ("/tmp/bdsm_upsert_target"
                    + sf_dir.replace("/", "_").replace(".", "_")
                    + "_" + uuid.uuid4().hex[:8])
-    ring = _UPSERT_RUNS.setdefault(sf_dir, [])
-    ring.append(target_root)
-    while len(ring) > _UPSERT_RING:
-        shutil.rmtree(ring.pop(0), ignore_errors=True)
+    with _UPSERT_LOCK:
+        ring = _UPSERT_RUNS.setdefault(sf_dir, [])
+        ring.append(target_root)
+        doomed = ring[:-_UPSERT_RING]
+        del ring[:-_UPSERT_RING]
+    for old in doomed:
+        shutil.rmtree(old, ignore_errors=True)
     atexit.register(shutil.rmtree, target_root, ignore_errors=True)
     target = f"{target_root}/target"
     for replay in range(2):

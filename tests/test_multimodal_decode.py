@@ -264,3 +264,27 @@ def test_jpeg_subsampled_and_restart_streams():
     only420 = decode_baseline_jpeg(
         encode_baseline_jpeg(img, subsample=True))
     assert (both == only420).all()
+
+
+def test_jpeg_fill_bytes_and_cmyk_guard():
+    """T.81 B.1.1.2 fill bytes before a marker must be skipped, and a
+    4-component (CMYK-style) SOF must refuse rather than emit garbage
+    RGB through the 3-component YCbCr transform."""
+    import struct
+
+    from big_data_share_market_spark.operators.jpeg import (
+        decode_baseline_jpeg, encode_baseline_jpeg)
+
+    img = _smooth_rgb(16, 16)
+    payload = encode_baseline_jpeg(img)
+    # insert two 0xFF fill bytes between SOI and the first segment
+    filled = payload[:2] + b"\xff\xff" + payload[2:]
+    assert (decode_baseline_jpeg(filled) == decode_baseline_jpeg(payload)).all()
+    # patch SOF0 ncomp 3 -> 4 (length stays consistent enough to reach
+    # the guard): must raise the documented error, not mis-decode
+    sof_at = payload.index(b"\xff\xc0")
+    ncomp_at = sof_at + 4 + 5  # marker(2) + len(2) + precision(1) + h(2) + w(2)
+    bad = bytearray(payload)
+    bad[ncomp_at] = 4
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(bytes(bad))
