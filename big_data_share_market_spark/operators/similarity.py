@@ -220,6 +220,28 @@ LIMIT 5
 _IVF_NPROBE = 2
 
 
+def _label_means(emb: DataFrame) -> DataFrame:
+    """label → (centroid array<double>, n_dims): decimal-exact per-dim
+    means computed as _DIM map-side-combinable SUM/COUNT aggregate
+    PAIRS over the array elements — NO posexplode. The explode form
+    shuffles dims × corpus rows on (label, dim); this form's shuffle
+    carries only partial-aggregate rows (|partitions| × |labels|),
+    which is the difference between a 64×-fan-out exchange and a
+    near-free one at 10^9 vectors. Values are bit-identical to the
+    explode form: same per-dim decimal sums, same per-dim non-null
+    counts, same divide."""
+    agg = emb.groupBy("label").agg(
+        *[F.sum(F.col("embedding").getItem(i).cast("double")
+                .cast("decimal(25,6)")).alias(f"s{i}") for i in range(_DIM)],
+        *[F.count(F.col("embedding").getItem(i)).alias(f"c{i}")
+          for i in range(_DIM)])
+    return agg.select(
+        "label",
+        F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
+                  for i in range(_DIM)]).alias("centroid"),
+        F.lit(_DIM).cast("long").alias("n_dims"))
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF codebook: mean embedding per label (decimal-exact per-dim
     means, identical arithmetic to q_label_centroids so both oracles
@@ -227,19 +249,8 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the codebook is k-means-trained but the index structure —
     assign, invert, probe — is exactly this."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-    per_dim = (
-        dims.groupBy("label", "dim")
-        .agg((F.sum(F.col("x").cast("double").cast("decimal(25,6)"))
-              .cast("double") / F.count("x")).alias("mean_x"))
-    )
-    return (
-        per_dim.groupBy("label")
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mean_x"))),
-            lambda s: s["mean_x"]).alias("centroid"))
-        .withColumnRenamed("label", "clabel")
-    )
+    return (_label_means(emb)
+            .select(F.col("label").alias("clabel"), "centroid"))
 
 
 _CENTROIDS_CTE = """
@@ -502,25 +513,14 @@ FROM per_bucket GROUP BY tbl ORDER BY tbl
 # ---------------------------------------------------------------------------
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean embedding per label: posexplode → decimal-exact mean per
-    (label, dim) → re-assembled order statistic. At scale this is the
-    reduce side of k-means/IVF training — one shuffle on (label, dim)."""
+    """Mean embedding per label — the reduce side of k-means/IVF
+    training. r3 rewrite: array-column aggregation (`_label_means`)
+    instead of posexplode; ONE shuffle carrying only map-side partial
+    aggregates instead of a 64×-row-fan-out exchange on (label, dim).
+    The oracle keeps the explode formulation — the decimal sums are
+    order-independent, so results are bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "label", F.posexplode("embedding").alias("dim", "x"))
-    per_dim = (
-        dims.groupBy("label", "dim")
-        .agg((F.sum(F.col("x").cast("double").cast("decimal(25,6)"))
-              .cast("double") / F.count("x")).alias("mean_x"))
-    )
-    return (
-        per_dim.groupBy("label")
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mean_x"))),
-            lambda s: s["mean_x"]).alias("centroid"),
-            F.count("*").alias("n_dims"))
-        .orderBy("label")
-    )
+    return _label_means(emb).orderBy("label")
 
 
 _LABEL_CENTROIDS_SQL = """

@@ -158,6 +158,17 @@ def test_simhash_map_side(spark):
     assert "hashpartitioning(doc_id" not in plan.replace(" ", "")
 
 
+def test_label_centroids_no_explode_single_exchange(spark):
+    """Per-label centroids must aggregate array columns directly —
+    the posexplode form shuffles dims x corpus rows on (label, dim);
+    the map-side-combinable SUM/COUNT form shuffles only partial
+    aggregates through ONE hash exchange."""
+    fn, _ = _QUERIES["label_centroids"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert "Generate" not in plan, "centroids re-grew a posexplode"
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_ngram_jaccard_join_is_df_capped(spark):
     """The shingle self-join must gate candidate generation on the
     document-frequency cap — the uncapped form lets one boilerplate
