@@ -667,8 +667,69 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Near-dup split leakage (eval-contamination the exact-match check
+# misses)
+# ---------------------------------------------------------------------------
+
+def q_neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE the train/val/test boundary —
+    the eval-contamination failure mode an exact-fingerprint
+    cross-split check (`cross_split_contamination`) cannot see: a
+    paraphrased or lightly-edited copy of a training document landing
+    in the eval split inflates every benchmark run on it. Composes the
+    verified MinHash pair graph with the deterministic hash split;
+    output is the quarantine list (pair, both splits, jaccard).
+
+    Scale shape: the pair set is bounded by the true-duplicate rate
+    (not corpus size), the split columns are zero-shuffle row-local
+    hashes, and the two id-joins let stats/AQE broadcast the small
+    pair side — no hints, no new data-sized shuffle."""
+    from .sampling import _TRAIN_LT, _VAL_LT, hash256
+
+    pairs = minhash_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash256(F.col("doc_id"), "split:")
+    split = docs.select(
+        "doc_id",
+        F.when(h < _TRAIN_LT, "train")
+        .when(h < _VAL_LT, "val")
+        .otherwise("test").alias("split"))
+    sa = split.select(F.col("doc_id").alias("a_id"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("b_id"),
+                      F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a_id").join(sb, "b_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a_id", "b_id", "split_a", "split_b", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .sampling import _TRAIN_LT, _VAL_LT, hash256_sql
+    h = hash256_sql("doc_id", "split:")
+    return f"""
+WITH {_MINHASH_CTES},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {h} < {_TRAIN_LT} THEN 'train'
+              WHEN {h} < {_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT a_id, b_id, sa.split AS split_a, sb.split AS split_b, jaccard
+FROM neardup_pairs
+JOIN splits sa ON sa.doc_id = a_id
+JOIN splits sb ON sb.doc_id = b_id
+WHERE sa.split <> sb.split
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
+    "neardup_split_leakage": (q_neardup_split_leakage, _split_leakage_sql()),
     "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
     "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
