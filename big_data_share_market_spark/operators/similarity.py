@@ -451,6 +451,105 @@ ORDER BY a_id, b_id
 
 
 # ---------------------------------------------------------------------------
+# Batch ANN: top-k in-bucket neighbors for EVERY vector
+# ---------------------------------------------------------------------------
+
+_BATCH_K = 3
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors for EVERY vector at once — the
+    batch form of ANN the single-query `ann_lsh_topk` docstring
+    promises: candidates from the 3 LSH tables' bucket co-membership
+    (bounded pair expansion), exact cosine on candidates only, then a
+    per-vector window rank. This is the retrieval shape dedup
+    clustering and hard-negative mining actually run: one bucketed
+    equi-join over the corpus, never a crossJoin.
+
+    Scale shape: candidate count is bucket-occupancy-bounded (and
+    hard-capped, see capped_pair_expand); norms are computed once per
+    vector map-side; the final rank shuffles only candidate rows on
+    a_id. Recall < 1 by design; the oracle mirrors buckets, cap, and
+    tiebreaks, so parity is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    und, _ = capped_pair_expand(
+        _nd_buckets(emb).groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids")))
+    # direct the pair graph: each undirected candidate serves both ends
+    cand = und.unionByName(
+        und.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
+    embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    emb_wide = fan_out(spark, emb)
+    ea = emb_wide.select(F.col("vec_id").alias("a_id"),
+                         embd.alias("emb_a"), nrm.alias("nrm_a"))
+    eb = emb_wide.select(F.col("vec_id").alias("b_id"),
+                         embd.alias("emb_b"), nrm.alias("nrm_b"))
+    dot = F.expr(
+        "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
+        "(acc, i) -> acc + emb_a[i] * emb_b[i])")
+    scored = (
+        cand.repartition(spark.sparkContext.defaultParallelism)
+        .join(ea, "a_id").join(eb, "b_id")
+        .withColumn("cosine",
+                    dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
+        .withColumn("rnk", F.row_number().over(
+            W.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))))
+    )
+    return (scored.filter(F.col("rnk") <= _BATCH_K)
+            .select(F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("neighbor_id"),
+                    "cosine", F.col("rnk").alias("rank"))
+            .orderBy("vec_id", "rank"))
+
+
+def _batch_topk_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_bucket_sql('embedding', f't{t}.')} AS bucket_{t}"
+                    for t in range(_ND_TABLES))}
+  FROM embeddings),
+{", ".join(
+    f"r{t} AS (SELECT vec_id, bucket_{t} AS bucket, "
+    f"row_number() OVER (PARTITION BY bucket_{t} ORDER BY vec_id) AS rn "
+    f"FROM b)"
+    for t in range(_ND_TABLES))},
+und AS (
+  SELECT DISTINCT a_id, b_id FROM (
+    {" UNION ALL ".join(
+        f"SELECT x.vec_id AS a_id, y.vec_id AS b_id "
+        f"FROM r{t} x JOIN r{t} y ON x.bucket = y.bucket "
+        f"AND x.vec_id < y.vec_id "
+        f"WHERE x.rn <= {_BUCKET_CAP} AND y.rn <= {_BUCKET_CAP}"
+        for t in range(_ND_TABLES))})),
+cand AS (
+  SELECT a_id, b_id FROM und
+  UNION ALL
+  SELECT b_id, a_id FROM und),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT a_id, b_id,
+         {_dot_sql('ea.embedding', 'eb.embedding')}
+           / nullif(ea.nrm * eb.nrm, 0.0) AS cosine
+  FROM cand
+  JOIN n ea ON ea.vec_id = a_id
+  JOIN n eb ON eb.vec_id = b_id),
+ranked AS (
+  SELECT a_id, b_id, cosine,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cosine DESC, b_id ASC) AS rnk
+  FROM scored)
+SELECT a_id AS vec_id, b_id AS neighbor_id, cosine, rnk AS rank
+FROM ranked WHERE rnk <= {_BATCH_K}
+ORDER BY vec_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # LSH index health: bucket occupancy + cap truncation, per table
 # ---------------------------------------------------------------------------
 
@@ -605,6 +704,7 @@ QUERIES = {
     "cosine_topk_numpy": (q_cosine_topk_numpy, None),
     "ann_recall_eval": (q_ann_recall_eval, _ANN_RECALL_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
+    "ann_batch_topk": (q_ann_batch_topk, _batch_topk_sql()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
     "lsh_bucket_health": (q_lsh_bucket_health, _LSH_HEALTH_SQL),
