@@ -451,6 +451,85 @@ ORDER BY a_id, b_id
 
 
 # ---------------------------------------------------------------------------
+# k-means Lloyd iteration (the codebook-training step IVF assumes)
+# ---------------------------------------------------------------------------
+
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration of k-means over the embeddings, initialized
+    from the label centroids — the training step the IVF docstring
+    assumes ('at scale the codebook is k-means-trained'): assign every
+    vector to its nearest centroid by cosine, then recompute each
+    cluster's mean. Iterating this query to convergence IS k-means;
+    one step is the oracle-checkable unit (floating-point assignment
+    ties are broken by clabel, and the mean recompute uses the same
+    decimal-exact arithmetic as `_label_means`, so Spark and DuckDB
+    agree bit-for-bit).
+
+    Scale shape: the codebook broadcasts (k rows); assignment is one
+    map-side pass; the recompute is the posexplode-free per-cluster
+    SUM/COUNT aggregation — one shuffle carrying only partial
+    aggregates. Per-iteration cost at 10^9 vectors: one scan + one
+    tiny exchange, the textbook distributed k-means step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    cos_c = (F.expr(_DOT.format(a="embedding", b="centroid"))
+             / F.nullif(
+                 F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+                 * F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid"))),
+                 F.lit(0.0)))
+    assigned = (
+        fan_out(spark, emb).crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("clabel"))))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "clabel")
+    )
+    agg = assigned.groupBy("clabel").agg(
+        F.count("*").alias("n_members"),
+        *[F.sum(F.col("embedding").getItem(i).cast("double")
+                .cast("decimal(25,6)")).alias(f"s{i}") for i in range(_DIM)],
+        *[F.count(F.col("embedding").getItem(i)).alias(f"c{i}")
+          for i in range(_DIM)])
+    return (agg.select(
+        "clabel",
+        F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
+                  for i in range(_DIM)]).alias("new_centroid"),
+        "n_members")
+        .orderBy("clabel"))
+
+
+_KMEANS_STEP_SQL = f"""
+WITH {_CENTROIDS_CTE},
+scored0 AS (
+  SELECT e.vec_id, e.embedding, c.clabel,
+         {_dot_sql('e.embedding', 'c.centroid')}
+           / nullif(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('c.centroid', 'c.centroid')}), 0.0) AS cos_c
+  FROM embeddings e, cents c),
+assigned AS (
+  SELECT vec_id, embedding, clabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, clabel ASC) AS rn
+    FROM scored0) WHERE rn = 1),
+adims AS (
+  SELECT clabel, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM assigned, (SELECT unnest(range(1, 65)) AS i) u),
+aper_dim AS (
+  SELECT clabel, dim,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(x) AS mean_x
+  FROM adims GROUP BY clabel, dim),
+members AS (
+  SELECT clabel, COUNT(*) AS n_members FROM assigned GROUP BY clabel)
+SELECT m.clabel,
+       (SELECT list(mean_x ORDER BY dim) FROM aper_dim p
+        WHERE p.clabel = m.clabel) AS new_centroid,
+       m.n_members
+FROM members m ORDER BY m.clabel
+"""
+
+
+# ---------------------------------------------------------------------------
 # Batch ANN: top-k in-bucket neighbors for EVERY vector
 # ---------------------------------------------------------------------------
 
@@ -706,6 +785,7 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
     "ann_batch_topk": (q_ann_batch_topk, _batch_topk_sql()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
+    "kmeans_lloyd_step": (q_kmeans_lloyd_step, _KMEANS_STEP_SQL),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
     "lsh_bucket_health": (q_lsh_bucket_health, _LSH_HEALTH_SQL),
     "label_centroids": (q_label_centroids, _LABEL_CENTROIDS_SQL),

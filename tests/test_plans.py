@@ -26,6 +26,8 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 # Queries where a broadcast-nested-loop join is the INTENDED physical
 # shape (a broadcast single-row/codebook crossJoin, not an accident).
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            # broadcast k-row codebook crossJoin, the Lloyd-step shape
+            "kmeans_lloyd_step",
             "embedding_neardup", "range_trading_strategy",
             # intentional 1-row x 1-row crossJoin of two global aggs
             "hll_merge_consistency",
