@@ -417,8 +417,117 @@ FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 15, 90
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_TTR = 0.35
+_GOPHER_MIN_STOP_HITS = 2
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic document filter (Rae et al. 2021 §A.1.1,
+    public paper), one boolean column per rule plus the conjunction:
+
+    * ``ok_word_count``  — word count in [15, 90] (paper: 50–100 k,
+      rescaled to this corpus's 10–99-token band so the rule has
+      discriminating power on the fixture);
+    * ``ok_mean_word_len`` — mean word length in [3, 10];
+    * ``ok_alpha_frac``  — ≥80 % of words contain an alphabetic char;
+    * ``ok_ttr``         — type-token ratio ≥ 0.35 (the repetition
+      family of filters collapsed to its cheapest per-row form);
+    * ``ok_stopwords``   — ≥2 hits from the shared stopword list.
+
+    Unlike ``quality_score`` (a weighted score) this is the hard
+    gating shape production corpus builders actually run: per-rule
+    booleans so rejection reasons are countable, `keep` as the AND.
+
+    Scale shape: one narrow map pass over the scan — every rule is a
+    whole-stage-codegen expression on the token array; no shuffle, no
+    UDF, nothing to skew. At 100 TB this is scan-bound, the cheapest
+    possible filter stage, and composes under the same plan as
+    `clean_corpus`'s gates."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = docs.select(
+        "doc_id", "source",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
+    )
+    ntok_d = F.col("n_tokens").cast("double")
+    mean_wl = (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.nullif(
+        ntok_d, F.lit(0.0))
+    alpha_frac = F.col("n_alpha") / F.nullif(ntok_d, F.lit(0.0))
+    ttr = F.col("n_distinct") / F.nullif(ntok_d, F.lit(0.0))
+    rules = {
+        "ok_word_count": (F.col("n_tokens") >= _GOPHER_MIN_WORDS)
+        & (F.col("n_tokens") <= _GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_wl >= _GOPHER_MIN_MWL)
+        & (mean_wl <= _GOPHER_MAX_MWL),
+        "ok_alpha_frac": alpha_frac >= _GOPHER_MIN_ALPHA_FRAC,
+        "ok_ttr": ttr >= _GOPHER_MIN_TTR,
+        "ok_stopwords": F.col("n_stop") >= _GOPHER_MIN_STOP_HITS,
+    }
+    keep = F.lit(True)
+    for cond in rules.values():
+        keep = keep & cond
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        ttr.alias("ttr"),
+        F.col("n_stop").alias("stop_hits"),
+        *[cond.alias(name) for name, cond in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(w) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_distinct(w)) AS n_distinct,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(w, x -> x IN ({_STOP_IN}))) AS n_stop
+  FROM (SELECT doc_id, source, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)),
+m AS (
+  SELECT *,
+         (n_chars - (n_tokens - 1)) / nullif(CAST(n_tokens AS DOUBLE), 0.0)
+           AS mean_word_len,
+         n_alpha / nullif(CAST(n_tokens AS DOUBLE), 0.0) AS alpha_frac,
+         n_distinct / nullif(CAST(n_tokens AS DOUBLE), 0.0) AS ttr
+  FROM t)
+SELECT doc_id, source, n_tokens, mean_word_len, alpha_frac, ttr,
+       n_stop AS stop_hits,
+       n_tokens >= {_GOPHER_MIN_WORDS} AND n_tokens <= {_GOPHER_MAX_WORDS}
+         AS ok_word_count,
+       mean_word_len >= {_GOPHER_MIN_MWL} AND mean_word_len <= {_GOPHER_MAX_MWL}
+         AS ok_mean_word_len,
+       alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC} AS ok_alpha_frac,
+       ttr >= {_GOPHER_MIN_TTR} AS ok_ttr,
+       n_stop >= {_GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+       (n_tokens >= {_GOPHER_MIN_WORDS} AND n_tokens <= {_GOPHER_MAX_WORDS})
+         AND (mean_word_len >= {_GOPHER_MIN_MWL}
+              AND mean_word_len <= {_GOPHER_MAX_MWL})
+         AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+         AND ttr >= {_GOPHER_MIN_TTR}
+         AND n_stop >= {_GOPHER_MIN_STOP_HITS} AS keep
+FROM m
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "gopher_filters": (q_gopher_filters, _GOPHER_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
     "pii_scrub": (q_pii_scrub, _PII_SCRUB_SQL),
     "bigram_counts": (q_bigram_counts, _BIGRAM_SQL),
