@@ -727,8 +727,87 @@ ORDER BY a_id, b_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring duplication signal (duplicated n-gram span coverage)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage — the distributable
+    counting form of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    paper; the suffix-array span finder collapsed to fixed-length
+    8-gram hits): for every word-8-gram POSITION in every document,
+    is that 8-gram present in any OTHER document? Emits per doc the
+    span count, duplicated-span count, coverage fraction, and the
+    hottest gram's document frequency — the signal used to cut
+    boilerplate spans (dup_frac ≈ 1 → mirror; 0 < dup_frac < 1 →
+    shared boilerplate worth span-level excision).
+
+    Scale shape — and why THIS needs no df cap while the pairwise
+    shingle JOIN does: the gram table is never self-joined. Stage 1
+    shuffles gram rows on the gram hash where a window collect_set
+    computes document frequency (map-side partial dedup of doc_ids;
+    a hot stop-phrase gram costs O(k) rows, never the O(k²) a
+    pair-join would emit). Stage 2 re-aggregates on doc_id. Two
+    bounded data shuffles past the fan-out repartition, linear in
+    corpus grams, at any scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= _SPAN_N)
+    grams = (
+        fan_out(spark, docs)
+        .withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, size(w) - {_SPAN_N}), "
+                f"i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_N}))))"
+            )).alias("pos", "gh"))
+    )
+    from pyspark.sql.window import Window
+    wg = Window.partitionBy("gh")
+    span_df = grams.withColumn(
+        "gram_df", F.size(F.collect_set("doc_id").over(wg)))
+    return (
+        span_df.groupBy("doc_id").agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("gram_df") > 1).cast("long")).alias("n_dup_spans"),
+            F.max("gram_df").alias("max_gram_df"))
+        .withColumn("dup_frac",
+                    F.col("n_dup_spans")
+                    / F.col("n_spans").cast("double"))
+        .select("doc_id", "n_spans", "n_dup_spans", "max_gram_df",
+                "dup_frac")
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(w, i + 1, i + {_SPAN_N}), ' ')) AS gh
+  FROM (SELECT doc_id, w,
+               unnest(range(0, len(w) - {_SPAN_N - 1})) AS i
+        FROM toks WHERE len(w) >= {_SPAN_N})),
+df AS (SELECT gh, COUNT(DISTINCT doc_id) AS gram_df FROM g GROUP BY gh)
+SELECT g.doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN df.gram_df > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+       MAX(df.gram_df) AS max_gram_df,
+       SUM(CASE WHEN df.gram_df > 1 THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM g JOIN df USING (gh)
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
+    "dup_ngram_spans": (q_dup_ngram_spans, _DUP_SPANS_SQL),
     "neardup_split_leakage": (q_neardup_split_leakage, _split_leakage_sql()),
     "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
     "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
