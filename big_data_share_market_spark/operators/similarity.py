@@ -687,6 +687,132 @@ FROM per_bucket GROUP BY tbl ORDER BY tbl
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster, then near-dup within clusters)
+# ---------------------------------------------------------------------------
+
+_SD_THRESHOLD = 0.4  # same calibration as _ND_THRESHOLD (fixture max
+                     # within-cluster cosine ≈ 0.49; 0.4 marks the
+                     # planted near-dup tail, ~1e-3 of cluster pairs)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): assign every vector
+    to its nearest k-means centroid, then search for near-duplicates
+    ONLY within each cluster — pruning by semantics where MinHash/LSH
+    prunes by hash. Decision per vector: `keep` = no in-cluster
+    neighbor with smaller vec_id at cosine ≥ 0.5 (keep-lowest-id
+    representative, the same convention as exact_dedup), plus the
+    duplicate-neighbor count so downstream can weight instead of drop.
+    (At the paper's operating point the threshold sits much nearer 1.0;
+    0.4 matches this synthetic corpus's planted-similarity scale.)
+
+    Scale shape: the codebook broadcasts (k rows) and assignment is
+    one map-side pass — at 10^9 vectors k is ~10^5 so mean cluster
+    size stays ~10^4 and the in-cluster pair expansion is bounded by
+    `capped_pair_expand` (cap² per cluster hard ceiling, truncation
+    visible via lsh_bucket_health-style stats); the verify join scores
+    candidates only, with norms computed once per vector map-side and
+    no broadcast hint pinning the full table (AQE picks the bounded
+    candidate side). Shuffles: codebook agg (tiny), assignment rank,
+    cluster collect, verify join, final join-back. The assignment
+    subtree feeds both the pair stage and the join-back — in this
+    lazy one-shot form it plans twice (AQE reuses the exchange at
+    runtime where shapes match); an iterative production deployment
+    would persist `assigned` once, as it's also the k-means input."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    cos_c = (F.expr(_DOT.format(a="embedding", b="centroid"))
+             / F.nullif(
+                 F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+                 * F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid"))),
+                 F.lit(0.0)))
+    assigned = (
+        fan_out(spark, emb).crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("clabel"))))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel")
+    )
+    pairs, _ = capped_pair_expand(
+        assigned.groupBy("clabel")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids")))
+    # exact verify on candidates only — same shape as embedding_neardup
+    embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    emb_wide = fan_out(spark, emb)
+    ea = emb_wide.select(F.col("vec_id").alias("a_id"),
+                         embd.alias("emb_a"), nrm.alias("nrm_a"))
+    eb = emb_wide.select(F.col("vec_id").alias("b_id"),
+                         embd.alias("emb_b"), nrm.alias("nrm_b"))
+    dot = F.expr(
+        "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
+        "(acc, i) -> acc + emb_a[i] * emb_b[i])")
+    dup_pairs = (
+        pairs.repartition(spark.sparkContext.defaultParallelism)
+        .join(ea, "a_id").join(eb, "b_id")
+        .withColumn("cosine",
+                    dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
+        .filter(F.col("cosine") >= _SD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    dup_of = dup_pairs.groupBy(F.col("b_id").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("n_dup_neighbors"))
+    return (
+        assigned.join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id", "clabel",
+            F.coalesce("n_dup_neighbors", F.lit(0).cast("long"))
+            .alias("n_dup_neighbors"),
+            F.col("n_dup_neighbors").isNull().alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH {_CENTROIDS_CTE},
+sscored AS (
+  SELECT e.vec_id, e.embedding, c.clabel,
+         {_dot_sql('e.embedding', 'c.centroid')}
+           / nullif(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('c.centroid', 'c.centroid')}), 0.0) AS cos_c
+  FROM embeddings e, cents c),
+sassigned AS (
+  SELECT vec_id, clabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, clabel ASC) AS rn
+    FROM sscored) WHERE rn = 1),
+sr AS (
+  SELECT vec_id, clabel,
+         row_number() OVER (PARTITION BY clabel ORDER BY vec_id) AS rn
+  FROM sassigned),
+spairs AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM sr x JOIN sr y ON x.clabel = y.clabel AND x.vec_id < y.vec_id
+  WHERE x.rn <= {_BUCKET_CAP} AND y.rn <= {_BUCKET_CAP}),
+sn AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+sdup AS (
+  SELECT b_id, COUNT(*) AS n_dup_neighbors FROM (
+    SELECT p.a_id, p.b_id,
+           {_dot_sql('ea.embedding', 'eb.embedding')}
+             / nullif(ea.nrm * eb.nrm, 0.0) AS cosine
+    FROM spairs p
+    JOIN sn ea ON ea.vec_id = p.a_id
+    JOIN sn eb ON eb.vec_id = p.b_id)
+  WHERE cosine >= {_SD_THRESHOLD}
+  GROUP BY b_id)
+SELECT a.vec_id, a.clabel,
+       COALESCE(d.n_dup_neighbors, 0) AS n_dup_neighbors,
+       d.n_dup_neighbors IS NULL AS keep
+FROM sassigned a LEFT JOIN sdup d ON d.b_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label centroids (array aggregation)
 # ---------------------------------------------------------------------------
 
@@ -787,6 +913,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
     "kmeans_lloyd_step": (q_kmeans_lloyd_step, _KMEANS_STEP_SQL),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
+    "semantic_dedup": (q_semantic_dedup, _SEMANTIC_DEDUP_SQL),
     "lsh_bucket_health": (q_lsh_bucket_health, _LSH_HEALTH_SQL),
     "label_centroids": (q_label_centroids, _LABEL_CENTROIDS_SQL),
 }

@@ -28,6 +28,8 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # broadcast k-row codebook crossJoin, the Lloyd-step shape
             "kmeans_lloyd_step",
+            # same broadcast-codebook assignment stage (SemDeDup)
+            "semantic_dedup",
             "embedding_neardup", "range_trading_strategy",
             # intentional 1-row x 1-row crossJoin of two global aggs
             "hll_merge_consistency",
