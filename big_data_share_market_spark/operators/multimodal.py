@@ -407,8 +407,121 @@ FROM segs
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash)
+# ---------------------------------------------------------------------------
+
+_DHASH_ROWS, _DHASH_COLS = 8, 9  # 8×8 gradient bits
+
+
+def perceptual_dhash(img) -> str:
+    """Difference hash (dHash, public algorithm: Krawetz 2013) of a
+    decoded (H, W, 3) image: channel-mean grayscale, block-mean
+    resample to 8×9, one bit per horizontal neighbor pair (left <
+    right) → 64-char bitstring. Comparing NEIGHBORS makes the hash
+    exactly invariant to any global brightness offset or positive
+    rescale that doesn't clip — the property a perceptual dedup needs
+    that a byte-hash lacks. Pairs with `decode_image` for real BMP/
+    JPEG payloads (tests/test_multimodal_decode.py)."""
+    import numpy as np
+
+    g = np.asarray(img).astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    if h < _DHASH_ROWS or w < _DHASH_COLS:
+        raise ValueError(f"image {h}x{w} too small for dHash grid")
+    re = np.linspace(0, h, _DHASH_ROWS + 1).astype(int)
+    ce = np.linspace(0, w, _DHASH_COLS + 1).astype(int)
+    small = np.array([[g[re[r]:re[r + 1], ce[c]:ce[c + 1]].mean()
+                       for c in range(_DHASH_COLS)]
+                      for r in range(_DHASH_ROWS)])
+    bits = (small[:, :-1] < small[:, 1:]).flatten()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def _byte_dhash(buf: bytes) -> str:
+    """The same dHash kernel applied to the raw byte plane (first
+    8×9 = 72 bytes, zero-padded): the oracle-able stand-in for the
+    fixture, whose payloads are text bytes rather than decodable
+    images — identical UDF shape, batch layout, and grouping plan to
+    the real-pixel path."""
+    import numpy as np
+
+    grid = np.zeros(_DHASH_ROWS * _DHASH_COLS, dtype=np.float64)
+    arr = np.frombuffer(bytes(buf), dtype=np.uint8)[: grid.size]
+    grid[: arr.size] = arr
+    g = grid.reshape(_DHASH_ROWS, _DHASH_COLS)
+    bits = (g[:, :-1] < g[:, 1:]).flatten()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "dhash": [_byte_dhash(p) for p in pdf["payload"]],
+        })
+
+
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over the media table: dHash per payload
+    (Arrow-batched mapInPandas — the decode+hash stage of an image
+    dedup pipeline), then exact-dedup grouping on the hash (keep =
+    min doc_id, same convention as exact_dedup). On real corpora the
+    kernel is `decode_image` → `perceptual_dhash`; the fixture runs
+    the byte-plane twin so DuckDB can mirror the hash bit-for-bit.
+
+    Scale shape: hash computation is a narrow map pass (payload never
+    shuffles — only the 64-bit hash and doc_id enter the exchange);
+    grouping is ONE shuffle on the hash via window aggregation. A
+    Hamming-radius>0 variant buckets hash chunks exactly like
+    simhash_pairs; equality (radius 0) needs no pair expansion at
+    all."""
+    from pyspark.sql.window import Window
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    hashed = media.mapInPandas(
+        _dhash_batches, schema="doc_id BIGINT, dhash STRING")
+    w = Window.partitionBy("dhash")
+    return (
+        hashed
+        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id", "dhash", "keep_doc_id", "n_copies", "keep")
+    )
+
+
+def _phash_dedup_sql() -> str:
+    n = _DHASH_ROWS * _DHASH_COLS
+    bit = (f"CASE WHEN bb[(k // {_DHASH_COLS - 1}) * {_DHASH_COLS} "
+           f"+ (k % {_DHASH_COLS - 1}) + 1] "
+           f"< bb[(k // {_DHASH_COLS - 1}) * {_DHASH_COLS} "
+           f"+ (k % {_DHASH_COLS - 1}) + 2] THEN '1' ELSE '0' END")
+    return f"""
+WITH hb AS (
+  SELECT doc_id,
+         list_transform(range(0, {n}),
+           p -> CASE WHEN length(text) > p
+                THEN CAST(ascii(substring(text, p + 1, 1)) AS DOUBLE)
+                ELSE 0.0 END) AS bb
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(0, {(_DHASH_COLS - 1) * _DHASH_ROWS}), k -> {bit}), '')
+           AS dhash
+  FROM hb),
+g AS (SELECT dhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      FROM h GROUP BY dhash)
+SELECT h.doc_id, h.dhash, g.keep_doc_id, g.n_copies,
+       h.doc_id = g.keep_doc_id AS keep
+FROM h JOIN g USING (dhash)
+"""
+
+
 QUERIES = {
     "media_metadata_stats": (q_media_metadata_stats, _MEDIA_STATS_SQL),
+    "media_phash_dedup": (q_media_phash_dedup, _phash_dedup_sql()),
     "media_audio_segments": (q_media_audio_segments, _AUDIO_SEGMENTS_SQL),
     "media_resize": (q_media_resize, _MEDIA_RESIZE_SQL),
     "media_decode_features": (q_media_decode_features, _MEDIA_FEATURES_SQL),

@@ -288,3 +288,49 @@ def test_jpeg_fill_bytes_and_cmyk_guard():
     bad[ncomp_at] = 4
     with pytest.raises(NotImplementedError):
         decode_baseline_jpeg(bytes(bad))
+
+
+def test_perceptual_dhash_brightness_invariant():
+    """dHash compares neighbor blocks, so a global brightness offset
+    (no clipping) must not change a single bit; a genuinely different
+    image must."""
+    from big_data_share_market_spark.operators.multimodal import (
+        perceptual_dhash)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(20, 180, size=(16, 18, 3), dtype=np.uint8)
+    base = perceptual_dhash(decode_image(make_bmp(img)))
+    assert len(base) == 64 and set(base) <= {"0", "1"}
+    brighter = (img.astype(np.int16) + 60).astype(np.uint8)  # no clip
+    assert perceptual_dhash(decode_image(make_bmp(brighter))) == base
+    other = rng.integers(20, 180, size=(16, 18, 3), dtype=np.uint8)
+    assert perceptual_dhash(decode_image(make_bmp(other))) != base
+    with pytest.raises(ValueError):
+        perceptual_dhash(np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_perceptual_dhash_through_map_in_pandas(spark):
+    """Real-pixel dHash through the same mapInPandas plumbing the
+    registry query uses: two BMP payloads (one a brightness-shifted
+    dup) hash to the same value; a third does not."""
+    from big_data_share_market_spark.operators.multimodal import (
+        decode_image as dec, perceptual_dhash)
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(20, 180, size=(12, 20, 3), dtype=np.uint8)
+    b = (a.astype(np.int16) + 40).astype(np.uint8)
+    c = rng.integers(20, 180, size=(12, 20, 3), dtype=np.uint8)
+    rows = [(i, make_bmp(p)) for i, p in enumerate((a, b, c))]
+    df = spark.createDataFrame(rows, "doc_id INT, payload BINARY")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "dhash": [perceptual_dhash(dec(bytes(p)))
+                          for p in pdf["payload"]],
+            })
+
+    out = {r["doc_id"]: r["dhash"]
+           for r in df.mapInPandas(run, "doc_id INT, dhash STRING").collect()}
+    assert out[0] == out[1] != out[2]
