@@ -156,8 +156,104 @@ WHERE {hash256_sql('d.doc_id', 'mix:')} * s.cnt * s.wsum
 """
 
 
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: allocate a global TOKEN budget (40% of the
+    corpus) across sources by the same 3:1 even/odd weights as
+    `mixture_sample`, then take documents per source in a reproducible
+    hash order until each source's budget is filled. This is the
+    token-weighted form of mixture sampling — the knob real
+    pretraining mixes are specified in (tokens per source, not
+    documents per source).
+
+    The greedy take needs a running token total per source in a fixed
+    order. A flat `SUM OVER (PARTITION BY source ORDER BY ...)` sorts
+    every row of a hot source on ONE task — the classic window skew.
+    Instead this uses the distributed two-level prefix sum:
+
+      1. bucket each doc by hash256 (0..255) — the ORDER is
+         (bucket, doc_id), so bucket prefixes are order prefixes;
+      2. per (source, bucket) partial token sums — map-side combinable
+         aggregate, ≤256 rows per source;
+      3. exclusive per-source prefix over those 256 partials — a
+         window over a bytes-sized frame;
+      4. running sum WITHIN each (source, bucket) + the bucket's
+         offset — 256-way parallel per source instead of one task.
+
+    Identical output to the flat window (the oracle IS the flat
+    window), but no single-task sort of a 100 TB source."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    t = docs.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"),
+        hash256(F.col("doc_id"), "budget:").alias("bucket"))
+
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    weight = F.when(src_num % 2 == 0, F.lit(3)).otherwise(F.lit(1))
+    budgets = (t.groupBy("source")
+               .agg(F.sum("n_tokens").alias("src_tokens"))
+               .withColumn("w", weight.cast("long"))
+               .withColumn("g", F.sum("src_tokens").over(W.partitionBy()))
+               .withColumn("wsum", F.sum("w").over(W.partitionBy()))
+               .withColumn(
+                   "budget",
+                   F.expr("((g * 2) div 5) * w div wsum"))
+               .select("source", "budget"))
+
+    partials = (t.groupBy("source", "bucket")
+                .agg(F.sum("n_tokens").alias("bsum")))
+    offsets = partials.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("bsum").over(
+                W.partitionBy("source").orderBy("bucket")
+                .rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)))
+
+    running = F.sum("n_tokens").over(
+        W.partitionBy("source", "bucket").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0))
+    return (
+        t.join(F.broadcast(offsets.select("source", "bucket", "off")),
+               ["source", "bucket"])
+        .withColumn("cum_tokens", F.col("off") + running)
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         {hash256_sql('doc_id', 'budget:')} AS bucket
+  FROM documents),
+budgets AS (
+  SELECT source,
+         ((SELECT SUM(n_tokens) FROM t) * 2 // 5)
+           * (CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                        % 2 = 0 THEN 3 ELSE 1 END)
+           // (SELECT SUM(CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
+                                             AS INT) % 2 = 0
+                               THEN 3 ELSE 1 END)
+               FROM (SELECT DISTINCT source FROM documents))
+           AS budget
+  FROM (SELECT DISTINCT source FROM documents)),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c JOIN budgets b USING (source)
+WHERE c.cum_tokens <= b.budget
+"""
+
+
 QUERIES = {
     "hash_split": (q_hash_split, _HASH_SPLIT_SQL),
     "stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "mixture_sample": (q_mixture_sample, _MIXTURE_SQL),
+    "token_budget_mixture": (q_token_budget_mixture, _TOKEN_BUDGET_SQL),
 }

@@ -902,6 +902,114 @@ SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ encode + asymmetric-distance top-k)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces: 64 dims -> 8 slices of 8
+_PQ_SUB = 8      # dims per subspace
+
+
+def _pq_d2(vec: str, cent: str, s: int):
+    """Squared L2 between subspace-s slices of `vec` and `cent`
+    (columns), as a sequential double fold over the dim indices —
+    bit-identical on both engines."""
+    lo, hi = s * _PQ_SUB + 1, s * _PQ_SUB + _PQ_SUB
+    return F.expr(
+        f"aggregate(sequence({lo}, {hi}), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        f"acc + (CAST(element_at({vec}, i) AS DOUBLE) - element_at({cent}, i))"
+        f" * (CAST(element_at({vec}, i) AS DOUBLE) - element_at({cent}, i)))")
+
+
+def _pq_d2_sql(vec: str, cent: str, s: int) -> str:
+    lo, hi = s * _PQ_SUB + 1, s * _PQ_SUB + _PQ_SUB
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range({lo}, {hi + 1}), i -> "
+        f"(CAST({vec}[i] AS DOUBLE) - {cent}[i])"
+        f" * (CAST({vec}[i] AS DOUBLE) - {cent}[i]))), (acc, v) -> acc + v)")
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each 64-dim float vector compresses to
+    8 one-byte codes (per-subspace argmin against a shared
+    codebook — the label-centroid slices, so the codebook definition is
+    the one `label_centroids` already proves bit-identical), and the
+    query ranks by ASYMMETRIC distance: sum over subspaces of
+    d2(query_slice, sub_centroid[code]) — never touching the original
+    vectors at query time.
+
+    Why it matters at 100 TB: 10^9 × 64 × 4 B of floats becomes 10^9 ×
+    8 B of codes (32× smaller), and a probe is table lookups instead of
+    float folds over raw vectors. Shape here: codebook (10 rows) and
+    query (1 row) broadcast onto the scan; per-subspace argmins reduce
+    the 10-way fanout in ONE partial-aggregatable groupBy via
+    lexicographic struct-min (d2, label, query_d2) — the query-side
+    distance rides along with the winning code, so no second join
+    against a lookup table and no order-dependent float sum. A real
+    deployment folds the literal codebook into the encode map pass and
+    persists codes; the argmin/ADC arithmetic is exactly this.
+
+    Approximate by design (quantization error); the oracle mirrors
+    codebook, argmins, and the left-to-right 8-term ADC sum, so parity
+    is exact."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = _centroids(spark, sf_dir)
+    q = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("q_emb")))
+    j = (emb.filter(F.col("vec_id") != 0)
+         .crossJoin(F.broadcast(cents))
+         .crossJoin(F.broadcast(q)))
+    aggs = [
+        F.min(F.struct(
+            _pq_d2("embedding", "centroid", s).alias("d"),
+            F.col("clabel").alias("c"),
+            _pq_d2("q_emb", "centroid", s).alias("q"))).alias(f"m{s}")
+        for s in range(_PQ_M)]
+    enc = j.groupBy("vec_id", "label").agg(*aggs)
+    adc = F.col("m0.q")
+    for s in range(1, _PQ_M):
+        adc = adc + F.col(f"m{s}.q")
+    return (enc.select(
+        "vec_id", "label",
+        *[F.col(f"m{s}.c").alias(f"code{s}") for s in range(_PQ_M)],
+        adc.alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(5))
+
+
+_ANN_PQ_SQL = f"""
+WITH {_CENTROIDS_CTE},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+j AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         {", ".join(f"{_pq_d2_sql('e.embedding', 'c.centroid', s)} AS d{s}, "
+                    f"{_pq_d2_sql('q_emb', 'c.centroid', s)} AS qd{s}"
+                    for s in range(_PQ_M))}
+  FROM embeddings e, cents c, q
+  WHERE e.vec_id <> 0),
+r AS (
+  SELECT *,
+         {", ".join(f"row_number() OVER (PARTITION BY vec_id "
+                    f"ORDER BY d{s}, clabel) AS rn{s}"
+                    for s in range(_PQ_M))}
+  FROM j),
+enc AS (
+  SELECT vec_id, label,
+         {", ".join(f"MAX(CASE WHEN rn{s} = 1 THEN clabel END) AS code{s}, "
+                    f"MAX(CASE WHEN rn{s} = 1 THEN qd{s} END) AS q{s}"
+                    for s in range(_PQ_M))}
+  FROM r GROUP BY vec_id, label)
+SELECT vec_id, label,
+       {", ".join(f"code{s}" for s in range(_PQ_M))},
+       {" + ".join(f"q{s}" for s in range(_PQ_M))} AS approx_d2
+FROM enc
+ORDER BY approx_d2 ASC, vec_id ASC
+LIMIT 5
+"""
+
+
 QUERIES = {
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     # numpy kernel: no value oracle by design (pairwise vs sequential
@@ -911,6 +1019,7 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
     "ann_batch_topk": (q_ann_batch_topk, _batch_topk_sql()),
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
+    "ann_pq_topk": (q_ann_pq_topk, _ANN_PQ_SQL),
     "kmeans_lloyd_step": (q_kmeans_lloyd_step, _KMEANS_STEP_SQL),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
     "semantic_dedup": (q_semantic_dedup, _SEMANTIC_DEDUP_SQL),

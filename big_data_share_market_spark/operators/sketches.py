@@ -27,6 +27,10 @@ asserts the error bounds instead.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,8 +101,95 @@ def q_hll_merge_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("consistent"))
 
 
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+#: Misra-Gries counter budget per partition. The guarantee: every token
+#: whose GLOBAL frequency exceeds N/(k+1) appears in the union of the
+#: per-partition summaries (if it were absent from a partition's
+#: summary, its local count was <= n_p/(k+1); summing that bound over
+#: partitions contradicts the global frequency). So candidates ⊇ true
+#: heavy hitters, and the exact recount pass makes the output EXACT —
+#: which is why this sketch query can carry a DuckDB oracle while the
+#: HLL ones above cannot.
+_MG_K = 64
+
+
+def mg_update(counters: dict[str, int], token: str, w: int, k: int) -> None:
+    """One weighted Misra-Gries update: add w to token's counter; if
+    that overflows the k-counter budget, subtract the minimum counter
+    value from every counter and drop zeros (the generalized decrement
+    step — each subtraction removes equal mass from k+1 distinct
+    tokens, bounding total undercount by N/(k+1))."""
+    counters[token] = counters.get(token, 0) + w
+    if len(counters) > k:
+        m = min(counters.values())
+        for t in list(counters):
+            counters[t] -= m
+            if counters[t] <= 0:
+                del counters[t]
+
+
+def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition MG summary over whitespace tokens (lowered,
+    str.split == trim + split-on-\\s+). Batches are value_counts'd
+    first so the Python loop runs over UNIQUE tokens per batch, not
+    rows — the update cost is O(vocab-per-batch), not O(tokens)."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        toks = pdf["text"].str.lower().str.split().explode().dropna()
+        for token, w in toks.value_counts().items():
+            mg_update(counters, token, int(w), _MG_K)
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tokens with frequency > N/(k+1) over the corpus, found
+    WITHOUT a full-vocabulary shuffle: per-partition Misra-Gries
+    summaries (bounded k counters each, map-side only) propose ≤
+    k·partitions candidate tokens; an exact recount scans again and
+    counts ONLY candidate tokens (broadcast semi-join before the
+    groupBy, so the shuffle carries ≤ candidates rows, not the
+    vocabulary). At 100 TB with a billions-of-terms vocabulary the
+    naive groupBy(token) shuffle is the job-killer; this caps shuffle
+    width at k·partitions regardless of vocabulary size.
+
+    The MG superset guarantee (see _MG_K) makes the final answer
+    exact, so the oracle is plain exact SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = (docs.select("text")
+             .mapInPandas(_mg_candidates, "token string")
+             .distinct())
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    total = docs.agg(F.sum(F.size(toks)).cast("long").alias("total"))
+    exploded = docs.select(F.explode(toks).alias("token"))
+    return (
+        exploded.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (_MG_K + 1) > F.col("total"))
+        .select("token", "cnt",
+                (F.col("cnt") / F.col("total").cast("double")).alias("share"))
+    )
+
+
+_HEAVY_HITTERS_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token)
+SELECT token, cnt, cnt / CAST((SELECT total FROM tot) AS DOUBLE) AS share
+FROM c
+WHERE cnt * {_MG_K + 1} > (SELECT total FROM tot)
+"""
+
+
 QUERIES = {
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_value_quantiles": (q_approx_value_quantiles, None),
     "hll_merge_consistency": (q_hll_merge_consistency, None),
+    "heavy_hitters": (q_heavy_hitters, _HEAVY_HITTERS_SQL),
 }

@@ -26,6 +26,8 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 # Queries where a broadcast-nested-loop join is the INTENDED physical
 # shape (a broadcast single-row/codebook crossJoin, not an accident).
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            # broadcast 10-row codebook + 1-row query onto the scan
+            "ann_pq_topk",
             # broadcast k-row codebook crossJoin, the Lloyd-step shape
             "kmeans_lloyd_step",
             # same broadcast-codebook assignment stage (SemDeDup)
@@ -39,6 +41,8 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             "idle_customer_balance", "length_histogram",
             # 1-row vocabulary-size broadcast for the smoothing term
             "bigram_lm_score",
+            # 1-row total-token-count broadcast onto the recount side
+            "heavy_hitters",
             # composes cosine_topk + ann_lsh_topk + k-row broadcasts
             "ann_recall_eval"}
 

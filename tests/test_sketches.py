@@ -31,3 +31,29 @@ def test_approx_quantiles_close(spark):
 def test_hll_union_matches_direct(spark):
     row = sketches.q_hll_merge_consistency(spark, SF_DIR).collect()[0]
     assert row.consistent, (row.merged_estimate, row.direct_estimate)
+
+
+def test_mg_superset_guarantee():
+    """Misra-Gries retention: after any weighted stream, every token
+    with frequency > N/(k+1) must still be in the counter dict — the
+    property q_heavy_hitters' candidate pass relies on. Adversarial
+    shape: one heavy token drip-fed between bursts of distinct noise
+    tokens engineered to force constant decrement churn."""
+    from collections import Counter
+
+    k = 8
+    counters = {}
+    truth = Counter()
+    noise = 0
+    for round_ in range(200):
+        sketches.mg_update(counters, "heavy", 3, k)
+        truth["heavy"] += 3
+        for _ in range(10):  # fresh singletons each round: max churn
+            tok = f"noise{noise}"
+            noise += 1
+            sketches.mg_update(counters, tok, 1, k)
+            truth[tok] += 1
+    n = sum(truth.values())
+    assert truth["heavy"] * (k + 1) > n, "fixture must make heavy a hitter"
+    assert "heavy" in counters
+    assert len(counters) <= k
