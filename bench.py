@@ -61,6 +61,10 @@ HEADLINE = [
     "suppliers_kept_waiting",  # Q21: decorrelated exists pair
     "repetition_score",     # corpus repetition signals (2x explode-agg)
     "cross_split_contamination",  # fingerprint self-join
+    "token_budget_mixture",  # two-level distributed prefix sum
+    "heavy_hitters",        # Misra-Gries candidates + exact recount
+    "ann_pq_topk",          # product-quantization ADC top-k
+    "incremental_dedup",    # delta-vs-base fingerprint anti-join
 ]
 
 

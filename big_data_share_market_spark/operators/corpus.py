@@ -305,8 +305,71 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust length-outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+#: 1 / Φ⁻¹(3/4): scales MAD to estimate σ under normality — the
+#: standard robust-z consistency constant.
+_MAD_K = 1.4826
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length outliers: flag documents whose length
+    deviates from the SOURCE median by more than 3 robust standard
+    deviations (1.4826·MAD). Mean/stddev outlier gates are themselves
+    corrupted by the outliers they hunt (a few 100 MB pathological
+    docs drag the mean); median/MAD is the screen real corpus QA uses.
+
+    Both medians use percentile_disc — a member value, no
+    interpolation — so Spark and DuckDB agree exactly on integer
+    lengths. Shape: two bytes-per-source aggregates (median, then MAD
+    of deviations) broadcast back onto the scan; the flag itself is
+    row-local. No full-data shuffle at any point."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .alias("med"))
+    dev = (docs.join(F.broadcast(med), "source")
+           .withColumn("adev", F.abs(F.col("n_chars") - F.col("med"))))
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .alias("mad"))
+    z = ((F.col("n_chars") - F.col("med")).cast("double")
+         / F.nullif(F.lit(_MAD_K) * F.col("mad").cast("double"), F.lit(0.0)))
+    return (dev.join(F.broadcast(mad), "source")
+            .withColumn("robust_z", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(F.col("robust_z")) > 3.0,
+                                   F.lit(False)))
+            .select("doc_id", "source", "n_chars", "med", "mad",
+                    "robust_z", "is_outlier"))
+
+
+_LENGTH_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT source, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY source),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, m.med,
+         abs(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m USING (source)),
+mad AS (
+  SELECT source, quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY source)
+SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad,
+       CAST(dev.n_chars - dev.med AS DOUBLE)
+         / nullif({_MAD_K} * CAST(mad.mad AS DOUBLE), 0.0) AS robust_z,
+       COALESCE(abs(CAST(dev.n_chars - dev.med AS DOUBLE)
+         / nullif({_MAD_K} * CAST(mad.mad AS DOUBLE), 0.0)) > 3.0, FALSE)
+         AS is_outlier
+FROM dev JOIN mad USING (source)
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
+    "length_outliers": (q_length_outliers, _LENGTH_OUTLIERS_SQL),
     "bigram_lm_score": (q_bigram_lm_score, _BIGRAM_LM_SQL),
     "cross_split_contamination": (q_cross_split_contamination,
                                   _CONTAMINATION_SQL),

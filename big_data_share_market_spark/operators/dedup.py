@@ -21,7 +21,7 @@ on \\s+, word 3-gram shingles, distinct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import fan_out, load_table
@@ -805,8 +805,108 @@ GROUP BY g.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-base) dedup
+# ---------------------------------------------------------------------------
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-against-base dedup — the shape every INCREMENTAL corpus
+    build runs daily: today's crawl (delta = doc_id % 10 >= 8) is
+    deduped against the accumulated corpus (base) by consulting ONLY
+    the base's fingerprint index, never rescanning base text. A delta
+    doc survives iff its prefix fingerprint (same key as exact_dedup)
+    is absent from the base index AND it is the first occurrence
+    within the delta itself.
+
+    Scale shape: the base side is a stored bytes-per-doc fingerprint
+    index, not the 100 TB text — the join is fp-to-fp. The delta is
+    orders of magnitude smaller than base, so AQE broadcasts the
+    delta-side aggregates; with a partitioned index the join prunes to
+    the delta's fp ranges. History is never reprocessed — the property
+    that makes daily 100 TB ingestion O(delta), not O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
+    tagged = docs.select("doc_id", fp.alias("fp"),
+                         (F.col("doc_id") % 10 >= 8).alias("is_delta"))
+    base_index = (tagged.filter(~F.col("is_delta"))
+                  .select("fp").distinct()
+                  .withColumn("in_base", F.lit(True)))
+    delta = tagged.filter(F.col("is_delta")).drop("is_delta")
+    w = Window.partitionBy("fp")
+    return (
+        delta.join(base_index, "fp", "left")
+        .withColumn("in_base", F.coalesce("in_base", F.lit(False)))
+        .withColumn("first_in_delta",
+                    F.col("doc_id") == F.min("doc_id").over(w))
+        .withColumn("keep", ~F.col("in_base") & F.col("first_in_delta"))
+        .select("doc_id", "fp", "in_base", "first_in_delta", "keep")
+    )
+
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 8), ' ')) AS fp,
+         doc_id % 10 >= 8 AS is_delta
+  FROM documents),
+base AS (SELECT DISTINCT fp FROM f WHERE NOT is_delta),
+delta AS (
+  SELECT doc_id, fp,
+         MIN(doc_id) OVER (PARTITION BY fp) AS first_id
+  FROM f WHERE is_delta)
+SELECT d.doc_id, d.fp,
+       b.fp IS NOT NULL AS in_base,
+       d.doc_id = d.first_id AS first_in_delta,
+       b.fp IS NULL AND d.doc_id = d.first_id AS keep
+FROM delta d LEFT JOIN base b USING (fp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup keeping the LONGEST copy (RefinedWeb-style representative)
+# ---------------------------------------------------------------------------
+
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup groups keeping the LONGEST member instead of the
+    lowest id — the RefinedWeb/CCNet representative rule (duplicates
+    often differ by truncation; the longest copy preserves the most
+    content). Same ONE-shuffle window shape as q_exact_dedup, with a
+    deterministic (n_chars DESC, doc_id ASC) argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
+    w = Window.partitionBy("fp")
+    rn = F.row_number().over(
+        Window.partitionBy("fp")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    return (
+        docs.select("doc_id", "n_chars", fp.alias("fp"))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("keep", rn == 1)
+        .select("doc_id", "fp", "n_chars", "n_copies", "keep")
+    )
+
+
+_KEEP_LONGEST_SQL = """
+WITH f AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 8), ' ')) AS fp
+  FROM documents)
+SELECT doc_id, fp, n_chars,
+       COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+       row_number() OVER (PARTITION BY fp
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM f
+"""
+
+
 QUERIES = {
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
+    "incremental_dedup": (q_incremental_dedup, _INCREMENTAL_DEDUP_SQL),
+    "dedup_keep_longest": (q_dedup_keep_longest, _KEEP_LONGEST_SQL),
     "dup_ngram_spans": (q_dup_ngram_spans, _DUP_SPANS_SQL),
     "neardup_split_leakage": (q_neardup_split_leakage, _split_leakage_sql()),
     "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
