@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql
 from ..tables import fan_out, load_table
-from .sampling import _TRAIN_LT, hash256, hash256_sql
+from .sampling import _TRAIN_LT, _VAL_LT, hash256, hash256_sql
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,9 +367,92 @@ FROM dev JOIN mad USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination by fractional 13-gram overlap
+# ---------------------------------------------------------------------------
+
+_DECON_N = 13     # the GPT-3/PaLM-style decontamination gram width
+_DECON_FRAC = 0.25
+
+
+def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional 13-gram decontamination — the standard published
+    recipe: a train document is contaminated if a fraction of its
+    distinct 13-grams also occurs in the held-out (test-split) set.
+    Sharper than whole-doc fingerprints (cross_split_contamination),
+    which miss partial inclusions of an eval item inside a larger
+    train doc.
+
+    Scale shape: the eval side (a benchmark) is tiny next to a 100 TB
+    corpus, so its distinct gram hashes BROADCAST; train grams never
+    shuffle — each train doc's distinct grams are checked map-side
+    against the broadcast set (left-semi), and only MATCHED gram rows
+    reach the per-doc count shuffle. The per-doc denominator is a
+    row-local array expression, never an exploded aggregate."""
+    docs = _docs(spark, sf_dir)
+    split_h = hash256(F.col("doc_id"), "split:")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], so a
+    # short doc must short-circuit to array() instead of relying on an
+    # empty sequence.
+    grams = F.expr(
+        f"CASE WHEN size(split(trim(lower(text)), '\\\\s+')) < {_DECON_N} "
+        f"THEN array() ELSE array_distinct(transform("
+        f"sequence(1, size(split(trim(lower(text)), '\\\\s+')) "
+        f"- {_DECON_N - 1}), "
+        f"i -> md5(array_join(slice(split(trim(lower(text)), "
+        f"'\\\\s+'), i, {_DECON_N}), ' ')))) END")
+    base = docs.select("doc_id", grams.alias("grams"), split_h.alias("h"))
+    eval_grams = (base.filter(F.col("h") >= _VAL_LT)
+                  .select(F.explode("grams").alias("gram")).distinct())
+    train = base.filter(F.col("h") < _TRAIN_LT)
+    matched = (train.select("doc_id", F.explode("grams").alias("gram"))
+               .join(F.broadcast(eval_grams), "gram", "left_semi")
+               .groupBy("doc_id").agg(F.count("*").alias("n_matched")))
+    return (train.select("doc_id", F.size("grams").alias("n_grams"))
+            .join(matched, "doc_id")
+            .withColumn("overlap_frac",
+                        F.col("n_matched")
+                        / F.col("n_grams").cast("double"))
+            .withColumn("contaminated",
+                        F.col("overlap_frac") >= _DECON_FRAC)
+            .select("doc_id", "n_grams", "n_matched", "overlap_frac",
+                    "contaminated"))
+
+
+_EVAL_CONTAMINATION_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(lower(text)),
+                                                    '\\s+'))
+                             - {_DECON_N - 1}, 0) + 1),
+           i -> md5(array_to_string(list_slice(
+                  string_split_regex(trim(lower(text)), '\\s+'),
+                  i, i + {_DECON_N - 1}), ' ')))) AS grams,
+         {hash256_sql('doc_id', 'split:')} AS h
+  FROM documents),
+eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE h >= {_VAL_LT}),
+train AS (SELECT doc_id, grams FROM g WHERE h < {_TRAIN_LT}),
+matched AS (
+  SELECT t.doc_id, COUNT(*) AS n_matched
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+  JOIN eval_grams e USING (gram)
+  GROUP BY t.doc_id)
+SELECT t.doc_id, len(t.grams) AS n_grams, m.n_matched,
+       m.n_matched / CAST(len(t.grams) AS DOUBLE) AS overlap_frac,
+       m.n_matched / CAST(len(t.grams) AS DOUBLE) >= {_DECON_FRAC}
+         AS contaminated
+FROM train t JOIN matched m USING (doc_id)
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
     "length_outliers": (q_length_outliers, _LENGTH_OUTLIERS_SQL),
+    "eval_ngram_contamination": (q_eval_ngram_contamination,
+                                 _EVAL_CONTAMINATION_SQL),
     "bigram_lm_score": (q_bigram_lm_score, _BIGRAM_LM_SQL),
     "cross_split_contamination": (q_cross_split_contamination,
                                   _CONTAMINATION_SQL),
