@@ -379,8 +379,57 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir).orderBy("a_id", "b_id")
 
 
-# Reusable CTE chain (shingles → signatures → bands → candidates →
-# verified pairs); q_clean_corpus composes the same fragments.
+def q_minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality eval for the MinHash index (sibling of
+    ann_recall_eval and lsh_bucket_health): for every LSH candidate
+    pair, the signature-agreement ESTIMATE of Jaccard (matching
+    minhash components / 8 — the unbiased estimator the sketch
+    promises) next to the EXACT shingle-set Jaccard and the signed
+    error. This is the number that justifies — or refutes — trusting
+    an 8-hash signature before a 100 TB dedup sweep.
+
+    Same map-side signature + one bucket groupBy as minhash_pairs;
+    the eval joins back signatures AND shingle sets for candidate
+    rows only. All-integer agreement counts, so the oracle matches
+    exactly."""
+    sh = _shingled(spark, sf_dir)
+    h0s = F.expr(
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
+        f"AS BIGINT) % {_MH_P})")
+    m = (sh.withColumn("h0s", h0s)
+         .select("doc_id", "shingles", *[
+             F.expr(f"array_min(transform(h0s, h -> ({a} * h + {b}) % {_MH_P}))")
+             .alias(f"mh{i}")
+             for i, (a, b) in enumerate(zip(_MH_A, _MH_B))]))
+    bands = m.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.concat_ws(",", f"mh{2 * k}", f"mh{2 * k + 1}").alias("sig"))
+            for k in range(_N_HASHES // _BAND_ROWS)])).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand, _ = capped_pair_expand(
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids")))
+    ma = m.select(F.col("doc_id").alias("a_id"),
+                  F.col("shingles").alias("sh_a"),
+                  *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_HASHES)])
+    mb = m.select(F.col("doc_id").alias("b_id"),
+                  F.col("shingles").alias("sh_b"),
+                  *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_HASHES)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(_N_HASHES))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(ma, "a_id").join(mb, "b_id")
+        .withColumn("est_jaccard", agree / F.lit(float(_N_HASHES)))
+        .withColumn("jaccard",
+                    inter / (F.size("sh_a") + F.size("sh_b") - inter))
+        .withColumn("est_err", F.col("est_jaccard") - F.col("jaccard"))
+        .select("a_id", "b_id", "est_jaccard", "jaccard", "est_err")
+    )
+
+
 _MINHASH_CTES = f"""{_SHINGLES_CTE},
 hashed AS (
   SELECT doc_id,
@@ -423,6 +472,31 @@ WITH {_MINHASH_CTES}
 SELECT a_id, b_id, jaccard FROM neardup_pairs
 ORDER BY a_id, b_id
 """
+
+_MINHASH_EST_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT c.a_id, c.b_id,
+       ({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+                    for i in range(_N_HASHES))})
+         / CAST({_N_HASHES} AS DOUBLE) AS est_jaccard,
+       len(list_intersect(sa.shingles, sb.shingles))
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard,
+       ({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+                    for i in range(_N_HASHES))})
+         / CAST({_N_HASHES} AS DOUBLE)
+         - len(list_intersect(sa.shingles, sb.shingles))
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS est_err
+FROM cand c
+JOIN minhash a ON a.doc_id = c.a_id
+JOIN minhash b ON b.doc_id = c.b_id
+JOIN sh sa ON sa.doc_id = c.a_id
+JOIN sh sb ON sb.doc_id = c.b_id
+"""
+
+
+# Reusable CTE chain (shingles → signatures → bands → candidates →
 
 
 # ---------------------------------------------------------------------------
@@ -914,5 +988,6 @@ QUERIES = {
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, _NGRAM_CAPPED_SQL),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, _MINHASH_SQL),
+    "minhash_est_quality": (q_minhash_est_quality, _MINHASH_EST_SQL),
     "simhash_pairs": (q_simhash_pairs, _SIMHASH_SQL),
 }

@@ -525,8 +525,64 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary construction with coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 32
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary with cumulative corpus coverage — the
+    tokenizer-training prerequisite: rank tokens by frequency and
+    report what fraction of all token occurrences the top-1..top-V
+    prefix covers (where to cut the vocab).
+
+    Shape: one explode → map-side-combined count per token (the
+    shuffle is vocabulary-sized, tiny next to the corpus), then rank +
+    running coverage over the VOCAB frame only — a single-partition
+    window over ≤|vocab| rows, never over corpus rows. For
+    billion-term vocabularies, run heavy_hitters first and rank its
+    bounded candidate set instead; the ranking stage is identical."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    counts = (docs.select(F.explode(toks).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("cnt")))
+    total = docs.agg(F.sum(F.size(toks)).cast("long").alias("total"))
+    w = W.partitionBy().orderBy(F.desc("cnt"), F.asc("token"))
+    return (counts
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("cum_cnt",
+                        F.sum("cnt").over(
+                            w.rowsBetween(W.unboundedPreceding, 0)))
+            .filter(F.col("rank") <= _VOCAB_V)
+            .crossJoin(F.broadcast(total))
+            .select("rank", "token", "cnt",
+                    (F.col("cum_cnt") / F.col("total").cast("double"))
+                    .alias("cum_coverage")))
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_cnt
+  FROM c)
+SELECT rank, token, cnt,
+       cum_cnt / CAST((SELECT total FROM tot) AS DOUBLE) AS cum_coverage
+FROM r WHERE rank <= {_VOCAB_V}
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "vocab_coverage": (q_vocab_coverage, _VOCAB_COVERAGE_SQL),
     "gopher_filters": (q_gopher_filters, _GOPHER_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
     "pii_scrub": (q_pii_scrub, _PII_SCRUB_SQL),

@@ -15,13 +15,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's hard correctness gate checks the FIRST 50 registry
 #: entries. Rounds 1+2 drove 92 distinct queries green
 #: (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json); this round front-loads
-#: the 50 oracle-backed queries the driver has NEVER checked — the
-#: finance/sketch/text/corpus/multimodal/sampling/warehouse long tail —
-#: so the three-round union hard-verifies ~142/148 of the registry.
-#: Left out (window is 50, unseen oracle-backed is 52): candle_color and
-#: custkeys_except, whose plan shapes are siblings of driver-green
-#: queries (signal_case, custkeys_intersect); plus the 4 rows-only
-#: sketch/numpy queries which have no SQL oracle by design.
+#: 50 oracle-backed queries the driver has NEVER checked — the
+#: finance/sketch/text/corpus/multimodal/sampling/warehouse long tail.
+#: Still outside the window after this round (rotate these in round 4):
+#: candle_color and custkeys_except (plan-shape siblings of driver-green
+#: signal_case / custkeys_intersect), the 4 rows-only sketch/numpy
+#: queries (no SQL oracle by design), and the operators added after the
+#: rotation froze — gopher_filters, dup_ngram_spans, semantic_dedup,
+#: media_phash_dedup, kmeans_lloyd_step, ann_batch_topk,
+#: neardup_split_leakage, lsh_bucket_health, token_budget_mixture,
+#: heavy_hitters, ann_pq_topk, incremental_dedup, dedup_keep_longest,
+#: length_outliers, eval_ngram_contamination, vocab_coverage,
+#: minhash_est_quality — every one locally parity-green at
+#: sf0.001/0.01/0.1 via the driver-identical harness.
 _FIRST_50 = (
     # finance indicators (window + Arrow kernels)
     "bollinger_bands", "stochastic_oscillator", "obv", "rolling_zscore",

@@ -29,7 +29,7 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # broadcast 10-row codebook + 1-row query onto the scan
             "ann_pq_topk",
             # broadcast k-row codebook crossJoin, the Lloyd-step shape
-            "kmeans_lloyd_step",
+            "kmeans_lloyd_step", "kmeans_train",
             # same broadcast-codebook assignment stage (SemDeDup)
             "semantic_dedup",
             "embedding_neardup", "range_trading_strategy",
@@ -43,6 +43,8 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             "bigram_lm_score",
             # 1-row total-token-count broadcast onto the recount side
             "heavy_hitters",
+            # 1-row total-token-count broadcast onto the vocab ranking
+            "vocab_coverage",
             # composes cosine_topk + ann_lsh_topk + k-row broadcasts
             "ann_recall_eval"}
 
