@@ -530,6 +530,109 @@ FROM members m ORDER BY m.clabel
 
 
 # ---------------------------------------------------------------------------
+# Multi-iteration k-means training (the full codebook-training loop)
+# ---------------------------------------------------------------------------
+
+_KMEANS_ITERS = 3
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE chained Lloyd iterations — the iterative codebook
+    training kmeans_lloyd_step is the unit of, built by looping the
+    step in the DRIVER while every iteration stays a distributed
+    plan: assign (broadcast k-row codebook, map-side cosine, per-key
+    argmin) then recompute (decimal-exact per-dim means over the RAW
+    float embeddings — so exactness never decays across iterations;
+    one partial-aggregate shuffle each).
+
+    This is the canonical shape of iterative ML on Spark: the loop
+    lives in the driver, the per-iteration state is a bytes-sized
+    codebook, and the data is rescanned per iteration (a production
+    run would .persist() the assignment input once). The oracle
+    unrolls the same three iterations as generated CTEs, so the full
+    trajectory — not just one step — is bit-exact against DuckDB."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = _centroids(spark, sf_dir)
+    cos_c = (F.expr(_DOT.format(a="embedding", b="centroid"))
+             / F.nullif(
+                 F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+                 * F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid"))),
+                 F.lit(0.0)))
+    agg = None
+    for _ in range(_KMEANS_ITERS):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("cos_c", cos_c)
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("vec_id")
+                .orderBy(F.desc("cos_c"), F.asc("clabel"))))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "clabel"))
+        agg = assigned.groupBy("clabel").agg(
+            F.count("*").alias("n_members"),
+            *[F.sum(F.col("embedding").getItem(i).cast("double")
+                    .cast("decimal(25,6)")).alias(f"s{i}")
+              for i in range(_DIM)],
+            *[F.count(F.col("embedding").getItem(i)).alias(f"c{i}")
+              for i in range(_DIM)])
+        cents = agg.select(
+            "clabel",
+            F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
+                      for i in range(_DIM)]).alias("centroid"))
+    return (agg.select(
+        "clabel",
+        F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
+                  for i in range(_DIM)]).alias("new_centroid"),
+        "n_members")
+        .orderBy("clabel"))
+
+
+def _kmeans_train_sql() -> str:
+    """Unrolled _KMEANS_ITERS-iteration mirror of q_kmeans_train:
+    cents0 = label means (shared _CENTROIDS_CTE), then per iteration
+    the same scored/assigned/per-dim-mean CTE block with the previous
+    iteration's centroids as the codebook."""
+    parts = [_CENTROIDS_CTE.strip().rstrip(",")]
+    prev = "cents"
+    k = 0
+    for k in range(1, _KMEANS_ITERS + 1):
+        parts.append(f"""scored{k} AS (
+  SELECT e.vec_id, e.embedding, c.clabel,
+         {_dot_sql('e.embedding', 'c.centroid')}
+           / nullif(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('c.centroid', 'c.centroid')}), 0.0)
+           AS cos_c
+  FROM embeddings e, {prev} c),
+assigned{k} AS (
+  SELECT vec_id, embedding, clabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, clabel ASC) AS rn
+    FROM scored{k}) WHERE rn = 1),
+adims{k} AS (
+  SELECT clabel, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM assigned{k}, (SELECT unnest(range(1, {_DIM + 1})) AS i) u),
+aper{k} AS (
+  SELECT clabel, dim,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(x) AS mean_x
+  FROM adims{k} GROUP BY clabel, dim),
+cents{k} AS (
+  SELECT clabel, list(mean_x ORDER BY dim) AS centroid
+  FROM aper{k} GROUP BY clabel)""")
+        prev = f"cents{k}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+membersK AS (
+  SELECT clabel, COUNT(*) AS n_members FROM assigned{k} GROUP BY clabel)
+SELECT m.clabel,
+       (SELECT list(mean_x ORDER BY dim) FROM aper{k} p
+        WHERE p.clabel = m.clabel) AS new_centroid,
+       m.n_members
+FROM membersK m ORDER BY m.clabel
+"""
+
+
+# ---------------------------------------------------------------------------
 # Batch ANN: top-k in-bucket neighbors for EVERY vector
 # ---------------------------------------------------------------------------
 
@@ -1051,6 +1154,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, _ANN_IVF_SQL),
     "ann_pq_topk": (q_ann_pq_topk, _ANN_PQ_SQL),
     "kmeans_lloyd_step": (q_kmeans_lloyd_step, _KMEANS_STEP_SQL),
+    "kmeans_train": (q_kmeans_train, _kmeans_train_sql()),
     "embedding_neardup": (q_embedding_neardup, _EMB_NEARDUP_SQL),
     "semantic_dedup": (q_semantic_dedup, _SEMANTIC_DEDUP_SQL),
     "lsh_bucket_health": (q_lsh_bucket_health, _LSH_HEALTH_SQL),
