@@ -251,8 +251,57 @@ WHERE c.cum_tokens <= b.budget
 """
 
 
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: bucket each document into one of 4
+    difficulty stages (by length quartile WITHIN its source — short
+    docs first is the usual text-curriculum heuristic) plus a
+    reproducible shuffle key, so a trainer reading
+    ORDER BY (stage, shuffle_bucket, doc_id) gets easy→hard stages,
+    each internally well-mixed.
+
+    Scale shape — deliberately NOT an exact ntile: a global (or
+    per-source) ntile needs a total sort of the corpus on one task
+    chain. Instead the stage boundaries are the per-source
+    percentile_disc quartiles — one bytes-per-source aggregate
+    broadcast back — and the stage assignment is a row-local
+    comparison. Same pattern as length_outliers: the only thing that
+    shuffles is the quartile table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    qs = docs.groupBy("source").agg(*[
+        F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY n_chars)")
+        .alias(f"q{i}")
+        for i, p in enumerate(("0.25", "0.5", "0.75"), start=1)])
+    stage = (F.lit(1)
+             + (F.col("n_chars") > F.col("q1")).cast("int")
+             + (F.col("n_chars") > F.col("q2")).cast("int")
+             + (F.col("n_chars") > F.col("q3")).cast("int"))
+    return (docs.join(F.broadcast(qs), "source")
+            .select("doc_id", "source", "n_chars",
+                    stage.alias("stage"),
+                    hash256(F.col("doc_id"), "order:")
+                    .alias("shuffle_bucket")))
+
+
+_CURRICULUM_SQL = f"""
+WITH qs AS (
+  SELECT source,
+         quantile_disc(n_chars, 0.25) AS q1,
+         quantile_disc(n_chars, 0.5)  AS q2,
+         quantile_disc(n_chars, 0.75) AS q3
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars,
+       1 + CAST(d.n_chars > q.q1 AS INT)
+         + CAST(d.n_chars > q.q2 AS INT)
+         + CAST(d.n_chars > q.q3 AS INT) AS stage,
+       {hash256_sql('d.doc_id', 'order:')} AS shuffle_bucket
+FROM documents d JOIN qs q USING (source)
+"""
+
+
 QUERIES = {
     "hash_split": (q_hash_split, _HASH_SPLIT_SQL),
+    "curriculum_stages": (q_curriculum_stages, _CURRICULUM_SQL),
     "stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "mixture_sample": (q_mixture_sample, _MIXTURE_SQL),
     "token_budget_mixture": (q_token_budget_mixture, _TOKEN_BUDGET_SQL),
