@@ -257,15 +257,20 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", _toks().alias("toks")) \
                .filter(F.size("toks") >= 2)
-    words = toks.select("doc_id", F.explode("toks").alias("w"))
+    # explode_outer + IS NOT NULL throughout: plain explode lets the
+    # optimizer infer size()>0 and push the tokenization below the
+    # exchange into the scan filter (see eval_ngram_contamination).
+    words = (toks.select("doc_id", F.explode_outer("toks").alias("w"))
+             .filter(F.col("w").isNotNull()))
     uni = words.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = uni.agg(F.count("*").alias("v"))
-    bigrams = toks.select(
+    bigrams = (toks.select(
         "doc_id",
-        F.explode(F.expr(
+        F.explode_outer(F.expr(
             "transform(sequence(0, size(toks) - 2),"
-            " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).alias("bg")
-    ).select("doc_id", "bg.w1", "bg.w2")
+            " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", "bg.w1", "bg.w2"))
     model = (bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     scored = (
         bigrams
@@ -391,26 +396,50 @@ def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local array expression, never an exploded aggregate."""
     docs = _docs(spark, sf_dir)
     split_h = hash256(F.col("doc_id"), "split:")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    # NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], so a
+    # NB 1: Spark's sequence(1, 0) yields the DESCENDING [1, 0], so a
     # short doc must short-circuit to array() instead of relying on an
     # empty sequence.
+    # NB 2: the gram transform MUST run over a materialized token
+    # column `w` — writing slice(split(text)) inside the lambda makes
+    # Spark re-split the whole text once per gram position, turning a
+    # linear pass into O(tokens²) (measured 9x slower at sf1.0).
     grams = F.expr(
-        f"CASE WHEN size(split(trim(lower(text)), '\\\\s+')) < {_DECON_N} "
+        f"CASE WHEN size(w) < {_DECON_N} "
         f"THEN array() ELSE array_distinct(transform("
-        f"sequence(1, size(split(trim(lower(text)), '\\\\s+')) "
-        f"- {_DECON_N - 1}), "
-        f"i -> md5(array_join(slice(split(trim(lower(text)), "
-        f"'\\\\s+'), i, {_DECON_N}), ' ')))) END")
-    base = docs.select("doc_id", grams.alias("grams"), split_h.alias("h"))
+        f"sequence(1, size(w) - {_DECON_N - 1}), "
+        f"i -> md5(array_join(slice(w, i, {_DECON_N}), ' ')))) END")
+    # fan_out: the fixture's documents.parquet is a single row group,
+    # so without it the gram transform + explode + semi-join all run
+    # on ONE task (measured 3.5 s at sf0.1, 30 s serial at sf1.0); at
+    # scale the scan is already wide and this is a guarded no-op.
+    base = (fan_out(spark, docs)
+            .withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .select("doc_id", grams.alias("grams"), split_h.alias("h")))
+    # explode_outer + IS NOT NULL instead of explode: explode makes
+    # InferFiltersFromGenerate add `size(grams) > 0`, which predicate
+    # pushdown SUBSTITUTES through the projection and pushes below the
+    # exchange — the entire gram computation then re-runs inside the
+    # scan filter on the narrow (single-task) side. Measured 34 s vs
+    # 1 s at sf1.0 for the identical row set. explode_outer infers no
+    # such filter; the null filter on the OUTPUT column cannot sink
+    # below the Generate.
     eval_grams = (base.filter(F.col("h") >= _VAL_LT)
-                  .select(F.explode("grams").alias("gram")).distinct())
+                  .select(F.explode_outer("grams").alias("gram"))
+                  .filter(F.col("gram").isNotNull()).distinct())
+    # The per-doc denominator rides ALONG the exploded gram rows
+    # (constant per doc, recovered with max) instead of a second
+    # branch off `base` — Spark does not dedupe common plan subtrees,
+    # so a separate size(grams) branch + join-back would execute the
+    # whole gram-computation scan a third time.
     train = base.filter(F.col("h") < _TRAIN_LT)
-    matched = (train.select("doc_id", F.explode("grams").alias("gram"))
+    matched = (train.select("doc_id",
+                            F.size("grams").alias("n_grams"),
+                            F.explode_outer("grams").alias("gram"))
+               .filter(F.col("gram").isNotNull())
                .join(F.broadcast(eval_grams), "gram", "left_semi")
-               .groupBy("doc_id").agg(F.count("*").alias("n_matched")))
-    return (train.select("doc_id", F.size("grams").alias("n_grams"))
-            .join(matched, "doc_id")
+               .groupBy("doc_id").agg(F.max("n_grams").alias("n_grams"),
+                                      F.count("*").alias("n_matched")))
+    return (matched
             .withColumn("overlap_frac",
                         F.col("n_matched")
                         / F.col("n_grams").cast("double"))

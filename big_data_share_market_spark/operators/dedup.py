@@ -129,7 +129,13 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a groupBy pair-expansion instead of a self-join (one scan of
     the shingle stream instead of two)."""
     sh = _shingled(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_outer + IS NOT NULL: plain explode makes the optimizer
+    # infer `size(shingles) > 0` and push the WHOLE shingle transform
+    # below the fan_out exchange into the scan filter, re-running it
+    # serially (see eval_ngram_contamination for the measurement).
+    exploded = (sh.select("doc_id",
+                          F.explode_outer("shingles").alias("shingle"))
+                .filter(F.col("shingle").isNotNull()))
     rare = (exploded.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
@@ -197,7 +203,13 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fan-out bound: ≤ cap²/2 candidate rows per shingle vs unbounded
     in the naive join."""
     sh = _shingled(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_outer + IS NOT NULL: plain explode makes the optimizer
+    # infer `size(shingles) > 0` and push the WHOLE shingle transform
+    # below the fan_out exchange into the scan filter, re-running it
+    # serially (see eval_ngram_contamination for the measurement).
+    exploded = (sh.select("doc_id",
+                          F.explode_outer("shingles").alias("shingle"))
+                .filter(F.col("shingle").isNotNull()))
     # Two-step cap: COUNT first (constant-size aggregation buffer even
     # for a shingle shared by millions of docs), join the surviving
     # rare shingles back, and only then collect the ≤ cap ids per
@@ -835,9 +847,10 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .select(
             "doc_id",
-            F.posexplode(F.expr(
+            F.posexplode_outer(F.expr(
+                f"CASE WHEN size(w) < {_SPAN_N} THEN array() ELSE "
                 f"transform(sequence(0, size(w) - {_SPAN_N}), "
-                f"i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_N}))))"
+                f"i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_N})))) END"
             )).alias("pos", "gh"))
     )
     from pyspark.sql.window import Window

@@ -56,7 +56,8 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" slice(toks, i * {_STRIDE} + 1, {_CHUNK}) AS ctoks))")
     return (
         toked.withColumn("n_chunks", n_chunks)
-        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.explode_outer(chunks).alias("c"))
+        .filter(F.col("c").isNotNull())
         .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
                 F.size("c.ctoks").alias("n_tokens"),
                 F.array_join("c.ctoks", " ").alias("chunk_text"))
@@ -159,7 +160,8 @@ def q_corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> struct(i AS chunk_id,"
         f" slice(toks, i * {_STRIDE} + 1, {_CHUNK}) AS ctoks))")
     return (
-        toked.select("doc_id", F.explode(chunks).alias("c"))
+        toked.select("doc_id", F.explode_outer(chunks).alias("c"))
+        .filter(F.col("c").isNotNull())
         .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
                 F.size("c.ctoks").alias("n_tokens"),
                 F.md5(F.array_join("c.ctoks", " ")).alias("chunk_md5"))

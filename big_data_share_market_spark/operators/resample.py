@@ -44,10 +44,13 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ohlc_bars(spark, sf_dir)
     extents = bars.groupBy("user_id").agg(
         F.min("bar_ts").alias("g0"), F.max("bar_ts").alias("g1"))
-    grid = extents.select(
+    # explode_outer: avoids the inferred size()>0 filter evaluating
+    # the sequence() twice (the grid can never be empty — g1 >= g0).
+    grid = (extents.select(
         "user_id",
-        F.explode(F.sequence("g0", "g1", F.expr("INTERVAL 1 HOUR")))
+        F.explode_outer(F.sequence("g0", "g1", F.expr("INTERVAL 1 HOUR")))
         .alias("bar_ts"))
+        .filter(F.col("bar_ts").isNotNull()))
     filled = grid.join(bars, ["user_id", "bar_ts"], "left")
     w = (W.partitionBy("user_id").orderBy("bar_ts")
          .rowsBetween(W.unboundedPreceding, 0))

@@ -164,7 +164,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     total = docs.agg(F.sum(F.size(toks)).cast("long").alias("total"))
-    exploded = docs.select(F.explode(toks).alias("token"))
+    exploded = (docs.select(F.explode_outer(toks).alias("token"))
+                .filter(F.col("token").isNotNull()))
     return (
         exploded.join(F.broadcast(cands), "token", "left_semi")
         .groupBy("token").agg(F.count("*").alias("cnt"))

@@ -251,7 +251,11 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", norm.alias("norm"))
         .withColumn("gh", F.expr(gram_h))
-        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+        # explode_outer + IS NOT NULL: avoids the inferred size()>0
+        # filter re-running the rolling-hash transform inside the scan
+        # (see eval_ngram_contamination for the pathology).
+        .select("doc_id", F.explode_outer(F.expr(fps)).alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .orderBy("doc_id", "fp")
     )
 
@@ -342,7 +346,8 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(toks.alias("toks"))
         .filter(F.size("toks") >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
@@ -377,10 +382,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term as the deterministic tiebreak)."""
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()  # scalar, computed once driver-side
-    toks = docs.select(
+    toks = (docs.select(
         "doc_id",
-        F.explode(F.split(F.regexp_replace(F.lower(F.col("text")),
-                                           r"\s+", " "), " ")).alias("term"))
+        F.explode_outer(F.split(F.regexp_replace(F.lower(F.col("text")),
+                                                 r"\s+", " "), " "))
+        .alias("term"))
+        .filter(F.col("term").isNotNull()))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(F.broadcast(df), "term")
@@ -546,7 +553,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded candidate set instead; the ranking stage is identical."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    counts = (docs.select(F.explode(toks).alias("token"))
+    counts = (docs.select(F.explode_outer(toks).alias("token"))
+              .filter(F.col("token").isNotNull())
               .groupBy("token").agg(F.count("*").alias("cnt")))
     total = docs.agg(F.sum(F.size(toks)).cast("long").alias("total"))
     w = W.partitionBy().orderBy(F.desc("cnt"), F.asc("token"))

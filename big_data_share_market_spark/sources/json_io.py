@@ -247,8 +247,12 @@ def q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the idiomatic shape for sparse attribute bags
     (the declared-schema alternative is q_props_json_extract)."""
     ev = load_table(spark, sf_dir, "events")
-    entries = (ev.select(F.explode(F.from_json("props", "MAP<STRING, INT>"))
-                         .alias("key", "val")))
+    # explode_outer + IS NOT NULL: plain explode infers size()>0 and
+    # re-parses the JSON map inside the pushed-down scan filter.
+    entries = (ev.select(
+        F.explode_outer(F.from_json("props", "MAP<STRING, INT>"))
+        .alias("key", "val"))
+        .filter(F.col("key").isNotNull()))
     return (entries.groupBy("key")
             .agg(F.count("*").alias("n"),
                  F.sum("val").alias("sum_val"),
