@@ -225,6 +225,40 @@ _WIN_B = 257   # polynomial base
 _WIN_P = 2147483647  # 2^31 − 1; acc·B + c fits int64
 
 
+def _winnow_kernel(batches):
+    """Arrow-batched winnowing: per document, code points via a
+    utf-32 view, then the SAME mod-at-every-step rolling-hash
+    recurrence as the SQL oracle — h := (h·B + c) % P, eight
+    vectorized steps across all gram positions (acc stays < P·B + c,
+    well inside int64) — then a sliding 4-window min and distinct.
+    Integer arithmetic, so values are bit-identical to the
+    higher-order-function form this replaced (which interpreted the
+    per-char fold and was ~8× slower at the 10× fixture)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    for pdf in batches:
+        out_ids, out_fps = [], []
+        for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
+            if norm is None or len(norm) < _WIN_K:
+                continue
+            codes = np.frombuffer(
+                norm.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            grams = sliding_window_view(codes, _WIN_K)
+            acc = np.zeros(len(grams), dtype=np.int64)
+            for j in range(_WIN_K):
+                acc = (acc * _WIN_B + grams[:, j]) % _WIN_P
+            if len(acc) < _WIN_W:
+                continue
+            fps = np.unique(sliding_window_view(acc, _WIN_W).min(axis=1))
+            out_ids.append(np.full(len(fps), doc_id, dtype=np.int64))
+            out_fps.append(fps)
+        if out_ids:
+            yield pd.DataFrame({"doc_id": np.concatenate(out_ids),
+                                "fp": np.concatenate(out_fps)})
+
+
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints: polynomial rolling hash
     h = Σ code(c_j)·B^(k−1−j) mod P over character 8-grams of the
@@ -232,30 +266,19 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct — the classic near-copy localization fingerprint
     (guarantees any match of length ≥ k+w−1 shares a fingerprint).
 
-    Pure integer arithmetic on character codes, identical on both
-    engines, fully map-side (the only shuffle is the final sort). A
-    native engine computes the hash incrementally in O(n); the
-    higher-order-function form here recomputes per gram — same
-    VALUES, so the oracle is exact either way."""
+    Implementation: a numpy mapInPandas kernel (_winnow_kernel) — the
+    sanctioned Arrow slow path, because the pure-expression form
+    (nested transform/aggregate folds) is interpreted per character
+    and measured ~8× slower at the 10× fixture. The kernel replays
+    the oracle's exact integer recurrence, so parity is still
+    bit-exact. Fully map-side; the only shuffle is the final sort."""
     from ..tables import fan_out
 
     docs = fan_out(spark, _docs(spark, sf_dir))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    gram_h = (
-        f"transform(sequence(1, greatest(length(norm) - {_WIN_K} + 1, 0)), "
-        f"i -> aggregate(sequence(0, {_WIN_K} - 1), CAST(0 AS BIGINT), "
-        f"(acc, j) -> (acc * {_WIN_B} + ascii(substring(norm, i + j, 1))) % {_WIN_P}))")
-    fps = (
-        f"array_distinct(transform(sequence(1, greatest(size(gh) - {_WIN_W} + 1, 0)), "
-        f"w -> array_min(slice(gh, w, {_WIN_W}))))")
     return (
         docs.select("doc_id", norm.alias("norm"))
-        .withColumn("gh", F.expr(gram_h))
-        # explode_outer + IS NOT NULL: avoids the inferred size()>0
-        # filter re-running the rolling-hash transform inside the scan
-        # (see eval_ngram_contamination for the pathology).
-        .select("doc_id", F.explode_outer(F.expr(fps)).alias("fp"))
-        .filter(F.col("fp").isNotNull())
+        .mapInPandas(_winnow_kernel, "doc_id long, fp long")
         .orderBy("doc_id", "fp")
     )
 

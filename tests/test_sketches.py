@@ -57,3 +57,31 @@ def test_mg_superset_guarantee():
     assert truth["heavy"] * (k + 1) > n, "fixture must make heavy a hitter"
     assert "heavy" in counters
     assert len(counters) <= k
+
+
+def test_mg_superset_guarantee_random():
+    """Property form of the retention guarantee over arbitrary
+    weighted streams: for ANY stream, every item whose total weight
+    exceeds N/(k+1) is retained, and the counter budget holds."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 15), st.integers(1, 6)),
+                    max_size=300))
+    def check(stream):
+        k = 4
+        counters = {}
+        truth = Counter()
+        for item, wt in stream:
+            sketches.mg_update(counters, f"t{item}", wt, k)
+            truth[f"t{item}"] += wt
+        n = sum(truth.values())
+        assert len(counters) <= k
+        for tok, cnt in truth.items():
+            if cnt * (k + 1) > n:
+                assert tok in counters, (tok, cnt, n, counters)
+
+    check()
