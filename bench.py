@@ -65,6 +65,7 @@ HEADLINE = [
     "heavy_hitters",        # Misra-Gries candidates + exact recount
     "ann_pq_topk",          # product-quantization ADC top-k
     "incremental_dedup",    # delta-vs-base fingerprint anti-join
+    "simhash_pairs",        # numpy simhash kernel + chunk-bucket join
 ]
 
 

@@ -517,6 +517,39 @@ JOIN sh sb ON sb.doc_id = c.b_id
 
 _SIMHASH_BITS = 32
 
+def _simhash_kernel(batches):
+    """Arrow-batched 32-bit SimHash, bit-identical to the SQL oracle:
+    token hash = int(md5(token).hexdigest()[:15], 16) (60 bits, fits
+    int64), per-bit votes = 2·popcount_of_column − n_tokens, bit set
+    iff votes > 0. The bit matrix is vectorized with numpy; only the
+    md5 per unique-ish token runs in Python."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    import re
+
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.int64)
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            # exactly split(trim(lower(text)), '\s+'): an empty or
+            # all-whitespace doc yields [''], NOT [] — the '' token is
+            # hashed, as the expression form and the oracle do.
+            toks = re.split(r"\s+", (text or "").lower().strip())
+            hs = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                 for t in toks], dtype=np.int64)
+            bits = (hs[:, None] >> shifts) & 1
+            votes = 2 * bits.sum(axis=0) - len(hs)
+            sh = int(((votes > 0).astype(np.int64) << shifts).sum())
+            ids.append(doc_id)
+            hashes.append(sh)
+        yield pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                            "simhash": np.array(hashes, dtype=np.int64)})
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per doc (token-hash bit votes), then near-dup
     pairs at Hamming distance ≤ 1 via bit_count(xor) (a 32-bit
@@ -533,27 +566,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets are equal even when a degenerate bucket truncates."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     # Entirely map-side per doc (mirrors minhash_pairs' signature
-    # strategy): token hashes as an array expression, one fold over it
-    # accumulating the 32 bit-vote counters, one fold over the bits to
-    # assemble the hash. Zero shuffle until the tiny (2 rows/doc)
-    # chunk-bucket groupBy — the 32-rows-per-token explode this
-    # replaces shuffled 32x the token count.
-    hashes = F.expr(
-        r"transform(split(trim(lower(text)), '\\s+'), "
-        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))")
-    votes = F.expr(
-        f"aggregate(hs, array_repeat(0, {_SIMHASH_BITS}), "
-        f"(acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}), "
-        "(a, b) -> a + IF(((h >> b) & 1) = 1, 1, -1)))")
-    simhash_bits = F.expr(
-        f"aggregate(sequence(0, {_SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
-        "(acc, b) -> acc + IF(vs[b] > 0, "
-        "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
-    simhash = (
-        docs.select("doc_id", hashes.alias("hs"))
-        .select("doc_id", votes.alias("vs"))
-        .select("doc_id", simhash_bits.alias("simhash"))
-    )
+    # strategy), as a numpy Arrow kernel: the expression form (a
+    # 32-wide zip_with fold per TOKEN) evaluated interpreted and, with
+    # the chunk branch plus the two verify joins, executed three times
+    # — ~28 s at the 10x fixture. The kernel replays the oracle's
+    # exact integer arithmetic (md5-prefix token hash, bit votes =
+    # 2·ones − n, bit set iff votes > 0), so values are identical;
+    # zero shuffle until the tiny (2 rows/doc) chunk-bucket groupBy.
+    simhash = docs.select("doc_id", "text").mapInPandas(
+        _simhash_kernel, "doc_id long, simhash long")
     chunks = simhash.select(
         "doc_id",
         F.explode(F.array(

@@ -234,3 +234,38 @@ def test_partitioned_layout_prunes(spark):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan
+
+
+def test_no_expensive_exprs_in_scan_filters(spark):
+    """Regression guard for the explode inferred-filter pathology
+    (r3): `explode(expr)` makes the optimizer infer `size(expr) > 0`
+    and predicate pushdown substitutes the WHOLE generator expression
+    into the scan's DataFilters — re-running shingle/n-gram/rolling-
+    hash transforms serially below the widening exchange. After the
+    explode_outer sweep no scan filter contains a higher-order
+    function; this pins that for every batch query in the registry.
+
+    maxMetadataStringLength is raised for the check: the default 100
+    truncates DataFilters so an offending lambdafunction could hide
+    past the ellipsis."""
+    import re
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        offenders = []
+        for name, (fn, _) in _QUERIES.items():
+            if name in _PLAN_SKIP or name.startswith("stream_"):
+                continue
+            plan = explain_str(fn(spark, SF_DIR), "simple")
+            for line in plan.splitlines():
+                if "FileScan" not in line:
+                    continue
+                m = re.search(r"DataFilters: \[(.*?)\], Format", line)
+                if m and ("lambdafunction" in m.group(1)
+                          or "transform(" in m.group(1)):
+                    offenders.append((name, m.group(1)[:200]))
+                    break
+        assert not offenders, offenders
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
