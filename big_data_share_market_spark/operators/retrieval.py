@@ -1,0 +1,134 @@
+"""Lexical retrieval over the `documents` corpus: BM25 scoring and
+top-k search for a fixed query.
+
+The training-data counterpart of the embedding ANN family
+(similarity.py): given a literal query (the common "score this corpus
+against a probe query" shape used for quality-targeted data selection
+a la DSIR / targeted-crawl ranking), rank every document by Okapi
+BM25 and return the top-k.
+
+Scale shape (the part that matters at 100 TB):
+
+- Query terms are a compile-time literal list, so per-document term
+  frequencies are ROW-LOCAL expressions (`size(filter(toks, ...))`)
+  — the corpus pass is a narrow scan, no explode, no shuffle.
+- The corpus statistics BM25 needs (N, total token count, per-term
+  document frequencies) collapse into ONE single-row aggregate that
+  broadcast-joins back onto the scan: bytes moved, not rows.
+- avgdl is derived as exact-integer SUM(dl)/COUNT so Spark and the
+  DuckDB oracle compute bit-identical inputs (AVG over doubles would
+  drift with partial-aggregation order).
+- The final top-k is an `orderBy(...).limit(k)` — Spark plans a
+  TakeOrderedAndProject: per-partition heaps of k rows, no global
+  sort of the corpus.
+
+For ad-hoc (non-literal) multi-query retrieval the inverted shape is
+the explode → LEFT-SEMI-on-broadcast(query terms) → per-(doc, term)
+count path used by heavy_hitters (corpus.py); the scoring arithmetic
+here is reused unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+#: Okapi BM25 constants (the standard defaults from the literature).
+_K1 = 1.2
+_B = 0.75
+_TOP_K = 15
+
+#: The probe query. 'dup' is rare in the fixture corpus (df ~ 5% of
+#: docs) so its idf dominates — the query actually discriminates.
+_QUERY_TERMS = ("dup", "spark", "window")
+
+
+def _toks():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by Okapi BM25 for the literal query
+    `_QUERY_TERMS`, with the Lucene non-negative idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    One narrow corpus pass computes (dl, tf_t...) row-locally; a
+    single-row stats aggregate (N, sum_dl, df_t...) broadcasts back;
+    scoring is row-local arithmetic; top-k is TakeOrdered. Zero
+    corpus-sized shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    def _tf(term):
+        # NB: a `lambda x, t=term:` default-arg closure would NOT work
+        # here — pyspark's higher-order-function binder counts lambda
+        # parameters and passes the array INDEX as the second argument,
+        # silently overwriting the default.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(_QUERY_TERMS)]
+    feat = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    stats = feat.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("int")).cast("double")
+          .alias(f"df_{i}") for i in range(len(_QUERY_TERMS))],
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    parts = []
+    for i in range(len(_QUERY_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5)))
+        tf = F.col(f"tf_{i}").cast("double")
+        parts.append(
+            idf * (tf * (_K1 + 1.0))
+            / (tf + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / avgdl)))
+    score = sum(parts[1:], parts[0])
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", score.alias("bm25"))
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_TOP_K)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_sel = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_QUERY_TERMS))
+    df_sel = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_QUERY_TERMS)))
+    parts = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({_K1} + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f"    + {_K1} * (1.0 - {_B} + {_B} * CAST(dl AS DOUBLE)"
+        f"                               / (sum_dl / n_docs))))"
+        for i in range(len(_QUERY_TERMS)))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+f AS (SELECT doc_id, len(toks) AS dl, {tf_sel} FROM t),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         {df_sel}
+  FROM f)
+SELECT doc_id, dl, {parts} AS bm25
+FROM f, s
+WHERE {parts} > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_TOP_K}
+"""
+
+
+QUERIES = {
+    "bm25_topk": (q_bm25_topk, _bm25_sql()),
+}

@@ -81,6 +81,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.finance",
                  "operators.dedup", "operators.similarity",
                  "operators.text", "operators.corpus",
+                 "operators.retrieval",
                  "operators.multimodal",
                  "operators.sampling", "operators.warehouse",
                  "sources.json_io", "streaming.batch_parity"):
