@@ -129,6 +129,105 @@ LIMIT {_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear quality-classifier apply (model-artifact-as-table shape)
+# ---------------------------------------------------------------------------
+
+#: The "trained model": (feature, weight) rows. In a real pipeline
+#: this is a table loaded from the model store (a fastText-style
+#: linear quality classifier distilled to engine-side features); the
+#: literal rows here stand in for that artifact, and everything
+#: downstream treats it as DATA, not code.
+_CLS_WEIGHTS = (
+    ("bias", -3.9),
+    ("len_norm", 2.0),
+    ("ttr", 2.5),
+    ("stop_ratio", 4.0),
+    ("mean_token_len", 0.3),
+)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a linear document-quality classifier: engine-side features
+    (length norm, type-token ratio, stopword ratio, mean token length)
+    dotted with a WEIGHT TABLE that models a stored artifact.
+
+    Scale shape: the weight table collapses to a single map row
+    (`map_from_entries(collect_list(...))`) and broadcast-crossJoins
+    onto the corpus scan — the model rides to every executor as bytes,
+    the features and the dot product are row-local expressions, and
+    there is no per-row fan-out (no explode-join-regroup). Swapping in
+    a retrained model means replacing the table, not the query. The
+    decision column (`keep = score > 0`) is what clean-corpus
+    compositions gate on.
+
+    Summation order is the fixed `_CLS_WEIGHTS` feature order in both
+    engines, so scores are bit-identical.
+    """
+    weights = spark.createDataFrame(list(_CLS_WEIGHTS), "feature string, w double")
+    wm = F.broadcast(weights.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("feature", "w"))).alias("wm")))
+    toks = _toks()
+    stop = ("the", "a", "of", "and", "to", "in", "is")
+    feat = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: x.isin(*stop))).alias("n_stop"),
+    )
+    ntok = F.col("n_tokens").cast("double")
+    feats = {
+        "len_norm": F.least(ntok / 100.0, F.lit(1.0)),
+        "ttr": F.col("n_distinct") / ntok,
+        "stop_ratio": F.col("n_stop") / ntok,
+        "mean_token_len": (F.col("n_chars") - (F.col("n_tokens") - 1)) / ntok,
+    }
+    score = F.col("wm")["bias"]
+    for name in ("len_norm", "ttr", "stop_ratio", "mean_token_len"):
+        score = score + F.col("wm")[name] * feats[name]
+    return (feat.crossJoin(wm)
+            .select("doc_id",
+                    feats["ttr"].alias("ttr"),
+                    feats["stop_ratio"].alias("stop_ratio"),
+                    score.alias("score"),
+                    (score > 0.0).alias("keep")))
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "to", "in", "is"))
+
+_QUALITY_CLASSIFIER_SQL = f"""
+WITH w(feature, wt) AS (VALUES {", ".join(f"('{f}', {v})" for f, v in _CLS_WEIGHTS)}),
+t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents),
+f AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop
+  FROM t),
+s AS (
+  SELECT doc_id,
+         n_distinct / CAST(n_tokens AS DOUBLE) AS ttr,
+         n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         (SELECT wt FROM w WHERE feature = 'bias')
+         + (SELECT wt FROM w WHERE feature = 'len_norm')
+           * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + (SELECT wt FROM w WHERE feature = 'ttr')
+           * (n_distinct / CAST(n_tokens AS DOUBLE))
+         + (SELECT wt FROM w WHERE feature = 'stop_ratio')
+           * (n_stop / CAST(n_tokens AS DOUBLE))
+         + (SELECT wt FROM w WHERE feature = 'mean_token_len')
+           * ((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)) AS score
+  FROM f)
+SELECT doc_id, ttr, stop_ratio, score, score > 0.0 AS keep FROM s
+"""
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "quality_classifier": (q_quality_classifier, _QUALITY_CLASSIFIER_SQL),
 }

@@ -46,7 +46,11 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # 1-row total-token-count broadcast onto the vocab ranking
             "vocab_coverage",
             # composes cosine_topk + ann_lsh_topk + k-row broadcasts
-            "ann_recall_eval"}
+            "ann_recall_eval",
+            # 1-row BM25 corpus-stats broadcast onto the scoring scan
+            "bm25_topk",
+            # 1-row weight-map broadcast (the model artifact) onto the scan
+            "quality_classifier"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n not in _PLAN_SKIP))
