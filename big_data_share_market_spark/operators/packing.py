@@ -203,8 +203,81 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Output sharding (the training-set writer's layout contract)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_SHARD_SALT = "shard:"
+
+
+def shard_col():
+    """Deterministic shard id 0.._N_SHARDS-1 per document — the same
+    engine-portable md5 hash as the train/val/test split (sampling.py),
+    so shard membership is stable across engines, re-runs, and cluster
+    sizes, and adding documents never moves existing ones between
+    shards (the property that makes incremental shard refresh O(new
+    docs))."""
+    from .sampling import hash256
+    return hash256(F.col("doc_id"), _SHARD_SALT) % _N_SHARDS
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest of the sharded training-set write: per shard, the doc
+    count, total token count, and doc-id range — what a downstream
+    trainer's data loader reads instead of listing files.
+
+    Scale shape: shard assignment is row-local (no shuffle); the
+    manifest is one _N_SHARDS-row aggregate. The write itself
+    (`write_training_shards`) uses `partitionBy("shard")` +
+    `maxRecordsPerFile`, so each shard is a directory of bounded
+    files writable in parallel by every executor — no
+    single-writer funnel, no repartition(1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select("doc_id", shard_col().alias("shard"),
+                    F.size(_tokens(F.col("text"))).alias("n_tokens"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("shard_tokens"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("shard"))
+
+
+def _shard_manifest_sql() -> str:
+    from .sampling import hash256_sql
+    h = hash256_sql("doc_id", _SHARD_SALT)
+    return f"""
+WITH s AS (
+  SELECT doc_id, {h} % {_N_SHARDS} AS shard,
+         len(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
+           AS n_tokens
+  FROM documents)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          max_records_per_file: int = 10_000) -> None:
+    """Write a training set as hash-sharded parquet:
+    `path/shard=K/part-*.parquet` with at most `max_records_per_file`
+    rows per file. `partitionBy` keeps every executor writing its own
+    shard files concurrently; `maxRecordsPerFile` bounds file size so
+    a skewed shard still yields loader-friendly pieces. The caller's
+    frame must carry `doc_id`; all its columns are preserved."""
+    (df.withColumn("shard", shard_col())
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", str(max_records_per_file))
+       .partitionBy("shard")
+       .parquet(path))
+
+
 QUERIES = {
     "chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "pack_tokens": (q_pack_tokens, _PACK_SQL),
     "corpus_to_training_set": (q_corpus_to_training_set, _training_set_sql()),
+    "shard_manifest": (q_shard_manifest, _shard_manifest_sql()),
 }
