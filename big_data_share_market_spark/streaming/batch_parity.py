@@ -362,6 +362,44 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_stream_corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest accounting for a training-data pipeline: the
+    `documents` table replayed as a file stream, with a running
+    per-source (doc count, token count) aggregate in complete mode —
+    the live counters an ingest dashboard shows while a crawl lands.
+
+    Streaming-specific semantics under test: an unwindowed streaming
+    aggregation (state keyed by `source` only — state size is
+    O(sources), bounded, so no watermark is needed), token arithmetic
+    shared with packing.py's tokenizer contract. Oracle = the batch
+    aggregate over the same fixture."""
+    import os
+    src_dir = "/tmp/bdsm_stream_docs" + sf_dir.replace("/", "_")
+    link = f"{src_dir}/documents-0.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    sdf = (spark.readStream
+           .schema("doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+           .format("parquet").load(src_dir))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    agg = (sdf.select("source", F.size(toks).alias("n_tokens"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens")))
+    return run_available_now(agg, spark, output_mode="complete")
+
+
+_STREAM_TOKENS_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS total_tokens
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
@@ -378,4 +416,6 @@ QUERIES = {
                                         _STREAM_LEFT_OUTER_SQL),
     "stream_drawdown_per_key": (q_stream_drawdown_per_key,
                                 _STREAM_DRAWDOWN_SQL),
+    "stream_corpus_token_totals": (q_stream_corpus_token_totals,
+                                   _STREAM_TOKENS_SQL),
 }
