@@ -1011,8 +1011,88 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric: catches near-SUBSET duplicates)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+
+
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by shingle CONTAINMENT
+    ``C(A→B) = |A ∩ B| / |A|`` — the asymmetric measure that catches a
+    short document embedded verbatim in a longer one (quote farms,
+    aggregator pages), which symmetric Jaccard misses: a 50-shingle
+    doc inside a 5000-shingle doc has J ≈ 0.01 but C = 1.0.
+
+    Candidate generation is byte-for-byte the df-capped shape of
+    `q_ngram_jaccard_capped` (hot shingles excluded, bounded pair
+    fan-out); only the verify arithmetic differs — both directed
+    containments are computed from the one intersection, and a pair
+    survives if EITHER direction clears the threshold. Same shuffle
+    count, same 100 TB safety argument."""
+    sh = _shingled(spark, sf_dir)
+    exploded = (sh.select("doc_id",
+                          F.explode_outer("shingles").alias("shingle"))
+                .filter(F.col("shingle").isNotNull()))
+    rare = (exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
+            .select("shingle"))
+    cand = (
+        exploded.join(rare, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("c_ab", inter / F.size("sh_a").cast("double"))
+        .withColumn("c_ba", inter / F.size("sh_b").cast("double"))
+        .filter(F.greatest("c_ab", "c_ba") >= _CONTAIN_T)
+        .select("a_id", "b_id", "c_ab", "c_ba")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+df AS (SELECT shingle, COUNT(*) AS n_docs FROM e GROUP BY shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN df ON df.shingle = a.shingle
+  WHERE df.n_docs > 1 AND df.n_docs <= {_DF_CAP}),
+scored AS (
+  SELECT a_id, b_id,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / CAST(len(sa.shingles) AS DOUBLE) AS c_ab,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / CAST(len(sb.shingles) AS DOUBLE) AS c_ba
+  FROM cand
+  JOIN sh sa ON sa.doc_id = a_id
+  JOIN sh sb ON sb.doc_id = b_id)
+SELECT a_id, b_id, c_ab, c_ba
+FROM scored
+WHERE greatest(c_ab, c_ba) >= {_CONTAIN_T}
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
+    "containment_neardup": (q_containment_neardup, _CONTAINMENT_SQL),
     "incremental_dedup": (q_incremental_dedup, _INCREMENTAL_DEDUP_SQL),
     "dedup_keep_longest": (q_dedup_keep_longest, _KEEP_LONGEST_SQL),
     "dup_ngram_spans": (q_dup_ngram_spans, _DUP_SPANS_SQL),
