@@ -66,6 +66,9 @@ HEADLINE = [
     "ann_pq_topk",          # product-quantization ADC top-k
     "incremental_dedup",    # delta-vs-base fingerprint anti-join
     "simhash_pairs",        # numpy simhash kernel + chunk-bucket join
+    "bm25_topk",            # lexical retrieval (1-row stats broadcast)
+    "quality_classifier",   # model-apply (broadcast weight map)
+    "containment_neardup",  # asymmetric near-subset dedup
 ]
 
 

@@ -477,8 +477,108 @@ FROM train t JOIN matched m USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-n-gram importance weights
+# ---------------------------------------------------------------------------
+
+#: Feature-hash buckets. DSIR (Xie et al. 2023, "Data Selection for
+#: Language Models via Importance Resampling") hashes n-grams into a
+#: fixed bucket space so the target/raw models stay BOUNDED no matter
+#: how large the corpus grows; 4096 here, 10k in the paper.
+_DSIR_B = 4096
+
+
+def _bucket4096(col):
+    """0..4095 from the first three hex chars of md5 — the 3-char
+    extension of sampling.hash256, equally engine-portable."""
+    h = F.md5(col)
+    out = None
+    for i in (1, 2, 3):
+        d = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        out = d if out is None else out * 16 + d
+    return out
+
+
+def _bucket4096_sql(expr: str) -> str:
+    h = f"md5({expr})"
+    return ("(((strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+            " + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1)) * 16"
+            " + (strpos('0123456789abcdef', substring({h}, 3, 1)) - 1))"
+            ).format(h=h)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per document, the mean log-ratio of
+    hashed-bigram probabilities under a TARGET distribution (here the
+    `lang = 'en'` slice, standing in for the paper's "formal text"
+    target) vs the RAW corpus, with add-one smoothing. Documents with
+    high `avg_log_ratio` look like the target — importance RESAMPLING
+    then keeps doc d with probability ∝ exp(weight), which is exactly
+    `mixture_sample`'s thresholded-hash machinery applied to these
+    weights.
+
+    Scale shape: feature hashing bounds both models at _DSIR_B rows
+    REGARDLESS of corpus size, so the model table (bucket,
+    c_target, c_raw) is a broadcast join onto the exploded bigram
+    stream — corpus-sized shuffle only for the per-doc mean. Scores
+    round to 6 decimals so ln() ULP noise cannot flip the compare."""
+    docs = _docs(spark, sf_dir)
+    toked = (fan_out(spark, docs.filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2))
+        .select("doc_id", "lang", _toks().alias("toks")))
+    bg = (toked.select(
+        "doc_id", "lang",
+        F.explode_outer(F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))")).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", "lang", _bucket4096(F.col("bg")).alias("bucket")))
+    model = (bg.groupBy("bucket").agg(
+        F.count("*").alias("c_raw"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("c_target")))
+    totals = model.agg(F.sum("c_raw").cast("double").alias("n_raw"),
+                       F.sum("c_target").cast("double").alias("n_target"))
+    log_ratio = (
+        F.log((F.col("c_target") + 1.0) / (F.col("n_target") + float(_DSIR_B)))
+        - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + float(_DSIR_B))))
+    return (bg.join(F.broadcast(model.crossJoin(F.broadcast(totals))), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(log_ratio), 6).alias("avg_log_ratio"))
+            .orderBy("doc_id"))
+
+
+_DSIR_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 2),
+bg AS (
+  SELECT doc_id, lang,
+         {_bucket4096_sql("bgs")} AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bgs
+        FROM toked)),
+model AS (
+  SELECT bucket, COUNT(*) AS c_raw,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_target
+  FROM bg GROUP BY bucket),
+tot AS (
+  SELECT CAST(SUM(c_raw) AS DOUBLE) AS n_raw,
+         CAST(SUM(c_target) AS DOUBLE) AS n_target
+  FROM model)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(AVG(ln((m.c_target + 1.0) / (t.n_target + {float(_DSIR_B)}))
+                 - ln((m.c_raw + 1.0) / (t.n_raw + {float(_DSIR_B)}))), 6)
+         AS avg_log_ratio
+FROM bg JOIN model m USING (bucket), tot t
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
+    "dsir_weights": (q_dsir_weights, _DSIR_SQL),
     "length_outliers": (q_length_outliers, _LENGTH_OUTLIERS_SQL),
     "eval_ngram_contamination": (q_eval_ngram_contamination,
                                  _EVAL_CONTAMINATION_SQL),

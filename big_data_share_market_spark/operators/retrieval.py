@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import fan_out, load_table
 
 #: Okapi BM25 constants (the standard defaults from the literature).
 _K1 = 1.2
@@ -59,7 +59,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is row-local arithmetic; top-k is TakeOrdered. Zero
     corpus-sized shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: tokenization + per-term counting are CPU-bound
+    # interpreted kernels; a single-file fixture scan would pin them
+    # to 1-2 tasks. At scale the scan is already wide -> no-op.
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = _toks()
     def _tf(term):
         # NB: a `lambda x, t=term:` default-arg closure would NOT work
@@ -170,7 +173,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("feature", "w"))).alias("wm")))
     toks = _toks()
     stop = ("the", "a", "of", "and", "to", "in", "is")
-    feat = load_table(spark, sf_dir, "documents").select(
+    feat = fan_out(spark, load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),

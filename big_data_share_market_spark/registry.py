@@ -26,8 +26,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: neardup_split_leakage, lsh_bucket_health, token_budget_mixture,
 #: heavy_hitters, ann_pq_topk, incremental_dedup, dedup_keep_longest,
 #: length_outliers, eval_ngram_contamination, vocab_coverage,
-#: minhash_est_quality — every one locally parity-green at
-#: sf0.001/0.01/0.1 via the driver-identical harness.
+#: minhash_est_quality, bm25_topk, quality_classifier, shard_manifest,
+#: containment_neardup, dsir_weights, stream_corpus_token_totals,
+#: stream_quality_gate — every one locally parity-green at
+#: sf0.001, sf0.01 AND sf0.1 via the driver-identical harness.
 _FIRST_50 = (
     # finance indicators (window + Arrow kernels)
     "bollinger_bands", "stochastic_oscillator", "obv", "rolling_zscore",

@@ -400,6 +400,72 @@ FROM documents GROUP BY source
 """
 
 
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier applied AT INGEST: the documents stream
+    scored row-locally with the same linear model as
+    `quality_classifier` (operators/retrieval.py), with a running
+    per-source (arrived, kept) counter — the accept-rate dashboard of
+    a filtering crawl frontier. Model weights ride along as literals
+    here (a streaming query restarts to pick up a new model version —
+    the standard model-rollout story for stateless scoring).
+
+    Streaming semantics under test: a derived boolean gating column
+    feeding an unwindowed grouped aggregation in complete mode;
+    oracle = the batch equivalent."""
+    from ..operators.retrieval import _CLS_WEIGHTS, _toks as _rtoks
+    w = dict(_CLS_WEIGHTS)
+    import os
+    src_dir = "/tmp/bdsm_stream_docs" + sf_dir.replace("/", "_")
+    link = f"{src_dir}/documents-0.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    sdf = (spark.readStream
+           .schema("doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+           .format("parquet").load(src_dir))
+    toks = _rtoks()
+    stop = ("the", "a", "of", "and", "to", "in", "is")
+    ntok = F.size(toks).cast("double")
+    score = (F.lit(w["bias"])
+             + w["len_norm"] * F.least(ntok / 100.0, F.lit(1.0))
+             + w["ttr"] * (F.size(F.array_distinct(toks)) / ntok)
+             + w["stop_ratio"]
+             * (F.size(F.filter(toks, lambda x: x.isin(*stop))) / ntok)
+             + w["mean_token_len"]
+             * ((F.length("text") - (F.size(toks) - 1)) / ntok))
+    agg = (sdf.select("source", (score > 0.0).alias("keep"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept")))
+    return run_available_now(agg, spark, output_mode="complete")
+
+
+def _stream_quality_gate_sql() -> str:
+    from ..operators.retrieval import _CLS_WEIGHTS
+    w = dict(_CLS_WEIGHTS)
+    stop_in = ", ".join(f"'{s}'" for s in
+                        ("the", "a", "of", "and", "to", "in", "is"))
+    score = f"""({w['bias']}
+      + {w['len_norm']} * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+      + {w['ttr']} * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+      + {w['stop_ratio']} * (len(list_filter(toks, x -> x IN ({stop_in})))
+                             / CAST(len(toks) AS DOUBLE))
+      + {w['mean_token_len']} * ((length(text) - (len(toks) - 1))
+                                 / CAST(len(toks) AS DOUBLE)))"""
+    return f"""
+WITH t AS (
+  SELECT source, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN {score} > 0.0 THEN 1 ELSE 0 END) AS n_kept
+FROM t GROUP BY source
+"""
+
+
 QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
@@ -418,4 +484,6 @@ QUERIES = {
                                 _STREAM_DRAWDOWN_SQL),
     "stream_corpus_token_totals": (q_stream_corpus_token_totals,
                                    _STREAM_TOKENS_SQL),
+    "stream_quality_gate": (q_stream_quality_gate,
+                            _stream_quality_gate_sql()),
 }

@@ -49,6 +49,8 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             "ann_recall_eval",
             # 1-row BM25 corpus-stats broadcast onto the scoring scan
             "bm25_topk",
+            # 1-row model-totals broadcast onto the <=4096-row model
+            "dsir_weights",
             # 1-row weight-map broadcast (the model artifact) onto the scan
             "quality_classifier"}
 
