@@ -86,7 +86,8 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.retrieval",
                  "operators.multimodal",
                  "operators.sampling", "operators.warehouse",
-                 "sources.json_io", "streaming.batch_parity"):
+                 "sources.json_io", "sources.formats",
+                 "streaming.batch_parity"):
         modpath = f"{__package__}.{name}"
         try:
             mods.append(__import__(modpath, fromlist=[name.split(".")[-1]]))

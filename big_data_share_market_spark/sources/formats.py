@@ -1,0 +1,109 @@
+"""Additional columnar/text source formats: CSV (with quoting +
+PERMISSIVE tolerance) and ORC, each exercised END-TO-END — a
+distributed write of the fixture into the format, a typed read back,
+and an oracle certifying the round-trip lost nothing.
+
+Parquet is the repo's primary format (every fixture table); JSON-lines
+lives in json_io.py. These two close the remaining "could I point this
+engine at the files I already have?" gaps: CSV is what ad-hoc exports
+and legacy feeds actually arrive as, ORC is the other columnar format
+a warehouse migration brings along. Kafka/Avro need packages absent
+from this container (see sources/connectors.py for the Kafka
+option-contract).
+
+Scale notes: both writes are executor-parallel (one file per task, no
+single-writer funnel); reads are format-native scans — ORC supports
+predicate pushdown and column pruning exactly like parquet (same
+FileScan machinery), CSV is a row format so the read is a full-width
+text parse by design (the point of the round-trip is fidelity, not
+layout — a 100 TB pipeline lands CSV once and converts to
+parquet/ORC immediately, which is exactly what these queries do).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_CSV_OPTS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "nullValue": "\\N",
+}
+
+
+def _docs_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table as quoted CSV once per sf_dir —
+    distributed write, no driver collect (same staging pattern as the
+    corrupt-JSONL scan, json_io.py)."""
+    stage_dir = f"/tmp/bdsm_csv{sf_dir.replace('/', '_')}"
+    marker = f"{stage_dir}/_SUCCESS"
+    if not os.path.exists(marker):
+        (load_table(spark, sf_dir, "documents")
+         .write.mode("overwrite").options(**_CSV_OPTS).csv(stage_dir))
+    return stage_dir
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV end-to-end: documents written as quoted CSV (header,
+    RFC-4180 quote-doubling escape, explicit null token), read back
+    with an explicit schema in PERMISSIVE mode. The oracle is the
+    original table — the round-trip must be byte-faithful including
+    multi-space text runs (`text` is quoted, so the parser cannot
+    squeeze or split them)."""
+    path = _docs_csv_dir(spark, sf_dir)
+    schema = ("doc_id BIGINT, text STRING, lang STRING, "
+              "source STRING, n_chars BIGINT")
+    return (spark.read.schema(schema)
+            .options(mode="PERMISSIVE", **_CSV_OPTS)
+            .csv(path)
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def _events_orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    stage_dir = f"/tmp/bdsm_orc{sf_dir.replace('/', '_')}"
+    marker = f"{stage_dir}/_SUCCESS"
+    if not os.path.exists(marker):
+        (load_table(spark, sf_dir, "events")
+         .write.mode("overwrite").orc(stage_dir))
+    return stage_dir
+
+
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC end-to-end: events written as ORC, read back, and
+    aggregated per event_type with a pushed-down value filter — the
+    read path must preserve types (timestamp included) AND keep the
+    columnar virtues (predicate pushdown + column pruning reach the
+    OrcScan exactly as they do for parquet; `tests/test_plans.py`
+    pins both). Oracle = the same aggregate over the parquet
+    fixture."""
+    path = _events_orc_dir(spark, sf_dir)
+    ev = spark.read.orc(path)
+    return (ev.filter(F.col("value") > 50.0)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events WHERE value > 50.0 GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "csv_roundtrip": (q_csv_roundtrip, _CSV_ROUNDTRIP_SQL),
+    "orc_roundtrip_agg": (q_orc_roundtrip_agg, _ORC_ROUNDTRIP_SQL),
+}

@@ -176,3 +176,43 @@ def test_capped_pair_expand_degenerate_bucket(spark):
     assert s["n_buckets"] == 2
     assert s["n_truncated"] == 1
     assert s["dropped_pairs"] == (10 * 9 // 2) - 6
+
+
+def test_bucket_verify_degenerate_group(spark):
+    """_bucket_verify honors the same cap + no-crash contract on a
+    degenerate group: identical vectors all colliding in one bucket
+    yield a BOUNDED pair set (first cap sorted ids), and a zero
+    vector (norm 0 → NULL-denominator cosine) is dropped, never NaN."""
+    from big_data_share_market_spark.operators.similarity import _bucket_verify
+
+    rows = ([(i, 0, 0, [1.0, 0.0], 1.0) for i in range(10)]
+            + [(99, 0, 0, [0.0, 0.0], 0.0)])
+    df = spark.createDataFrame(
+        rows, "vec_id long, tbl int, bucket int, emb array<double>, nrm double")
+    got = {(r["a_id"], r["b_id"]): r["cosine"]
+           for r in _bucket_verify(df, 0.5).collect()}
+    # cap = 256 doesn't bind for 11 ids; every identical-vector pair
+    # scores exactly 1.0, pairs touching the zero vector are dropped.
+    assert set(got) == {(a, b) for a in range(10) for b in range(a + 1, 10)}
+    assert all(c == 1.0 for c in got.values())
+
+
+def test_bucket_topk_matches_window_rank(spark):
+    """_bucket_topk's per-group top-k + tie-breaks equal the
+    row_number(desc cosine, asc b_id) semantics it replaced."""
+    from big_data_share_market_spark.operators.similarity import _bucket_topk
+
+    # 4 vectors in one bucket: v0 ties with v1 and v2 on cosine vs
+    # each other (identical), v3 is orthogonal to all.
+    rows = [(0, 0, 0, [1.0, 0.0], 1.0), (1, 0, 0, [1.0, 0.0], 1.0),
+            (2, 0, 0, [1.0, 0.0], 1.0), (3, 0, 0, [0.0, 1.0], 1.0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, tbl int, bucket int, emb array<double>, nrm double")
+    got = {(r["a_id"], r["b_id"]): r["cosine"]
+           for r in _bucket_topk(df, 2).collect()}
+    # v0's top-2: ties at cosine 1.0 broken by ascending b_id → 1, 2.
+    assert (0, 1) in got and (0, 2) in got and (0, 3) not in got
+    # v3 sees three cosine-0.0 neighbors; 0.0 >= nothing special —
+    # top-2 by id tie-break are 0 and 1.
+    assert (3, 0) in got and (3, 1) in got and (3, 2) not in got
+    assert got[(3, 0)] == 0.0

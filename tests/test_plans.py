@@ -275,3 +275,18 @@ def test_no_expensive_exprs_in_scan_filters(spark):
         assert not offenders, offenders
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def test_orc_scan_pushdown_and_pruning(spark):
+    """The ORC read path must keep the columnar virtues: the value
+    filter reaches the OrcScan as a pushed filter and the scan reads
+    only the 3 touched columns (no event_id/user_id/props)."""
+    fn, _ = _QUERIES["orc_roundtrip_agg"]
+    df = fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "PushedFilters: [" in plan
+    assert "value" in plan.split("PushedFilters")[1][:200]
+    schemas = scan_read_schemas(df)
+    orc = next(iter(schemas.values()))
+    assert "event_type" in orc and "ts" in orc and "value" in orc
+    assert "props" not in orc and "event_id" not in orc
