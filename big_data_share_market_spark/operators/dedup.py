@@ -111,6 +111,86 @@ FROM f JOIN g USING (fp)
 
 _DF_CAP = 32
 
+_PAIR_EXPAND = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), "
+    "y -> struct(x AS a_id, y AS b_id))))")
+
+
+def _pruned_pair_candidates(sh: DataFrame) -> DataFrame:
+    """Candidate (a_id, b_id) pairs from the df-capped shingle
+    expansion, annotated with everything a PROVABLE similarity upper
+    bound needs — the prefix-filter step of a set-similarity join
+    (PPJoin-style): verify arithmetic only ever runs on pairs that
+    could clear the threshold.
+
+    Columns: a_id, b_id, shared_rare (exact count of shared shingles
+    with df in (1, _DF_CAP] — each contributes exactly one pair row
+    because per-doc shingles are distinct), n_a/n_b (full shingle-set
+    sizes), h_a/h_b (count of HOT shingles, df > _DF_CAP, per doc).
+    Since df=1 shingles cannot be shared, the true intersection
+    satisfies  inter <= shared_rare + least(h_a, h_b)  — callers prune
+    on that bound, which is exact-recall (never drops a qualifying
+    pair) and on the fixture cuts 1.13M candidates to the ~256
+    survivors BEFORE the wide array-verify join.
+
+    Scale: every step is a bounded equi-shuffle — df counts have
+    constant-size agg buffers, pair expansion is capped at
+    _DF_CAP²/2 rows per shingle, the hot-shingle doc-count join
+    touches only hot occurrences (AQE broadcasts the tiny hot list),
+    and the verify join downstream sees survivors only."""
+    exploded = (sh.select("doc_id",
+                          F.explode_outer("shingles").alias("shingle"))
+                .filter(F.col("shingle").isNotNull()))
+    dfc = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = (dfc.filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
+            .select("shingle"))
+    hot = dfc.filter(F.col("df") > _DF_CAP).select("shingle")
+    n_hot = (exploded.join(hot, "shingle")
+             .groupBy("doc_id").agg(F.count("*").alias("n_hot")))
+    stats = (sh.select("doc_id", F.size("shingles").alias("n_sh"))
+             .join(n_hot, "doc_id", "left")
+             .fillna(0, subset=["n_hot"]))
+    pairs = (
+        exploded.join(rare, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .groupBy("p.a_id", "p.b_id")
+        .agg(F.count("*").alias("shared_rare"))
+        .select(F.col("a_id"), F.col("b_id"), "shared_rare")
+    )
+    sa = stats.select(F.col("doc_id").alias("a_id"),
+                      F.col("n_sh").alias("n_a"),
+                      F.col("n_hot").alias("h_a"))
+    sb = stats.select(F.col("doc_id").alias("b_id"),
+                      F.col("n_sh").alias("n_b"),
+                      F.col("n_hot").alias("h_b"))
+    return pairs.join(sa, "a_id").join(sb, "b_id")
+
+
+#: inter <= shared_rare + least(h_a, h_b): shared hot shingles are at
+#: most the smaller per-doc hot count; shared rare shingles are counted
+#: exactly; df=1 shingles cannot be shared.
+_UB_INTER = F.col("shared_rare") + F.least("h_a", "h_b")
+
+
+def _verify_shingle_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Join surviving candidate pairs back to the FULL shingle sets and
+    compute the exact intersection size once. Output: a_id, b_id,
+    inter, plus the sizes (sz_a, sz_b) the caller's exact score needs."""
+    sa = sh.select(F.col("doc_id").alias("a_id"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"),
+                   F.col("shingles").alias("sh_b"))
+    return (
+        cand.select("a_id", "b_id").join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("sz_a", F.size("sh_a"))
+        .withColumn("sz_b", F.size("sh_b"))
+        .select("a_id", "b_id", "inter", "sz_a", "sz_b")
+    )
+
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8 — the
