@@ -21,7 +21,7 @@ on \\s+, word 3-gram shingles, distinct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import fan_out, load_table
@@ -169,10 +169,14 @@ def _pruned_pair_candidates(sh: DataFrame) -> DataFrame:
     return pairs.join(sa, "a_id").join(sb, "b_id")
 
 
-#: inter <= shared_rare + least(h_a, h_b): shared hot shingles are at
-#: most the smaller per-doc hot count; shared rare shingles are counted
-#: exactly; df=1 shingles cannot be shared.
-_UB_INTER = F.col("shared_rare") + F.least("h_a", "h_b")
+def _ub_inter() -> Column:
+    """Provable upper bound on the TRUE shingle intersection of a
+    candidate pair: inter <= shared_rare + least(h_a, h_b). Shared hot
+    shingles are at most the smaller per-doc hot count; shared rare
+    shingles are counted exactly; df=1 shingles cannot be shared.
+    Built lazily — constructing a Column requires an active
+    SparkContext, so module import must not do it."""
+    return F.col("shared_rare") + F.least("h_a", "h_b")
 
 
 def _verify_shingle_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
@@ -1105,40 +1109,25 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregator pages), which symmetric Jaccard misses: a 50-shingle
     doc inside a 5000-shingle doc has J ≈ 0.01 but C = 1.0.
 
-    Candidate generation is byte-for-byte the df-capped shape of
+    Candidate generation is the df-capped shape of
     `q_ngram_jaccard_capped` (hot shingles excluded, bounded pair
-    fan-out); only the verify arithmetic differs — both directed
-    containments are computed from the one intersection, and a pair
-    survives if EITHER direction clears the threshold. Same shuffle
-    count, same 100 TB safety argument."""
+    fan-out), annotated by `_pruned_pair_candidates` with the
+    prefix-filter statistics of a set-similarity join: since
+    ``greatest(c_ab, c_ba) = inter / least(|A|, |B|)`` and the true
+    intersection provably satisfies ``inter <= shared_rare +
+    least(h_a, h_b)`` (`_ub_inter`), any pair whose bound falls below
+    ``C * least(n_a, n_b)`` cannot clear the threshold and is pruned
+    BEFORE the wide array-verify join — exact recall, verify
+    arithmetic only on survivors. Same shuffle count as the Jaccard
+    sibling, same 100 TB safety argument."""
     sh = _shingled(spark, sf_dir)
-    exploded = (sh.select("doc_id",
-                          F.explode_outer("shingles").alias("shingle"))
-                .filter(F.col("shingle").isNotNull()))
-    rare = (exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
-            .select("shingle"))
-    cand = (
-        exploded.join(rare, "shingle")
-        .groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("a_id"),
-                   F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"),
-                   F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cand = _pruned_pair_candidates(sh)
+    survivors = cand.filter(
+        _ub_inter() >= F.lit(_CONTAIN_T) * F.least("n_a", "n_b"))
     return (
-        cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("c_ab", inter / F.size("sh_a").cast("double"))
-        .withColumn("c_ba", inter / F.size("sh_b").cast("double"))
+        _verify_shingle_pairs(sh, survivors)
+        .withColumn("c_ab", F.col("inter") / F.col("sz_a").cast("double"))
+        .withColumn("c_ba", F.col("inter") / F.col("sz_b").cast("double"))
         .filter(F.greatest("c_ab", "c_ba") >= _CONTAIN_T)
         .select("a_id", "b_id", "c_ab", "c_ba")
         .orderBy("a_id", "b_id")

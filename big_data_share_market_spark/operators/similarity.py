@@ -524,8 +524,13 @@ def _bucket_verify(bucketed: DataFrame, threshold: float,
     """Exact-cosine verification inside each `group_cols` group.
     Input rows: (vec_id, *group_cols, emb: array<double>, nrm).
     Emits (a_id, b_id, cosine) for in-group pairs with cosine >=
-    threshold. Memory per task is O(cap * dim + cap²), independent
-    of group occupancy; only pairs CLEARING the threshold ever
+    threshold. The cap bounds PAIR EXPANSION to O(cap * dim + cap²)
+    per task; group materialization is NOT capped — applyInPandas
+    hands the whole group to the kernel before the slice, so a
+    degenerate bucket still costs O(occupancy * dim) transient memory
+    in one task (acceptable: occupancy is bounded in expectation by
+    the LSH plane count, and `q_lsh_bucket_health` is the alarm for
+    when it isn't). Only pairs CLEARING the threshold ever
     materialize as rows."""
     import pandas as pd
 
@@ -895,7 +900,12 @@ scored AS (
            / nullif(ea.nrm * eb.nrm, 0.0) AS cosine
   FROM cand
   JOIN n ea ON ea.vec_id = a_id
-  JOIN n eb ON eb.vec_id = b_id),
+  JOIN n eb ON eb.vec_id = b_id
+  -- zero-norm pairs have undefined cosine; the kernel drops them
+  -- (den == 0 -> -inf, filtered), so the oracle must too — else
+  -- NULL cosines rank NULLS-LAST into ranks <= k for vectors with
+  -- fewer than k finite-cosine candidates
+  WHERE ea.nrm * eb.nrm <> 0.0),
 ranked AS (
   SELECT a_id, b_id, cosine,
          row_number() OVER (PARTITION BY a_id
@@ -1074,27 +1084,30 @@ ORDER BY a.vec_id
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean embedding per label — the reduce side of k-means/IVF
-    training. r3 rewrite: array-column aggregation (`_label_means`)
-    instead of posexplode; ONE shuffle carrying only map-side partial
-    aggregates instead of a 64×-row-fan-out exchange on (label, dim).
-    The oracle keeps the explode formulation — the decimal sums are
-    order-independent, so results are bit-identical."""
+    training. Computed as an array-column aggregation (`_label_means`):
+    ONE shuffle carrying only map-side partial aggregates instead of a
+    64×-row-fan-out exchange on (label, dim). The RESULT is then
+    posexploded to scalar (label, dim, mean_x) rows — value-hashable
+    for the driver's oracle compare (array cells are not), and the
+    explode runs on k·dim rows (tiny), not the corpus. The oracle
+    keeps the explode-first formulation — the decimal sums are
+    order-independent, so values are bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _label_means(emb).orderBy("label")
+    return (
+        _label_means(emb)
+        .select("label", F.posexplode("centroid").alias("dim", "mean_x"))
+        .select("label", F.col("dim").cast("long").alias("dim"), "mean_x")
+        .orderBy("label", "dim")
+    )
 
 
 _LABEL_CENTROIDS_SQL = """
 WITH dims AS (
   SELECT label, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u),
-per_dim AS (
-  SELECT label, dim,
-         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(x) AS mean_x
-  FROM dims GROUP BY label, dim)
-SELECT label,
-       list(mean_x ORDER BY dim) AS centroid,
-       COUNT(*) AS n_dims
-FROM per_dim GROUP BY label ORDER BY label
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u)
+SELECT label, dim,
+       CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(x) AS mean_x
+FROM dims GROUP BY label, dim ORDER BY label, dim
 """
 
 

@@ -55,12 +55,16 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an explicit schema in PERMISSIVE mode. The oracle is the
     original table — the round-trip must be byte-faithful including
     multi-space text runs (`text` is quoted, so the parser cannot
-    squeeze or split them)."""
+    squeeze or split them) and embedded newlines (quoted by the
+    writer; without multiLine the reader would split such a record
+    across parse rows). Known caveat: a text field literally equal to
+    the nullValue token backslash-N round-trips to NULL — inherent to
+    CSV null encoding, not fixable without a different sentinel."""
     path = _docs_csv_dir(spark, sf_dir)
     schema = ("doc_id BIGINT, text STRING, lang STRING, "
               "source STRING, n_chars BIGINT")
     return (spark.read.schema(schema)
-            .options(mode="PERMISSIVE", **_CSV_OPTS)
+            .options(mode="PERMISSIVE", multiLine="true", **_CSV_OPTS)
             .csv(path)
             .select("doc_id", "text", "lang", "source", "n_chars"))
 
