@@ -13,60 +13,49 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: The driver's hard correctness gate checks the FIRST 50 registry
-#: entries. Rounds 1+2 drove 92 distinct queries green
-#: (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json); this round front-loads
-#: 50 oracle-backed queries the driver has NEVER checked — the
-#: finance/sketch/text/corpus/multimodal/sampling/warehouse long tail.
-#: Still outside the window after this round (rotate these in round 4):
-#: candle_color and custkeys_except (plan-shape siblings of driver-green
-#: signal_case / custkeys_intersect), the 4 rows-only sketch/numpy
-#: queries (no SQL oracle by design), and the operators added after the
-#: rotation froze — gopher_filters, dup_ngram_spans, semantic_dedup,
-#: media_phash_dedup, kmeans_lloyd_step, ann_batch_topk,
-#: neardup_split_leakage, lsh_bucket_health, token_budget_mixture,
-#: heavy_hitters, ann_pq_topk, incremental_dedup, dedup_keep_longest,
-#: length_outliers, eval_ngram_contamination, vocab_coverage,
-#: minhash_est_quality, bm25_topk, quality_classifier, shard_manifest,
-#: containment_neardup, dsir_weights, stream_corpus_token_totals,
-#: stream_quality_gate — every one locally parity-green at
-#: sf0.001, sf0.01 AND sf0.1 via the driver-identical harness.
+#: entries. Rounds 1-3 drove 141 distinct queries green
+#: (CORRECTNESS_r01 ∪ r02 ∪ r03). This round front-loads the 35
+#: remaining never-driver-checked queries — the r3-added operator
+#: wave (semantic dedup, k-means, PQ/batch ANN, gopher/DSIR, BM25,
+#: sketches, format round-trips, streaming corpus accounting) plus
+#: label_centroids (r3 FAIL: array column broke the driver's value
+#: hasher; output is now scalar rows) — and pads the window to 50
+#: with re-verification picks: every query whose code or oracle
+#: changed this round, plus headline representatives of each family.
+#: After this round the driver union covers the whole registry
+#: except the 4 rows-only sketch/numpy queries (no SQL oracle by
+#: design; the driver records rows-only checks for them here).
 _FIRST_50 = (
-    # finance indicators (window + Arrow kernels)
-    "bollinger_bands", "stochastic_oscillator", "obv", "rolling_zscore",
-    "vwap_daily", "max_drawdown", "realized_volatility", "beta_vs_market",
-    "corr_pairs",
-    # time-grid / seasonality
-    "missing_bars", "dow_seasonality",
-    # rollups + scale patterns
-    "incremental_ohlc_rollup", "ohlc_day_rollup", "bucketed_join_revenue",
-    "partition_pruned_agg",
-    # relational long tail
-    "customer_balance_ranks", "custkeys_intersect",
-    # warehouse / SCD2
-    "scd2_order_priority", "scd2_snapshot",
-    # dedup family
-    "exact_dedup", "dedup_components", "ngram_jaccard_dedup",
-    "ngram_jaccard_capped",
-    # ANN / similarity
-    "ann_lsh_topk", "ann_recall_eval", "label_centroids",
-    # text analysis
-    "token_count", "tfidf_top_terms", "pii_scrub", "bigram_counts",
-    "winnowing_fingerprint", "lang_id", "doc_fingerprint",
-    # corpus statistics
-    "bigram_lm_score", "cross_split_contamination", "source_quality_stats",
-    "length_histogram",
-    # chunking / packing
-    "chunk_documents", "pack_tokens",
-    # multimodal plumbing
-    "media_audio_segments", "media_resize", "media_decode_features",
-    "media_frame_sample",
-    # sampling
-    "stratified_sample", "mixture_sample",
-    # JSON I/O long tail
-    "props_json_extract", "json_envelope_roundtrip",
-    "jsonl_corrupt_tolerant_scan", "nested_array_roundtrip",
-    # streaming long tail
-    "stream_drawdown_per_key",
+    # --- never driver-verified (35) ---
+    # changed this round: scalar-row output / pruned verify / oracle fix
+    "label_centroids", "containment_neardup", "ann_batch_topk",
+    "csv_roundtrip",
+    # sketches (rows-only by design: HLL/KLL have no DuckDB twin)
+    "approx_distinct_users", "approx_value_quantiles",
+    "hll_merge_consistency", "cosine_topk_numpy",
+    # dedup long tail
+    "incremental_dedup", "dedup_keep_longest", "dup_ngram_spans",
+    "neardup_split_leakage", "minhash_est_quality", "semantic_dedup",
+    # ANN / clustering long tail
+    "ann_pq_topk", "kmeans_lloyd_step", "kmeans_train",
+    "lsh_bucket_health",
+    # corpus / quality long tail
+    "vocab_coverage", "gopher_filters", "dsir_weights",
+    "length_outliers", "eval_ngram_contamination", "bm25_topk",
+    "quality_classifier", "curriculum_stages", "token_budget_mixture",
+    "heavy_hitters",
+    # multimodal / sharding / formats
+    "media_phash_dedup", "shard_manifest", "orc_roundtrip_agg",
+    # plan-shape siblings rotated out earlier
+    "candle_color", "custkeys_except",
+    # streaming corpus accounting
+    "stream_corpus_token_totals", "stream_quality_gate",
+    # --- re-verification picks (15): headline per family ---
+    "signal_case", "pricing_summary", "last_per_key", "ema", "macd",
+    "adx", "exact_dedup", "minhash_lsh_dedup", "embedding_neardup",
+    "clean_corpus", "quality_score", "hash_split",
+    "corpus_to_training_set", "stream_ohlc_bars",
+    "stream_upsert_idempotent",
 )
 
 
