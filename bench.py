@@ -69,6 +69,8 @@ HEADLINE = [
     "bm25_topk",            # lexical retrieval (1-row stats broadcast)
     "quality_classifier",   # model-apply (broadcast weight map)
     "containment_neardup",  # asymmetric near-subset dedup
+    "rrf_hybrid_topk",      # BM25 + dense fusion (two TakeOrdereds)
+    "domain_cap_sample",    # two-level distributed per-domain rank
 ]
 
 

@@ -30,7 +30,7 @@ here is reused unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import fan_out, load_table
@@ -49,15 +49,13 @@ def _toks():
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k documents by Okapi BM25 for the literal query
-    `_QUERY_TERMS`, with the Lucene non-negative idf
-    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, bm25) for every document against `_QUERY_TERMS` —
+    the shared scoring pass behind `bm25_topk` and the RRF fusion.
 
     One narrow corpus pass computes (dl, tf_t...) row-locally; a
     single-row stats aggregate (N, sum_dl, df_t...) broadcasts back;
-    scoring is row-local arithmetic; top-k is TakeOrdered. Zero
-    corpus-sized shuffles.
+    scoring is row-local arithmetic. Zero corpus-sized shuffles.
     """
     # fan_out: tokenization + per-term counting are CPU-bound
     # interpreted kernels; a single-file fixture scan would pin them
@@ -91,16 +89,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             idf * (tf * (_K1 + 1.0))
             / (tf + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / avgdl)))
     score = sum(parts[1:], parts[0])
+    return (feat.crossJoin(F.broadcast(stats))
+            .select("doc_id", "dl", score.alias("bm25")))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by Okapi BM25 for the literal query
+    `_QUERY_TERMS`, with the Lucene non-negative idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``. Scoring is
+    `_bm25_scored`; the top-k is an orderBy+limit Spark plans as
+    TakeOrderedAndProject (per-partition k-heaps, no global sort)."""
     return (
-        feat.crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", score.alias("bm25"))
+        _bm25_scored(spark, sf_dir)
         .filter(F.col("bm25") > 0.0)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_TOP_K)
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_ctes() -> str:
+    """CTE chain ending in `bscored(doc_id, dl, bm25)` — the DuckDB
+    mirror of `_bm25_scored`, shared by the bm25 and RRF oracles."""
     tf_sel = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
         for i, t in enumerate(_QUERY_TERMS))
@@ -114,8 +123,7 @@ def _bm25_sql() -> str:
         f"    + {_K1} * (1.0 - {_B} + {_B} * CAST(dl AS DOUBLE)"
         f"                               / (sum_dl / n_docs))))"
         for i in range(len(_QUERY_TERMS)))
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
   FROM documents),
 f AS (SELECT doc_id, len(toks) AS dl, {tf_sel} FROM t),
@@ -123,11 +131,105 @@ s AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
          CAST(SUM(dl) AS DOUBLE) AS sum_dl,
          {df_sel}
-  FROM f)
-SELECT doc_id, dl, {parts} AS bm25
-FROM f, s
-WHERE {parts} > 0.0
+  FROM f),
+bscored AS (SELECT doc_id, dl, {parts} AS bm25 FROM f, s)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_ctes()}
+SELECT doc_id, dl, bm25
+FROM bscored
+WHERE bm25 > 0.0
 ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# ---------------------------------------------------------------------------
+
+#: RRF constant (the k=60 from the original Cormack/Clarke/Buettcher
+#: paper) and the per-ranker candidate depth.
+_RRF_K = 60
+_FUSE_N = 50
+
+
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the lexical BM25 ranking (`_QUERY_TERMS`
+    over `documents`) with the dense cosine ranking (vec_id 0's
+    embedding over `embeddings`, which is row-aligned with documents)
+    by reciprocal-rank fusion ``score = Σ 1 / (60 + rank_i)`` — the
+    standard rank-level combiner for retrieval stacks whose scores
+    live on incomparable scales.
+
+    Scale shape: each ranker independently prunes the corpus to its
+    top-`_FUSE_N` via orderBy+limit — Spark plans TakeOrdered
+    (per-partition heaps), so the only global structure ever built is
+    two N-row sets. The row_number windows and the full-outer fusion
+    join then run on ≤2N rows (constant, corpus-size-independent);
+    fusion arithmetic is 1/(60+rank) — identical IEEE division in
+    both engines. Documents in only one ranking contribute only that
+    ranking's term (the full-outer semantics of RRF)."""
+    from .similarity import _with_cosine
+
+    lex = (_bm25_scored(spark, sf_dir)
+           .filter(F.col("bm25") > 0.0)
+           .orderBy(F.desc("bm25"), F.asc("doc_id"))
+           .limit(_FUSE_N)
+           .withColumn("lex_rank", F.row_number().over(
+               W.orderBy(F.desc("bm25"), F.asc("doc_id"))).cast("long"))
+           .select("doc_id", "lex_rank"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    den = (_with_cosine(
+               emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query)),
+               "embedding", "q_emb")
+           .filter(F.col("cosine").isNotNull())
+           .orderBy(F.desc("cosine"), F.asc("vec_id"))
+           .limit(_FUSE_N)
+           .withColumn("dense_rank", F.row_number().over(
+               W.orderBy(F.desc("cosine"), F.asc("vec_id"))).cast("long"))
+           .select(F.col("vec_id").alias("doc_id"), "dense_rank"))
+    contrib = (
+        F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)))
+    return (
+        lex.join(den, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "dense_rank", contrib.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_TOP_K)
+    )
+
+
+def _rrf_sql() -> str:
+    from .similarity import _cosine_sql
+
+    return f"""
+WITH {_bm25_ctes()},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM (SELECT doc_id, bm25 FROM bscored WHERE bm25 > 0.0
+        ORDER BY bm25 DESC, doc_id ASC LIMIT {_FUSE_N})),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+den AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS dense_rank
+  FROM (SELECT vec_id AS doc_id,
+               {_cosine_sql('embedding', 'q_emb')} AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+          AND {_cosine_sql('embedding', 'q_emb')} IS NOT NULL
+        ORDER BY cosine DESC, doc_id ASC LIMIT {_FUSE_N}))
+SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       lex.lex_rank, den.dense_rank,
+       COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+       + COALESCE(1.0 / ({_RRF_K} + den.dense_rank), 0.0) AS rrf
+FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+ORDER BY rrf DESC, doc_id ASC
 LIMIT {_TOP_K}
 """
 
@@ -232,5 +334,6 @@ SELECT doc_id, ttr, stop_ratio, score, score > 0.0 AS keep FROM s
 
 QUERIES = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "rrf_hybrid_topk": (q_rrf_hybrid_topk, _rrf_sql()),
     "quality_classifier": (q_quality_classifier, _QUALITY_CLASSIFIER_SQL),
 }

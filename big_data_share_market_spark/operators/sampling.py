@@ -299,8 +299,122 @@ FROM documents d JOIN qs q USING (source)
 """
 
 
+def q_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the XLM-R / mT5
+    α-sampling scheme): sample language ``l`` proportionally to
+    ``n_l^α`` so low-resource languages are over-represented relative
+    to their natural share. Here α = 0.5 with the scale anchored at
+    the smallest language (it keeps 100%), which collapses the target
+    to ``t_l = floor(sqrt(min_cnt * n_l))`` — the GEOMETRIC MEAN of
+    each language's count with the smallest count.
+
+    α = 0.5 is chosen deliberately for engine parity: IEEE-754 sqrt
+    is exactly rounded, so Spark and DuckDB compute bit-identical
+    targets from the same BIGINT product — a pow(x, 0.7) would risk
+    last-ulp drift between libm implementations and flip a
+    floor-boundary row. Membership is the usual engine-portable
+    hash-threshold cross-multiply (h * n_l < 256 * t_l), so the kept
+    set is reproducible across engines, re-runs, and cluster sizes.
+
+    Scale: one bytes-sized per-language counts aggregate broadcast
+    back onto a narrow scan; the keep decision is row-local. Zero
+    corpus-sized shuffles at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+              .withColumn("min_cnt", F.min("cnt").over(W.partitionBy()))
+              .withColumn("target", F.floor(
+                  F.sqrt((F.col("min_cnt") * F.col("cnt")).cast("double"))))
+              .select("lang", "cnt", "target"))
+    h = hash256(F.col("doc_id"), "temp:")
+    return (docs.join(F.broadcast(counts), "lang")
+            .filter(h * F.col("cnt") < 256 * F.col("target"))
+            .select("doc_id", "lang", "target"))
+
+
+_LANG_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS cnt,
+         (SELECT MIN(c) FROM (SELECT COUNT(*) AS c
+                              FROM documents GROUP BY lang)) AS min_cnt
+  FROM documents GROUP BY lang),
+targets AS (
+  SELECT lang, cnt,
+         CAST(floor(sqrt(CAST(min_cnt * cnt AS DOUBLE))) AS BIGINT)
+           AS target
+  FROM counts)
+SELECT d.doc_id, d.lang, t.target
+FROM documents d JOIN targets t USING (lang)
+WHERE {hash256_sql('d.doc_id', 'temp:')} * t.cnt < 256 * t.target
+"""
+
+
+_DOMAIN_CAP = 20
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the Dolma / RefinedWeb "no domain may
+    dominate" rule): keep at most ``_DOMAIN_CAP`` documents per
+    source, chosen in a reproducible hash order so the kept subset is
+    an unbiased sample of the domain, not its first rows.
+
+    The rank every doc needs is per-source over ORDER BY
+    (hash-bucket, doc_id). A flat ``row_number() OVER (PARTITION BY
+    source ORDER BY ...)`` sorts every row of a hot domain on ONE
+    task — exactly the skew this operator exists to police. Instead,
+    the same two-level distributed rank as `token_budget_mixture`:
+
+      1. bucket each doc by hash256 (0..255);
+      2. per (source, bucket) COUNTS — map-side combinable, ≤256
+         rows per source;
+      3. exclusive prefix over those counts — a window over a
+         bytes-sized frame;
+      4. row_number WITHIN each (source, bucket) + the bucket's
+         offset — 256-way parallel per source.
+
+    Output includes the dropped rows (keep = false) so the caller
+    can audit how much each domain lost — the no-silent-caps rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source",
+        hash256(F.col("doc_id"), "cap:").alias("bucket"))
+    partials = t.groupBy("source", "bucket").agg(F.count("*").alias("bn"))
+    offsets = partials.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("bn").over(
+                W.partitionBy("source").orderBy("bucket")
+                .rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)))
+    rn = F.row_number().over(
+        W.partitionBy("source", "bucket").orderBy("doc_id"))
+    return (
+        t.join(F.broadcast(offsets.select("source", "bucket", "off")),
+               ["source", "bucket"])
+        .withColumn("rank", (F.col("off") + rn).cast("long"))
+        .select("doc_id", "source", "rank",
+                (F.col("rank") <= _DOMAIN_CAP).alias("keep"))
+    )
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         {hash256_sql('doc_id', 'cap:')} AS bucket
+  FROM documents)
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)
+         AS rank,
+       row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)
+         <= {_DOMAIN_CAP} AS keep
+FROM t
+"""
+
+
 QUERIES = {
     "hash_split": (q_hash_split, _HASH_SPLIT_SQL),
+    "lang_temperature_sample": (q_lang_temperature_sample,
+                                _LANG_TEMPERATURE_SQL),
+    "domain_cap_sample": (q_domain_cap_sample, _DOMAIN_CAP_SQL),
     "curriculum_stages": (q_curriculum_stages, _CURRICULUM_SQL),
     "stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "mixture_sample": (q_mixture_sample, _MIXTURE_SQL),

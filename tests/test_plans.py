@@ -26,6 +26,8 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 # Queries where a broadcast-nested-loop join is the INTENDED physical
 # shape (a broadcast single-row/codebook crossJoin, not an accident).
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            # broadcast 1-row BM25 stats + 1-row query vector
+            "rrf_hybrid_topk",
             # broadcast 10-row codebook + 1-row query onto the scan
             "ann_pq_topk",
             # broadcast k-row codebook crossJoin, the Lloyd-step shape
