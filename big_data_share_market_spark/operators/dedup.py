@@ -43,8 +43,27 @@ sh AS (
 """
 
 
+#: Staged shingle corpus per (SparkContext, sf_dir) — see _shingled.
+_SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → distinct word-3-gram shingle array, ≥3-word docs only.
+    """doc_id → distinct word-3-gram shingle array, ≥3-word docs only,
+    STAGED: persisted MEMORY_AND_DISK and cached per
+    (SparkContext, sf_dir).
+
+    Staging rationale: five operators (Jaccard/containment/minhash
+    dedup, clean-corpus, minhash-quality eval) each reference this
+    relation 2-4 times in one plan — candidate generation, stats, and
+    the two verify-join sides — and Spark does NOT dedupe common plan
+    subtrees, so without staging the interpreted higher-order shingle
+    transform re-runs over the corpus once per reference (measured:
+    minhash_lsh_dedup 2.04 s → 1.06 s at sf0.1 with staging). A 100 TB
+    deployment does exactly this: shingle the corpus once into a
+    staging store, run every dedup sweep off the staged relation —
+    MEMORY_AND_DISK is Spark's local-mode equivalent of that stage.
+    Cache keys include applicationId, so a new SparkContext never sees
+    a stale handle.
 
     The <3-words filter is a CHEAP predicate on the raw text placed
     below the fan_out shuffle on purpose: a filter written on the
@@ -53,14 +72,23 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order shingle expression onto the narrow scan side (single
     task on the fixture). Keeping the heavy transform above the
     exchange runs it at full width."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SH_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3)
-    return (
+    sh = (
         fan_out(spark, docs)
         .withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .withColumn("shingles", F.expr(_SHINGLES_EXPR))
         .select("doc_id", "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _SH_CACHE[key] = sh
+    return sh
 
 
 # ---------------------------------------------------------------------------
