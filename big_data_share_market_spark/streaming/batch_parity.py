@@ -362,6 +362,24 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` replayed as a file stream (symlink staging dir so
+    the fixture is never copied; shared by every stream_* query over
+    the corpus)."""
+    import os
+    src_dir = "/tmp/bdsm_stream_docs" + sf_dir.replace("/", "_")
+    link = f"{src_dir}/documents-0.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    return (spark.readStream
+            .schema("doc_id long, text string, lang string, "
+                    "source string, n_chars long")
+            .format("parquet").load(src_dir))
+
+
 def q_stream_corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest accounting for a training-data pipeline: the
     `documents` table replayed as a file stream, with a running
@@ -373,18 +391,7 @@ def q_stream_corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sources), bounded, so no watermark is needed), token arithmetic
     shared with packing.py's tokenizer contract. Oracle = the batch
     aggregate over the same fixture."""
-    import os
-    src_dir = "/tmp/bdsm_stream_docs" + sf_dir.replace("/", "_")
-    link = f"{src_dir}/documents-0.parquet"
-    os.makedirs(src_dir, exist_ok=True)
-    if os.path.islink(link) and not os.path.exists(link):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
-    sdf = (spark.readStream
-           .schema("doc_id long, text string, lang string, "
-                   "source string, n_chars long")
-           .format("parquet").load(src_dir))
+    sdf = _docs_stream(spark, sf_dir)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     agg = (sdf.select("source", F.size(toks).alias("n_tokens"))
            .groupBy("source")
@@ -414,18 +421,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = the batch equivalent."""
     from ..operators.retrieval import _CLS_WEIGHTS, _toks as _rtoks
     w = dict(_CLS_WEIGHTS)
-    import os
-    src_dir = "/tmp/bdsm_stream_docs" + sf_dir.replace("/", "_")
-    link = f"{src_dir}/documents-0.parquet"
-    os.makedirs(src_dir, exist_ok=True)
-    if os.path.islink(link) and not os.path.exists(link):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
-    sdf = (spark.readStream
-           .schema("doc_id long, text string, lang string, "
-                   "source string, n_chars long")
-           .format("parquet").load(src_dir))
+    sdf = _docs_stream(spark, sf_dir)
     toks = _rtoks()
     stop = ("the", "a", "of", "and", "to", "in", "is")
     ntok = F.size(toks).cast("double")
@@ -466,8 +462,59 @@ FROM t GROUP BY source
 """
 
 
+def q_stream_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup AT INGEST: the delta crawl (doc_id % 10 >= 8, the
+    same delta/base convention as `incremental_dedup`) replayed as a
+    stream, fingerprinted row-locally with the corpus-wide prefix
+    fingerprint (md5 of the first-8-word normalized prefix, shared
+    with `exact_dedup`), and gated by a STREAM-STATIC left-outer join
+    against the accumulated base corpus's distinct-fingerprint index —
+    only never-seen documents pass. This is the dedup-before-landing
+    shape a crawl frontier runs: the base index is O(distinct
+    fingerprints) (a compact static table re-read per micro-batch;
+    a broadcast at dim-scale, a shuffle join at web scale — Spark
+    picks), the stream side never buffers state, and no watermark is
+    needed because stream-static joins are stateless on the stream
+    side.
+
+    Streaming semantics under test: stream-static left-outer join +
+    IS NULL filter in append mode (Spark supports inner/left-outer/
+    left-semi for stream-static; the anti-join is expressed as
+    outer + null-filter). Oracle = the batch delta-vs-base
+    anti-join."""
+    sdf = _docs_stream(spark, sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
+    delta = (sdf.filter(F.col("doc_id") % 10 >= 8)
+             .select("doc_id", "source", fp.alias("fp")))
+    from ..tables import load_table
+    base = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 < 8)
+            .select(fp.alias("fp")).distinct()
+            .withColumn("in_base", F.lit(True)))
+    gated = (delta.join(base, "fp", "left_outer")
+             .filter(F.col("in_base").isNull())
+             .select("doc_id", "source", "fp"))
+    return run_available_now(gated, spark, output_mode="append")
+
+
+_STREAM_INGEST_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 8), ' ')) AS fp
+  FROM documents),
+base AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 8)
+SELECT d.doc_id, d.source, d.fp
+FROM f d LEFT JOIN base b USING (fp)
+WHERE d.doc_id % 10 >= 8 AND b.fp IS NULL
+"""
+
+
 QUERIES = {
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
+    "stream_ingest_dedup_gate": (q_stream_ingest_dedup_gate,
+                                 _STREAM_INGEST_DEDUP_SQL),
     "stream_signal_bars": (q_stream_signal_bars, _STREAM_SIGNAL_SQL),
     "stream_sliding_bars": (q_stream_sliding_bars, _STREAM_SLIDING_SQL),
     "stream_session_windows": (q_stream_session_windows, _STREAM_SESSION_SQL),
