@@ -9,7 +9,7 @@ without codec libraries — 24-bit BMP (numpy header parse), baseline
 sequential JPEG (pure-numpy T.81 decoder, `operators/jpeg.py`), and
 RIFF/WAVE PCM (stdlib `wave`) — and raise a clearly-marked
 NotImplementedError for formats that genuinely need codec libraries
-(PNG/WebP, MP3/AAC, progressive JPEG; this container has no
+(WebP, MP3/AAC, progressive JPEG, Adam7 PNG; this container has no
 PIL/ffmpeg). The Spark-side plumbing — binary
 column, metadata struct, UDF signatures, Arrow batch shapes,
 partitioning — is oracle-tested against a deterministic byte-level
@@ -43,10 +43,12 @@ _MEDIA_TYPES = ("image", "audio", "video")
 
 def decode_image(payload: bytes) -> "object":
     """REAL decode for 24-bit uncompressed BMP (pure numpy header
-    parse + strided pixel view) and baseline sequential JPEG (pure
-    numpy T.81 decoder, `operators/jpeg.py` — the format real corpora
-    actually contain). PNG/WebP and progressive JPEG need codec
-    libraries absent in this container and raise a clearly-marked
+    parse + strided pixel view), baseline sequential JPEG (pure numpy
+    T.81 decoder, `operators/jpeg.py` — the format real corpora
+    actually contain), and non-interlaced PNG (stdlib zlib inflate +
+    per-scanline unfilter, `operators/png.py` — gray/RGB/palette/
+    alpha, bit depths 1-16). WebP and progressive JPEG / Adam7 PNG
+    need codec machinery absent here and raise a clearly-marked
     NotImplementedError. Returns an (H, W, 3) uint8 RGB array.
     Round-trip-tested in tests/test_multimodal_decode.py, including
     through the mapInPandas plumbing."""
@@ -57,10 +59,14 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_baseline_jpeg
         return decode_baseline_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+        return decode_png(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP and baseline JPEG are decodable without codec "
-            "libraries (PNG/WebP need PIL/opencv, not in this container)")
+            "only BMP, baseline JPEG and non-interlaced PNG are "
+            "decodable without codec libraries (WebP needs "
+            "PIL/opencv, not in this container)")
     # Malformed-BMP guards: the documented contract is that any
     # undecodable payload raises NotImplementedError (so corpus skip
     # handlers need exactly one except clause) — a truncated header

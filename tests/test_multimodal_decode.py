@@ -62,8 +62,14 @@ def test_wav_roundtrip_exact():
 
 
 def test_codec_formats_raise_clearly():
-    with pytest.raises(NotImplementedError, match="BMP"):
+    # A PNG signature now dispatches into the real PNG decoder, which
+    # must still honor the NotImplementedError contract for garbage.
+    with pytest.raises(NotImplementedError, match="PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # WebP: RIFF container but not WAVE/BMP/PNG/JPEG — falls to the
+    # catch-all.
+    with pytest.raises(NotImplementedError, match="WebP"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
     with pytest.raises(NotImplementedError, match="WAVE"):
         decode_audio(b"\xff\xfb" + b"\x00" * 64)  # MP3 frame sync
     with pytest.raises(NotImplementedError, match="24-bit"):
@@ -334,3 +340,126 @@ def test_perceptual_dhash_through_map_in_pandas(spark):
     out = {r["doc_id"]: r["dhash"]
            for r in df.mapInPandas(run, "doc_id INT, dhash STRING").collect()}
     assert out[0] == out[1] != out[2]
+
+
+# ---------------------------------------------------------------------------
+# PNG (operators/png.py)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_every_filter_type():
+    """Encode the same RGB image once per scanline filter (None/Sub/
+    Up/Average/Paeth) and decode each — every unfilter branch must
+    reconstruct the exact pixels (an always-filter-0 encoder would
+    leave four branches untested)."""
+    from big_data_share_market_spark.operators.png import (decode_png,
+                                                           encode_png)
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    for ftype in range(5):
+        out = decode_png(encode_png(px, filter_type=ftype))
+        np.testing.assert_array_equal(out, px, err_msg=f"filter {ftype}")
+
+
+def test_png_gray_and_alpha_channels():
+    from big_data_share_market_spark.operators.png import (decode_png,
+                                                           encode_png)
+    rng = np.random.default_rng(22)
+    gray = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    out = decode_png(encode_png(gray, filter_type=4))
+    np.testing.assert_array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba, filter_type=2))
+    np.testing.assert_array_equal(out, rgba[:, :, :3])
+
+
+def test_png_palette_and_16bit_and_subbyte():
+    """Hand-built chunk streams for the paths the encoder doesn't
+    write: color type 3 (palette), 16-bit RGB, and 2-bit grayscale."""
+    import struct as _s
+    import zlib as _z
+    from big_data_share_market_spark.operators.png import (_SIGNATURE,
+                                                           _chunk,
+                                                           decode_png)
+
+    def png(ihdr, chunks, raw):
+        return (_SIGNATURE + _chunk(b"IHDR", _s.pack(">IIBBBBB", *ihdr))
+                + b"".join(chunks)
+                + _chunk(b"IDAT", _z.compress(raw)) + _chunk(b"IEND", b""))
+
+    # palette: 2x2, indices [[0,1],[2,1]]
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    raw = b"\x00\x00\x01" + b"\x00\x02\x01"
+    out = decode_png(png((2, 2, 8, 3, 0, 0, 0),
+                         [_chunk(b"PLTE", pal.tobytes())], raw))
+    np.testing.assert_array_equal(out, pal[[[0, 1], [2, 1]]])
+
+    # 16-bit RGB 1x2: big-endian words; decode keeps the high byte
+    raw16 = b"\x00" + bytes([0x12, 0x34, 0x56, 0x78, 0x9A, 0xBC,
+                             0xFF, 0x00, 0x00, 0xFF, 0x80, 0x01])
+    out = decode_png(png((2, 1, 16, 2, 0, 0, 0), [], raw16))
+    np.testing.assert_array_equal(
+        out, np.array([[[0x12, 0x56, 0x9A], [0xFF, 0x00, 0x80]]],
+                      dtype=np.uint8))
+
+    # 2-bit gray 4x1: packed 00 01 10 11 -> one byte 0b00011011,
+    # scaled 0,85,170,255
+    raw2 = b"\x00\x1b"
+    out = decode_png(png((4, 1, 2, 0, 0, 0, 0), [], raw2))
+    np.testing.assert_array_equal(out[:, :, 0],
+                                  np.array([[0, 85, 170, 255]], np.uint8))
+
+
+def test_png_contract_violations_raise_notimplemented():
+    import struct as _s
+    import zlib as _z
+    from big_data_share_market_spark.operators.png import (_SIGNATURE,
+                                                           _chunk,
+                                                           decode_png,
+                                                           encode_png)
+    rng = np.random.default_rng(23)
+    good = encode_png(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    # flip one IDAT byte -> CRC mismatch, not a zlib explosion
+    bad = bytearray(good)
+    idat_pos = good.index(b"IDAT")
+    bad[idat_pos + 6] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="CRC"):
+        decode_png(bytes(bad))
+    # Adam7 interlace flag
+    interlaced = (_SIGNATURE
+                  + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                  + _chunk(b"IDAT", _z.compress(b"\x00" * 14))
+                  + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(interlaced)
+    # truncated payload
+    with pytest.raises(NotImplementedError):
+        decode_png(good[:len(good) // 2])
+    # dispatch through decode_image
+    np.testing.assert_array_equal(
+        decode_image(good),
+        decode_png(good))
+
+
+def test_png_through_map_in_pandas(spark):
+    """PNG payloads through the Arrow mapInPandas featurizer shape —
+    the production plumbing decodes whatever format each row holds."""
+    from big_data_share_market_spark.operators.png import encode_png
+    rng = np.random.default_rng(24)
+    imgs = [rng.integers(0, 256, size=(3 + i, 6, 3), dtype=np.uint8)
+            for i in range(3)]
+    rows = [(i, encode_png(px, filter_type=i % 5))
+            for i, px in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "doc_id INT, payload BINARY")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "px_sum": [int(decode_image(bytes(p)).astype(np.int64).sum())
+                           for p in pdf["payload"]],
+            })
+
+    out = {r["doc_id"]: r["px_sum"]
+           for r in df.mapInPandas(run, "doc_id INT, px_sum LONG").collect()}
+    assert out == {i: int(px.astype(np.int64).sum())
+                   for i, px in enumerate(imgs)}
