@@ -666,12 +666,18 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(25,6)")).alias(f"s{i}") for i in range(_DIM)],
         *[F.count(F.col("embedding").getItem(i)).alias(f"c{i}")
           for i in range(_DIM)])
+    # Output as exploded scalar (clabel, dim, mean_x, n_members) rows:
+    # array cells are unhashable for the driver's value compare, and
+    # the explode runs on k·dim aggregated rows, never the corpus
+    # (same contract as label_centroids).
     return (agg.select(
-        "clabel",
-        F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
-                  for i in range(_DIM)]).alias("new_centroid"),
-        "n_members")
-        .orderBy("clabel"))
+        "clabel", "n_members",
+        F.posexplode(F.array(*[
+            (F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
+            for i in range(_DIM)])).alias("dim", "mean_x"))
+        .select("clabel", F.col("dim").cast("long").alias("dim"),
+                "mean_x", "n_members")
+        .orderBy("clabel", "dim"))
 
 
 _KMEANS_STEP_SQL = f"""
@@ -696,11 +702,9 @@ aper_dim AS (
   FROM adims GROUP BY clabel, dim),
 members AS (
   SELECT clabel, COUNT(*) AS n_members FROM assigned GROUP BY clabel)
-SELECT m.clabel,
-       (SELECT list(mean_x ORDER BY dim) FROM aper_dim p
-        WHERE p.clabel = m.clabel) AS new_centroid,
-       m.n_members
-FROM members m ORDER BY m.clabel
+SELECT p.clabel, p.dim, p.mean_x, m.n_members
+FROM aper_dim p JOIN members m USING (clabel)
+ORDER BY p.clabel, p.dim
 """
 
 
@@ -760,12 +764,16 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clabel",
             F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
                       for i in range(_DIM)]).alias("centroid"))
+    # Exploded scalar output rows, same driver-hashable contract as
+    # kmeans_lloyd_step / label_centroids.
     return (agg.select(
-        "clabel",
-        F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
-                  for i in range(_DIM)]).alias("new_centroid"),
-        "n_members")
-        .orderBy("clabel"))
+        "clabel", "n_members",
+        F.posexplode(F.array(*[
+            (F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
+            for i in range(_DIM)])).alias("dim", "mean_x"))
+        .select("clabel", F.col("dim").cast("long").alias("dim"),
+                "mean_x", "n_members")
+        .orderBy("clabel", "dim"))
 
 
 def _kmeans_train_sql() -> str:
@@ -805,11 +813,9 @@ cents{k} AS (
 WITH {body},
 membersK AS (
   SELECT clabel, COUNT(*) AS n_members FROM assigned{k} GROUP BY clabel)
-SELECT m.clabel,
-       (SELECT list(mean_x ORDER BY dim) FROM aper{k} p
-        WHERE p.clabel = m.clabel) AS new_centroid,
-       m.n_members
-FROM membersK m ORDER BY m.clabel
+SELECT p.clabel, p.dim, p.mean_x, m.n_members
+FROM aper{k} p JOIN membersK m USING (clabel)
+ORDER BY p.clabel, p.dim
 """
 
 
