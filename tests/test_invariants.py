@@ -216,3 +216,26 @@ def test_bucket_topk_matches_window_rank(spark):
     # top-2 by id tie-break are 0 and 1.
     assert (3, 0) in got and (3, 1) in got and (3, 2) not in got
     assert got[(3, 0)] == 0.0
+
+
+def test_registry_outputs_are_driver_hashable(spark):
+    """Every registry query's output schema must contain only scalar
+    top-level columns: the grading driver's oracle compare hashes
+    values with pandas, and array/map/struct cells raise 'unhashable
+    type' (label_centroids failed exactly this way in round 3, and
+    kmeans_* would have in round 4). Array results must be exploded
+    to scalar rows ABOVE the final aggregation — k*dim rows, never
+    corpus-sized fan-out."""
+    from pyspark.sql.types import (ArrayType, BinaryType, MapType,
+                                   StructType)
+    offenders = {}
+    for name, (fn, _sql) in _QUERIES.items():
+        df = fn(spark, SF_DIR)
+        cols = [f"{f.name}:{f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if isinstance(f.dataType,
+                              (ArrayType, MapType, StructType, BinaryType))]
+        if cols:
+            offenders[name] = cols
+    assert not offenders, (
+        f"registry queries with non-hashable output columns: {offenders}")
