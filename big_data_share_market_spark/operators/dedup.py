@@ -440,40 +440,66 @@ _MH_A = (769, 1543, 3079, 6151, 12289, 24593, 49157, 98317)
 _MH_B = (12345, 20264, 28183, 36102, 44021, 51940, 59859, 67778)
 
 
+#: Staged MinHash signature store per (SparkContext, sf_dir).
+_MH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh7) MinHash signatures, STAGED like `_shingled`:
+    persisted MEMORY_AND_DISK once per (SparkContext, sf_dir).
+
+    Hash family: ONE md5-derived base hash per shingle, then 8 affine
+    permutations h_i = (a_i·h + b_i) mod (2³¹−1) — the classic
+    MinHash family. Computed entirely MAP-SIDE off the staged shingle
+    corpus (transform() for h0, array_min(transform(...)) per
+    permutation) — no explode + groupBy(doc_id) shuffle ever.
+
+    Staging rationale: three operators (LSH dedup, signature-quality
+    eval, split-leakage) reference the signature transform 1-3× per
+    plan, and a production MinHash deployment persists exactly this
+    relation as its signature store (signatures are the index; the
+    corpus is re-read only to verify candidates)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sh = _shingled(spark, sf_dir)
+    h0s = F.expr(
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
+        f"AS BIGINT) % {_MH_P})")
+    sigs = (
+        sh.withColumn("h0s", h0s)
+        .select("doc_id", *[
+            F.expr(f"array_min(transform(h0s, h -> ({a} * h + {b}) % {_MH_P}))")
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _MH_CACHE[key] = sigs
+    return sigs
+
+
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (a_id < b_id, jaccard ≥ 0.8) — the
     reusable core of q_minhash_lsh_dedup, also consumed by
     q_clean_corpus.
 
-    MinHash(8) signatures → 4 LSH bands → bucket equi-join for
-    candidates → exact Jaccard verify ≥ 0.8.
+    MinHash(8) signatures (`_minhash_sigs`, staged) → 4 LSH bands →
+    bucket equi-join for candidates → exact Jaccard verify ≥ 0.8.
 
     The join key is (band, signature-pair) — bounded fanout at any
-    corpus size, unlike the raw shingle join. Hash family: ONE
-    md5-derived base hash per shingle, then 8 affine permutations
-    h_i = (a_i·h + b_i) mod (2³¹−1) — the classic MinHash family.
+    corpus size, unlike the raw shingle join.
 
-    Shuffle budget (the 100 TB concern): the signature is computed
-    entirely MAP-SIDE — transform() over the shingle array for h0,
-    array_min(transform(...)) per permutation — so there is NO
-    explode + groupBy(doc_id) shuffle at all (that shuffle carries
-    |shingles| ≈ 50× |docs| rows). Candidates come from ONE
+    Shuffle budget (the 100 TB concern): candidates come from ONE
     groupBy(band, sig) over 4·|docs| short rows with in-bucket pair
     expansion, not a bands⋈bands self-join (which would execute the
     whole minhash subtree twice — Spark does not dedupe common plan
     subtrees). Integer arithmetic is exact on both engines, so the
     oracle mirrors it verbatim."""
     sh = _shingled(spark, sf_dir)
-    h0s = F.expr(
-        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
-        f"AS BIGINT) % {_MH_P})")
-    minhash = (
-        sh.withColumn("h0s", h0s)
-        .select("doc_id", *[
-            F.expr(f"array_min(transform(h0s, h -> ({a} * h + {b}) % {_MH_P}))")
-            .alias(f"mh{i}")
-            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))])
-    )
+    minhash = _minhash_sigs(spark, sf_dir)
     bands = minhash.select(
         "doc_id",
         F.explode(F.array(*[
@@ -512,19 +538,13 @@ def q_minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     error. This is the number that justifies — or refutes — trusting
     an 8-hash signature before a 100 TB dedup sweep.
 
-    Same map-side signature + one bucket groupBy as minhash_pairs;
-    the eval joins back signatures AND shingle sets for candidate
-    rows only. All-integer agreement counts, so the oracle matches
-    exactly."""
+    Same staged signature store + one bucket groupBy as
+    minhash_pairs; the eval joins back signatures AND shingle sets
+    (both staged relations, read from cache per reference — the m
+    subtree appears 3× in this plan) for candidate rows only.
+    All-integer agreement counts, so the oracle matches exactly."""
     sh = _shingled(spark, sf_dir)
-    h0s = F.expr(
-        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
-        f"AS BIGINT) % {_MH_P})")
-    m = (sh.withColumn("h0s", h0s)
-         .select("doc_id", "shingles", *[
-             F.expr(f"array_min(transform(h0s, h -> ({a} * h + {b}) % {_MH_P}))")
-             .alias(f"mh{i}")
-             for i, (a, b) in enumerate(zip(_MH_A, _MH_B))]))
+    m = _minhash_sigs(spark, sf_dir).join(sh, "doc_id")
     bands = m.select(
         "doc_id",
         F.explode(F.array(*[
