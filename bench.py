@@ -107,7 +107,8 @@ def main() -> None:
     # answers "does a full replay fit the freshness envelope", not a
     # steady-state per-query latency.
     stream_timings: dict[str, float] = {}
-    for name in ("stream_ohlc_bars", "stream_upsert_idempotent"):
+    for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
+                 "stream_ingest_dedup_gate"):
         fn, _ = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

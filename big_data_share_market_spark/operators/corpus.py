@@ -576,8 +576,114 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index (PSI) per event type
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_BIN_W = 50.0
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the `value` distribution per
+    event_type between a reference window (days 1-15) and the current
+    window (rest of the month) — the day-over-day drift alarm every
+    production feature pipeline runs before trusting new data
+    (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken, the standard
+    credit-scoring thresholds).
+
+    Fixed-width bins (10 × 50.0, top bin open) so binning is
+    data-independent and row-local; Laplace-smoothed shares
+    ``(n_b + 1) / (N + bins)`` make empty bins well-defined with
+    all-integer numerators, so both engines divide the same integers.
+    The PSI sum folds the per-bin contributions SEQUENTIALLY in bin
+    order (`aggregate` over a sorted struct array ≡ DuckDB
+    `list_reduce` over `list(... ORDER BY bin)`) — float addition is
+    not associative, and a parallel SUM would drift between engines —
+    and the result is rounded to 6 decimals because JVM Math.log and
+    libm log can disagree in the last ulp (observed 1-ulp drift on
+    the fixture); 1e-6 is far below any PSI decision threshold.
+
+    Scale shape: one scan → groupBy(event_type, bin) with map-side
+    combine (≤ types × bins rows shuffle); totals via a window over
+    the bins frame (bytes-sized); the fold runs on 10-element arrays.
+    Nothing corpus-sized moves."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    win_ref = F.dayofmonth("ts") <= 15
+    b = F.least(F.floor(F.col("value") / _PSI_BIN_W),
+                F.lit(_PSI_BINS - 1)).cast("int")
+    counts = (ev.select("event_type", win_ref.alias("is_ref"), b.alias("bin"))
+              .groupBy("event_type", "bin")
+              .agg(F.sum(F.col("is_ref").cast("long")).alias("ref_n"),
+                   F.sum((~F.col("is_ref")).cast("long")).alias("cur_n")))
+    # densify: every (event_type, bin) cell, absent bins = 0
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = (counts.select("event_type").distinct().crossJoin(F.broadcast(bins))
+            .join(counts, ["event_type", "bin"], "left")
+            .fillna(0, subset=["ref_n", "cur_n"]))
+    w = W.partitionBy("event_type")
+    dens = (grid
+            .withColumn("ref_t", F.sum("ref_n").over(w))
+            .withColumn("cur_t", F.sum("cur_n").over(w)))
+    p = (F.col("ref_n") + 1) / (F.col("ref_t") + _PSI_BINS)
+    q = (F.col("cur_n") + 1) / (F.col("cur_t") + _PSI_BINS)
+    contrib = (p - q) * F.log(p / q)
+    per_bin = dens.select("event_type", "bin", "ref_t", "cur_t",
+                          contrib.alias("contrib"))
+    return (per_bin.groupBy("event_type")
+            .agg(F.max("ref_t").alias("n_ref"),
+                 F.max("cur_t").alias("n_cur"),
+                 F.round(F.aggregate(
+                     F.array_sort(F.collect_list(
+                         F.struct("bin", "contrib"))),
+                     F.lit(0.0),
+                     lambda acc, s: acc + s["contrib"]), 6).alias("psi"))
+            .orderBy("event_type"))
+
+
+_PSI_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(least(floor(value / {_PSI_BIN_W}), {_PSI_BINS - 1}) AS INT)
+           AS bin,
+         SUM(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+           AS ref_n,
+         SUM(CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END)
+           AS cur_n
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, b.bin,
+         COALESCE(c.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS bin) b
+  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = b.bin),
+dens AS (
+  SELECT *, SUM(ref_n) OVER (PARTITION BY event_type) AS ref_t,
+            SUM(cur_n) OVER (PARTITION BY event_type) AS cur_t
+  FROM grid),
+contribs AS (
+  SELECT event_type, bin, ref_t, cur_t,
+         (((ref_n + 1) / CAST(ref_t + {_PSI_BINS} AS DOUBLE))
+          - ((cur_n + 1) / CAST(cur_t + {_PSI_BINS} AS DOUBLE)))
+         * ln(((ref_n + 1) / CAST(ref_t + {_PSI_BINS} AS DOUBLE))
+              / ((cur_n + 1) / CAST(cur_t + {_PSI_BINS} AS DOUBLE)))
+           AS contrib
+  FROM dens)
+SELECT event_type,
+       CAST(MAX(ref_t) AS BIGINT) AS n_ref,
+       CAST(MAX(cur_t) AS BIGINT) AS n_cur,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(contrib ORDER BY bin)),
+                         (acc, v) -> acc + v), 6) AS psi
+FROM contribs GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
+    "psi_drift": (q_psi_drift, _PSI_SQL),
     "dsir_weights": (q_dsir_weights, _DSIR_SQL),
     "length_outliers": (q_length_outliers, _LENGTH_OUTLIERS_SQL),
     "eval_ngram_contamination": (q_eval_ngram_contamination,
