@@ -145,7 +145,36 @@ _PAIR_EXPAND = (
     "y -> struct(x AS a_id, y AS b_id))))")
 
 
-def _pruned_pair_candidates(sh: DataFrame) -> DataFrame:
+#: Staged shingle document-frequency index per (SparkContext, sf_dir).
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shingle, df) document-frequency index over the staged shingle
+    corpus, STAGED itself: four operators (Jaccard dedup ×2,
+    containment candidates, duplicate-span counting) each need df to
+    split rare from hot shingles, and the 450 k-row explode + count
+    agg otherwise re-runs once per reference (twice within
+    `_pruned_pair_candidates` alone — the rare and hot branches are
+    separate subtree executions). A production set-similarity join
+    materializes exactly this relation as the posting-list/df side of
+    its index."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sh = _shingled(spark, sf_dir)
+    dfc = (sh.select(F.explode_outer("shingles").alias("shingle"))
+           .filter(F.col("shingle").isNotNull())
+           .groupBy("shingle").agg(F.count("*").alias("df"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _DF_CACHE[key] = dfc
+    return dfc
+
+
+def _pruned_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate (a_id, b_id) pairs from the df-capped shingle
     expansion, annotated with everything a PROVABLE similarity upper
     bound needs — the prefix-filter step of a set-similarity join
@@ -162,15 +191,17 @@ def _pruned_pair_candidates(sh: DataFrame) -> DataFrame:
     pair) and on the fixture cuts 1.13M candidates to the ~256
     survivors BEFORE the wide array-verify join.
 
-    Scale: every step is a bounded equi-shuffle — df counts have
-    constant-size agg buffers, pair expansion is capped at
+    Scale: every step is a bounded equi-shuffle — df counts come from
+    the staged `_shingle_df` index (constant-size agg buffers,
+    computed once per corpus), pair expansion is capped at
     _DF_CAP²/2 rows per shingle, the hot-shingle doc-count join
     touches only hot occurrences (AQE broadcasts the tiny hot list),
     and the verify join downstream sees survivors only."""
+    sh = _shingled(spark, sf_dir)
     exploded = (sh.select("doc_id",
                           F.explode_outer("shingles").alias("shingle"))
                 .filter(F.col("shingle").isNotNull()))
-    dfc = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    dfc = _shingle_df(spark, sf_dir)
     rare = (dfc.filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
             .select("shingle"))
     hot = dfc.filter(F.col("df") > _DF_CAP).select("shingle")
@@ -248,8 +279,7 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = (sh.select("doc_id",
                           F.explode_outer("shingles").alias("shingle"))
                 .filter(F.col("shingle").isNotNull()))
-    rare = (exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
+    rare = (_shingle_df(spark, sf_dir)
             .filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
             .select("shingle"))
     capped = exploded.join(rare, "shingle")
@@ -323,12 +353,12 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.explode_outer("shingles").alias("shingle"))
                 .filter(F.col("shingle").isNotNull()))
     # Two-step cap: COUNT first (constant-size aggregation buffer even
-    # for a shingle shared by millions of docs), join the surviving
-    # rare shingles back, and only then collect the ≤ cap ids per
-    # shingle. A single collect_list-then-filter pass would build the
-    # full id array for exactly the hot shingles the cap neutralizes.
-    rare = (exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
+    # for a shingle shared by millions of docs — the staged
+    # `_shingle_df` index), join the surviving rare shingles back, and
+    # only then collect the ≤ cap ids per shingle. A single
+    # collect_list-then-filter pass would build the full id array for
+    # exactly the hot shingles the cap neutralizes.
+    rare = (_shingle_df(spark, sf_dir)
             .filter((F.col("df") > 1) & (F.col("df") <= _DF_CAP))
             .select("shingle"))
     cand = (
@@ -1188,7 +1218,7 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic only on survivors. Same shuffle count as the Jaccard
     sibling, same 100 TB safety argument."""
     sh = _shingled(spark, sf_dir)
-    cand = _pruned_pair_candidates(sh)
+    cand = _pruned_pair_candidates(spark, sf_dir)
     survivors = cand.filter(
         _ub_inter() >= F.lit(_CONTAIN_T) * F.least("n_a", "n_b"))
     return (
