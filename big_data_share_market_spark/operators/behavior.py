@@ -146,7 +146,79 @@ ORDER BY cohort_week, active_week
 """
 
 
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on an A/B split of the user base — the
+    experimentation readout every event pipeline serves: variant =
+    user_id parity (the deterministic stand-in for an assignment
+    table), conversion = user produced ≥ 1 'purchase' event. Emits
+    per-variant user counts and conversion rates plus the pooled-
+    variance z statistic ``(pA − pB) / sqrt(p̂(1−p̂)(1/nA + 1/nB))``.
+
+    Exactness: the statistic is a single fixed expression over four
+    INTEGER counts — divisions, one multiply chain, one IEEE sqrt
+    (exactly rounded) — so Spark and DuckDB produce bit-identical
+    doubles with no reduction-order concerns.
+
+    Scale shape: events reduce to per-user scalars in ONE map-side-
+    combined aggregate (the event table's only shuffle), the variant
+    rollup is a 2-row aggregate, and the z arithmetic is a 1-row
+    crossJoin of two broadcast scalars. Nothing wider than user-grain
+    ever moves."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+                  .alias("converted"))
+             .withColumn("variant",
+                         F.when(F.col("user_id") % 2 == 0, "A")
+                         .otherwise("B")))
+    per = (users.groupBy("variant")
+           .agg(F.count("*").alias("n"),
+                F.sum("converted").cast("long").alias("conv")))
+    a = per.filter(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = per.filter(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    p_a, p_b = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (p_a - p_b) / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    return (a.crossJoin(b)
+            .select("n_a", "conv_a", "n_b", "conv_b",
+                    p_a.alias("rate_a"), p_b.alias("rate_b"),
+                    z.alias("z")))
+
+
+_AB_ZTEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id),
+per AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM users GROUP BY variant),
+ab AS (
+  SELECT (SELECT n FROM per WHERE variant = 'A') AS n_a,
+         (SELECT conv FROM per WHERE variant = 'A') AS conv_a,
+         (SELECT n FROM per WHERE variant = 'B') AS n_b,
+         (SELECT conv FROM per WHERE variant = 'B') AS conv_b)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+       CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+       (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+       / sqrt(((CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b))
+              * (1.0 - (CAST(conv_a AS DOUBLE) + conv_b)
+                       / (CAST(n_a AS DOUBLE) + n_b))
+              * (1.0 / n_a + 1.0 / n_b)) AS z
+FROM ab
+"""
+
+
 QUERIES = {
     "funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "cohort_retention": (q_cohort_retention, _COHORT_SQL),
+    "ab_test_ztest": (q_ab_test_ztest, _AB_ZTEST_SQL),
 }

@@ -28,6 +28,10 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # broadcast 1-row BM25 stats + 1-row query vector
             "rrf_hybrid_topk",
+            # 1-row x 1-row crossJoin of the two variant scalars
+            "ab_test_ztest",
+            # types x 10-bin densify grid (broadcast constant frame)
+            "psi_drift",
             # broadcast 10-row codebook + 1-row query onto the scan
             "ann_pq_topk",
             # broadcast k-row codebook crossJoin, the Lloyd-step shape
