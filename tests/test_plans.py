@@ -305,3 +305,18 @@ def test_orc_scan_pushdown_and_pruning(spark):
     orc = next(iter(schemas.values()))
     assert "event_type" in orc and "ts" in orc and "value" in orc
     assert "props" not in orc and "event_id" not in orc
+
+
+def test_dedup_family_reads_staged_relations(spark):
+    """The shingle corpus, MinHash signature store, SimHash table and
+    shingle-df index are STAGED (persisted once per corpus) because
+    their consumers reference them 2-4x per plan and Spark does not
+    dedupe common subtrees. A regression that drops the persist would
+    silently re-run the interpreted transforms per reference — pin
+    that every consumer's plan reads an InMemoryRelation."""
+    for name in ("containment_neardup", "minhash_lsh_dedup",
+                 "simhash_pairs", "ngram_jaccard_capped"):
+        fn, _ = _QUERIES[name]
+        plan = explain_str(fn(spark, SF_DIR), "simple")
+        assert "InMemoryRelation" in plan, (
+            f"{name} no longer reads a staged relation:\n{plan[:2000]}")
