@@ -117,7 +117,72 @@ ORDER BY custkey
 """
 
 
+_ERASE_LT = 8  # hash256 < 8 → ~3% of users on the deletion list
+
+
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation — the data-governance sweep every
+    warehouse runs on a schedule: a deletion-request table (users
+    whose salted content hash falls under `_ERASE_LT`, the
+    deterministic stand-in for the request queue) is anti-joined
+    against the event store, and the output is the per-event-type
+    audit record (rows before / deleted / after + users erased) that
+    the compliance log keeps.
+
+    Scale shape: the deletion list is request-queue-sized (≪ corpus)
+    and BROADCASTS into a left-anti join — the event store streams
+    through map-side, nothing user-grain ever shuffles; the audit is
+    two map-side-combined aggregates over (event_type). At 100 TB
+    this is one scan + bytes-sized exchanges. The erase predicate
+    lives in the request TABLE, not the query — adding requests never
+    changes the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    from .sampling import hash256
+    dels = (ev.select("user_id").distinct()
+            .filter(hash256(F.col("user_id"), "erase:") < _ERASE_LT))
+    kept = ev.join(F.broadcast(dels), "user_id", "left_anti")
+    before = (ev.groupBy("event_type")
+              .agg(F.count("*").alias("rows_before"),
+                   F.count_distinct("user_id").alias("users_before")))
+    after = (kept.groupBy("event_type")
+             .agg(F.count("*").alias("rows_after"),
+                  F.count_distinct("user_id").alias("users_after")))
+    return (before.join(after, "event_type")
+            .select("event_type", "rows_before", "rows_after",
+                    (F.col("rows_before") - F.col("rows_after"))
+                    .alias("rows_deleted"),
+                    (F.col("users_before") - F.col("users_after"))
+                    .alias("users_erased"))
+            .orderBy("event_type"))
+
+
+def _gdpr_sql() -> str:
+    from .sampling import hash256_sql
+    return f"""
+WITH dels AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE {hash256_sql('user_id', 'erase:')} < {_ERASE_LT}),
+kept AS (
+  SELECT e.* FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM dels d WHERE d.user_id = e.user_id)),
+before AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_before,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_before
+  FROM events GROUP BY event_type),
+after AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_after,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_after
+  FROM kept GROUP BY event_type)
+SELECT b.event_type, b.rows_before, a.rows_after,
+       b.rows_before - a.rows_after AS rows_deleted,
+       b.users_before - a.users_after AS users_erased
+FROM before b JOIN after a USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 QUERIES = {
     "scd2_order_priority": (q_scd2_order_priority, _SCD2_SQL),
     "scd2_snapshot": (q_scd2_snapshot, _SCD2_SNAPSHOT_SQL),
+    "gdpr_erasure": (q_gdpr_erasure, _gdpr_sql()),
 }

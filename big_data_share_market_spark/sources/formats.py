@@ -107,7 +107,70 @@ FROM events WHERE value > 50.0 GROUP BY event_type
 """
 
 
+_BINARYFILE_N = 64
+
+
+def _payload_files_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the first `_BINARYFILE_N` documents as one raw payload
+    file each (name = doc_id) — the loose-files layout media corpora
+    actually land in before ingestion. Distributed write via
+    foreachPartition (each task writes its own files; no driver
+    collect)."""
+    stage_dir = f"/tmp/bdsm_binfiles{sf_dir.replace('/', '_')}"
+    marker = f"{stage_dir}/_STAGED"
+    if not os.path.exists(marker):
+        os.makedirs(stage_dir, exist_ok=True)
+        rows = (load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < _BINARYFILE_N)
+                .select("doc_id", "text"))
+
+        def write_part(it):
+            for r in it:
+                with open(f"{stage_dir}/{r['doc_id']}.bin", "wb") as f:
+                    f.write(r["text"].encode("utf-8"))
+
+        rows.foreachPartition(write_part)
+        open(marker, "w").close()
+    return stage_dir
+
+
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload ingestion through Spark's `binaryFile` source —
+    the path multimodal corpora take INTO the engine (one image/audio
+    blob per file on object storage → binary rows): read the staged
+    payload files, recover the id from the filename, and emit
+    (doc_id, n_bytes, payload_md5). The oracle computes the same
+    md5/length from the source table, so the round trip proves
+    byte-faithful file IO end-to-end.
+
+    Scale notes: binaryFile is a standard FileScan — partition
+    planning, maxPartitionBytes, and path filters (`pathGlobFilter`,
+    `recursiveFileLookup`) all apply; each task reads whole files, so
+    `spark.sql.files.maxPartitionBytes` bounds per-task bytes. The
+    md5/length projection drops the payload before anything
+    shuffles."""
+    path = _payload_files_dir(spark, sf_dir)
+    bf = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin").load(path))
+    doc_id = F.regexp_extract(
+        F.col("path"), r"/(\d+)\.bin$", 1).cast("long")
+    return (bf.select(doc_id.alias("doc_id"),
+                      F.col("length").alias("n_bytes"),
+                      F.md5("content").alias("payload_md5"))
+            .orderBy("doc_id"))
+
+
+_BINARYFILE_SQL = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id < {_BINARYFILE_N}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "csv_roundtrip": (q_csv_roundtrip, _CSV_ROUNDTRIP_SQL),
     "orc_roundtrip_agg": (q_orc_roundtrip_agg, _ORC_ROUNDTRIP_SQL),
+    "binaryfile_ingest": (q_binaryfile_ingest, _BINARYFILE_SQL),
 }
