@@ -435,6 +435,39 @@ ORDER BY user_id, bar_ts
 """
 
 
+def compact_small_files(spark: SparkSession, src_dir: str, dst_dir: str,
+                        target_rows_per_file: int) -> dict:
+    """Small-files compaction — the table-maintenance job every
+    long-lived parquet store schedules: rewrite a directory of many
+    tiny files into ceil(rows / target) right-sized ones via ONE
+    round-robin repartition (no key shuffle, no sort; pair with
+    bucketed/zorder rewrites when layout matters). `maxRecordsPerFile`
+    caps any residual imbalance. Returns an audit dict
+    (rows, files_before, files_after) — the compaction log record.
+
+    Scale notes: at 100 TB compaction runs per-partition (filtered
+    rewrite of one `dt=.../` directory at a time), so the repartition
+    width is bounded by a partition's row count, and readers swap to
+    the compacted files atomically via directory rename/metastore
+    pointer — the mechanism object stores provide; this function is
+    the per-partition unit of that job."""
+    import math
+
+    df = spark.read.parquet(src_dir)
+    n_rows = df.count()
+    files_before = len([p for p in os.listdir(src_dir)
+                        if p.endswith(".parquet")])
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    (df.repartition(n_files)
+     .write.mode("overwrite")
+     .option("maxRecordsPerFile", target_rows_per_file)
+     .parquet(dst_dir))
+    files_after = len([p for p in os.listdir(dst_dir)
+                       if p.endswith(".parquet")])
+    return {"rows": n_rows, "files_before": files_before,
+            "files_after": files_after}
+
+
 QUERIES = {
     "zorder_key": (q_zorder_key, _ZORDER_SQL),
     "incremental_ohlc_rollup": (q_incremental_ohlc_rollup,

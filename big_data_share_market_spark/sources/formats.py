@@ -169,8 +169,70 @@ ORDER BY doc_id
 """
 
 
+def _evolved_schema_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage `events` as TWO parquet epochs with different schemas —
+    epoch 1 lacks the `quality_score` column a later pipeline version
+    added (days 1-15), epoch 2 carries it (rest of the month, score =
+    value / 500). The standard long-lived-table situation at scale:
+    files written across schema versions live side by side."""
+    stage_dir = f"/tmp/bdsm_evolve{sf_dir.replace('/', '_')}"
+    marker = f"{stage_dir}/_STAGED"
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        old = ev.filter(F.dayofmonth("ts") <= 15).select(
+            "event_id", "ts", "user_id", "event_type", "value")
+        new = ev.filter(F.dayofmonth("ts") > 15).select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            (F.col("value") / 500.0).alias("quality_score"))
+        old.write.mode("overwrite").parquet(f"{stage_dir}/epoch=1")
+        new.write.mode("overwrite").parquet(f"{stage_dir}/epoch=2")
+        open(marker, "w").close()
+    return stage_dir
+
+
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table whose files span two schema versions with
+    `mergeSchema=true`: epoch-1 rows surface the late-added
+    `quality_score` column as NULL, epoch-2 rows carry real values,
+    and one aggregate proves both epochs landed in a single unified
+    frame (per event_type: total rows, rows with a score, decimal-
+    quantized score sum). The epoch directories double as partition
+    columns, so partition pruning still works on the evolved table.
+
+    Scale notes: schema merge is a FOOTER-level operation at planning
+    time (Spark samples file footers; `mergeSchema` makes it read all
+    of them — at 100 TB you set the union schema explicitly or keep
+    it in a metastore, same read path). Rows are never rewritten; the
+    missing column materializes as NULL at scan time."""
+    path = _evolved_schema_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return (df.groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count("quality_score").alias("n_scored"),
+                 F.sum(F.floor(F.col("quality_score") * 1e9)
+                       .cast("long")).alias("score_sum_q"))
+            .orderBy("event_type"))
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH unified AS (
+  SELECT event_type,
+         CASE WHEN date_part('day', ts) > 15
+              THEN value / 500.0 END AS quality_score
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(quality_score) AS BIGINT) AS n_scored,
+       CAST(SUM(CAST(floor(quality_score * 1e9) AS BIGINT)) AS BIGINT)
+         AS score_sum_q
+FROM unified GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "csv_roundtrip": (q_csv_roundtrip, _CSV_ROUNDTRIP_SQL),
     "orc_roundtrip_agg": (q_orc_roundtrip_agg, _ORC_ROUNDTRIP_SQL),
     "binaryfile_ingest": (q_binaryfile_ingest, _BINARYFILE_SQL),
+    "schema_evolution_read": (q_schema_evolution_read,
+                              _SCHEMA_EVOLUTION_SQL),
 }

@@ -53,3 +53,40 @@ def test_write_training_shards_layout_and_roundtrip(spark):
         assert manifest == counts
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_small_files_roundtrip(spark):
+    """Maintenance op: 64 tiny files -> right-sized files, rows and
+    values preserved exactly, file count drops to ceil(rows/target).
+    The audit dict is the compaction log record."""
+    from big_data_share_market_spark.operators.scale import (
+        compact_small_files)
+
+    src = tempfile.mkdtemp(prefix="bdsm_compact_src")
+    dst = tempfile.mkdtemp(prefix="bdsm_compact_dst")
+    try:
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "value")
+        ev.repartition(64).write.mode("overwrite").parquet(src)
+        n_src_files = len(glob.glob(f"{src}/*.parquet"))
+        assert n_src_files == 64
+
+        stats = compact_small_files(spark, src, dst,
+                                    target_rows_per_file=2000)
+        assert stats["files_before"] == 64
+        import math
+        assert stats["files_after"] == max(
+            1, math.ceil(stats["rows"] / 2000))
+        assert stats["files_after"] < 64
+
+        before = spark.read.parquet(src)
+        after = spark.read.parquet(dst)
+        assert after.count() == stats["rows"] == before.count()
+        # value-exact: checksum both sides
+        chk = lambda df: df.agg(
+            F.sum("event_id"), F.sum("user_id"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))).collect()[0]
+        assert chk(before) == chk(after)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
