@@ -65,6 +65,8 @@ HEADLINE = [
     "heavy_hitters",        # Misra-Gries candidates + exact recount
     "ann_pq_topk",          # product-quantization ADC top-k
     "incremental_dedup",    # delta-vs-base fingerprint anti-join
+    "bloom_incremental_dedup",  # bloom-pruned delta-vs-base dedup
+    "snapshot_diff",        # CDC full-outer PK diff
     "simhash_pairs",        # numpy simhash kernel + chunk-bucket join
     "bm25_topk",            # lexical retrieval (1-row stats broadcast)
     "quality_classifier",   # model-apply (broadcast weight map)

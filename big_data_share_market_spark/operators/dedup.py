@@ -1154,6 +1154,138 @@ FROM delta d LEFT JOIN base b USING (fp)
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter pre-filtered incremental dedup (the O(delta) scale path)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+_BLOOM_M = 4096   # bits (64 x 64-bit words); MB-sized at 10^9 base fps
+_BLOOM_K = 3      # hash functions
+
+
+def _bloom_pos(col: Column, salt: str) -> Column:
+    """Bit position 0..M-1 from the first 3 hex chars of
+    md5(salt||fp) — engine-portable (strpos arithmetic, no hex
+    casts), same trick as sampling.hash256."""
+    h = F.md5(F.concat(F.lit(salt), col))
+    p = F.lit(0)
+    for i in (1, 2, 3):
+        c = F.substring(h, i, 1)
+        p = p * 16 + (F.instr(F.lit(_HEX), c) - 1)
+    return p
+
+
+def _bloom_pos_sql(expr: str, salt: str) -> str:
+    h = f"md5('{salt}' || {expr})"
+    return (f"((strpos('{_HEX}', substring({h}, 1, 1)) - 1) * 256"
+            f" + (strpos('{_HEX}', substring({h}, 2, 1)) - 1) * 16"
+            f" + (strpos('{_HEX}', substring({h}, 3, 1)) - 1))")
+
+
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental delta-vs-base dedup with a BLOOM-FILTER pre-join
+    prune — the refinement of :func:`q_incremental_dedup` that makes
+    daily ingestion against a multi-billion-row fingerprint index
+    cheap: the base index is folded ONCE into an m-bit Bloom bitmap
+    (k md5-derived bit positions per fingerprint, bit_or-aggregated
+    into m/64 words — a BYTES-sized relation that broadcast-joins),
+    and every delta row answers "might fp be in base?" map-side.
+    Bloom filters have NO false negatives, so a delta row missing any
+    of its k bits is DEFINITELY new and never touches the exact join;
+    only the candidate fraction (false-positive rate ~(1-e^(-kn/m))^k,
+    ~1.6% at this fixture's load factor) shuffles into the exact
+    fp-to-fp anti-join. Output is EXACT — identical keep decisions to
+    q_incremental_dedup — because candidates are verified against the
+    real index; the bloom only routes.
+
+    Scale shape (100 TB): the bitmap build is one pass over the
+    stored fingerprint index (and is itself incrementally maintainable
+    by OR-ing the delta's bits in); the broadcast is m/8 bytes
+    (a few hundred MB at 10^10 fps with m sized for 1% fp-rate); the
+    exact join shrinks from O(|delta|) to O(|delta| * fp_rate + dups).
+    Deterministic md5 positions keep Spark and the oracle bit-for-bit
+    equal — even `bloom_candidate` matches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
+    tagged = docs.select("doc_id", fp.alias("fp"),
+                         (F.col("doc_id") % 10 >= 8).alias("is_delta"))
+    base = tagged.filter(~F.col("is_delta")).select("fp").distinct()
+
+    poss = F.array(*[_bloom_pos(F.col("fp"), f"bloom{i}:")
+                     for i in range(_BLOOM_K)])
+    # 63 usable bits per word: DuckDB's checked BIGINT shift overflows
+    # at 1<<63, so both engines pack bits 0..62 only.
+    word = F.floor(F.col("pos") / 63).cast("long").alias("word")
+    mask = F.expr("shiftleft(cast(1 as bigint), int(pos % 63))").alias("mask")
+    base_bits = (base.select(F.explode(poss).alias("pos"))
+                 .select(word, mask)
+                 .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+    delta = tagged.filter(F.col("is_delta")).drop("is_delta")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+           == F.col("mask"))
+    flagged = (delta.select("doc_id", "fp", F.explode(poss).alias("pos"))
+               .select("doc_id", "fp", word, mask)
+               .join(F.broadcast(base_bits), "word", "left")
+               .groupBy("doc_id", "fp")
+               .agg(F.bool_and(hit).alias("bloom_candidate")))
+    w = Window.partitionBy("fp")
+    flagged = flagged.withColumn(
+        "first_in_delta", F.col("doc_id") == F.min("doc_id").over(w))
+
+    base_index = base.withColumn("in_base", F.lit(True))
+    cand = (flagged.filter(F.col("bloom_candidate"))
+            .join(base_index, "fp", "left")
+            .withColumn("in_base", F.coalesce("in_base", F.lit(False))))
+    definite_new = (flagged.filter(~F.col("bloom_candidate"))
+                    .withColumn("in_base", F.lit(False)))
+    cols = ["doc_id", "fp", "bloom_candidate", "first_in_delta", "in_base"]
+    return (cand.select(*cols).unionByName(definite_new.select(*cols))
+            .withColumn("keep", ~F.col("in_base") & F.col("first_in_delta")))
+
+
+def _bloom_sql() -> str:
+    p = [_bloom_pos_sql("fp", f"bloom{i}:") for i in range(_BLOOM_K)]
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 8), ' ')) AS fp,
+         doc_id % 10 >= 8 AS is_delta
+  FROM documents),
+base AS (SELECT DISTINCT fp FROM f WHERE NOT is_delta),
+bwords AS (
+  SELECT CAST(floor(pos / 63) AS BIGINT) AS word,
+         (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
+  FROM (SELECT unnest([{p[0]}, {p[1]}, {p[2]}]) AS pos FROM base)),
+bits AS (SELECT word, bit_or(mask) AS bits FROM bwords GROUP BY word),
+delta AS (SELECT doc_id, fp FROM f WHERE is_delta),
+dwords AS (
+  SELECT doc_id, fp,
+         CAST(floor(pos / 63) AS BIGINT) AS word,
+         (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
+  FROM (SELECT doc_id, fp, unnest([{p[0]}, {p[1]}, {p[2]}]) AS pos
+        FROM delta)),
+flagged AS (
+  SELECT d.doc_id, d.fp,
+         bool_and((COALESCE(b.bits, 0) & d.mask) = d.mask)
+           AS bloom_candidate
+  FROM dwords d LEFT JOIN bits b USING (word)
+  GROUP BY d.doc_id, d.fp),
+firsts AS (
+  SELECT doc_id, fp, bloom_candidate,
+         doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS first_in_delta
+  FROM flagged)
+SELECT fl.doc_id, fl.fp, fl.bloom_candidate, fl.first_in_delta,
+       fl.bloom_candidate AND b.fp IS NOT NULL AS in_base,
+       NOT (fl.bloom_candidate AND b.fp IS NOT NULL)
+         AND fl.first_in_delta AS keep
+FROM firsts fl LEFT JOIN base b USING (fp)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup keeping the LONGEST copy (RefinedWeb-style representative)
 # ---------------------------------------------------------------------------
 
@@ -1260,6 +1392,7 @@ QUERIES = {
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
     "containment_neardup": (q_containment_neardup, _CONTAINMENT_SQL),
     "incremental_dedup": (q_incremental_dedup, _INCREMENTAL_DEDUP_SQL),
+    "bloom_incremental_dedup": (q_bloom_incremental_dedup, _bloom_sql()),
     "dedup_keep_longest": (q_dedup_keep_longest, _KEEP_LONGEST_SQL),
     "dup_ngram_spans": (q_dup_ngram_spans, _DUP_SPANS_SQL),
     "neardup_split_leakage": (q_neardup_split_leakage, _split_leakage_sql()),

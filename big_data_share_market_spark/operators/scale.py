@@ -81,6 +81,50 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN — the companion to q_salted_skew_agg for the case
+    where the SMALL side is still too big to broadcast (a
+    billion-row user dimension): the fact side salts its join key
+    with pmod(hash(event_id), S) and the dimension replicates each
+    row S times with an exploded salt, so a hot key's rows spread
+    over S reducers instead of one. Joining on (key, salt) is
+    exactly equivalent to joining on key — each fact row meets its
+    dimension row in precisely one salt bucket. The merge hint pins
+    sort-merge so the demo survives AQE wanting to broadcast the
+    fixture-sized dimension; at real scale neither side fits in an
+    executor and this IS the plan.
+
+    events.user_id is genuinely skewed (15 distinct users across
+    the whole event stream), making this the honest shape: without
+    salting, 1/15th of 100 TB lands on one task. Cost: the dim
+    shuffle grows S-fold — the standard trade, paid on the small
+    side; with AQE skew-join splitting available the same effect
+    arrives automatically, but the salt works on ANY engine and on
+    deterministic cluster layouts (bucketed facts) AQE can't touch.
+    Decimal partials keep the grouped totals bit-identical to the
+    unsalted oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(_SALTS)))
+    dim = (cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+           .withColumn("salt", F.explode(F.sequence(F.lit(0),
+                                                    F.lit(_SALTS - 1)))))
+    joined = fact.hint("merge").join(dim, ["user_id", "salt"])
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("total_value"),
+                 F.count("*").alias("n_events"))
+            .orderBy("c_mktsegment"))
+
+
+_SALTED_JOIN_SQL = f"""
+SELECT c.c_mktsegment, {dsum_sql('e.value')} AS total_value,
+       COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets (multi-level aggregate in one scan)
 # ---------------------------------------------------------------------------
@@ -473,6 +517,7 @@ QUERIES = {
     "incremental_ohlc_rollup": (q_incremental_ohlc_rollup,
                                 _INCREMENTAL_ROLLUP_SQL),
     "salted_skew_agg": (q_salted_skew_agg, _SALTED_SQL),
+    "salted_skew_join": (q_salted_skew_join, _SALTED_JOIN_SQL),
     "orders_grouping_sets": (q_orders_grouping_sets, _GROUPING_SETS_SQL),
     "customer_balance_ranks": (q_customer_balance_ranks, _BALANCE_RANKS_SQL),
     "custkeys_intersect": (q_custkeys_intersect, _INTERSECT_SQL),

@@ -181,8 +181,66 @@ ORDER BY b.event_type
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC diff — given two versions of a
+    PK-keyed table, emit the change stream between them (insert /
+    delete / update rows, unchanged suppressed). This is the audit and
+    downstream-sync primitive every warehouse needs: "what changed
+    between yesterday's load and today's" without the source emitting
+    a changelog. The two versions are carved deterministically from
+    `orders`: v2 is missing some v1 keys (deletes), has keys v1 lacks
+    (inserts), and bumps o_totalprice on an update stripe — so both
+    engines derive identical snapshots.
+
+    Scale shape: ONE full-outer sort-merge join on the PK — both
+    sides hash-partition on o_orderkey, AQE coalesces, nothing else
+    shuffles; the unchanged-row suppression is a row-local filter
+    AFTER the join, so output is O(changes) even when input is
+    O(table). With both snapshots bucketed by PK (the layout
+    `bucketed_join_revenue` demonstrates) the exchange disappears
+    entirely and the diff is a zero-shuffle zip of co-located
+    buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    v1 = (orders.filter(key % 97 != 3)
+          .select("o_orderkey", F.col("o_totalprice").alias("old_price")))
+    v2 = (orders.filter(key % 97 != 5)
+          .select("o_orderkey",
+                  (F.col("o_totalprice")
+                   + F.when(key % 11 == 0, 1).otherwise(0))
+                  .alias("new_price")))
+    joined = v1.join(v2, "o_orderkey", "full_outer")
+    change = (F.when(F.col("old_price").isNull(), "insert")
+              .when(F.col("new_price").isNull(), "delete")
+              .when(F.col("old_price") != F.col("new_price"), "update"))
+    return (joined.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select("o_orderkey", "change_type", "old_price", "new_price"))
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice AS old_price
+  FROM orders WHERE o_orderkey % 97 <> 3),
+v2 AS (
+  SELECT o_orderkey,
+         o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END
+           AS new_price
+  FROM orders WHERE o_orderkey % 97 <> 5)
+SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.old_price IS NULL THEN 'insert'
+            WHEN v2.new_price IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       v1.old_price, v2.new_price
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.old_price IS NULL OR v2.new_price IS NULL
+   OR v1.old_price <> v2.new_price
+"""
+
+
 QUERIES = {
     "scd2_order_priority": (q_scd2_order_priority, _SCD2_SQL),
     "scd2_snapshot": (q_scd2_snapshot, _SCD2_SNAPSHOT_SQL),
     "gdpr_erasure": (q_gdpr_erasure, _gdpr_sql()),
+    "snapshot_diff": (q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
 }

@@ -320,3 +320,40 @@ def test_dedup_family_reads_staged_relations(spark):
         plan = explain_str(fn(spark, SF_DIR), "simple")
         assert "InMemoryRelation" in plan, (
             f"{name} no longer reads a staged relation:\n{plan[:2000]}")
+
+
+def test_salted_skew_join_is_sort_merge_no_broadcast(spark):
+    """The salted join exists to handle a dimension too big to
+    broadcast — if AQE (or a future edit) turns it back into a
+    BroadcastHashJoin the demo silently stops exercising the salt
+    path. Pin: sort-merge on the salted key, zero broadcast joins."""
+    fn, _ = _QUERIES["salted_skew_join"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, (
+        f"salted join got broadcast — salt path untested:\n{plan[:2000]}")
+
+
+def test_bloom_dedup_broadcasts_bitmap_only(spark):
+    """The Bloom pre-filter's whole point: the m/64-word bitmap is the
+    ONLY broadcast (bytes-sized), and the plan splits into a
+    candidate branch (exact fp join) unioned with a definite-new
+    branch that never joins the base index."""
+    fn, _ = _QUERIES["bloom_incremental_dedup"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert "Union" in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
+    # the exact fp join must NOT be a broadcast of the full base index
+    # on the non-candidate branch: after the Union there is exactly one
+    # join consuming the base fingerprints per branch-split design.
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_pk_join(spark):
+    """CDC diff = ONE full-outer join on the PK; a second join or a
+    nested-loop shape would mean the classification logic regressed
+    into per-branch rescans."""
+    fn, _ = _QUERIES["snapshot_diff"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("SortMergeJoin") == 1, plan[:2000]
+    assert "FullOuter" in plan, plan[:2000]
