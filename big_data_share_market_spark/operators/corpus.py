@@ -681,8 +681,60 @@ FROM contribs GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics over the event stream: the
+    p05/p95 member values (percentile_disc — no interpolation, so
+    Spark and DuckDB pick the identical element), row-local clamping,
+    and the decimal-exact mean of the clamped values. The robust
+    cousin of a plain AVG — one corrupted feed emitting 1e12s shifts
+    a mean arbitrarily but cannot move a winsorized mean past the
+    p95 fence; this is the metric ingest monitoring alarms on.
+
+    Scale shape: one bytes-per-type percentile aggregate broadcast
+    back onto the scan, then one map-side-combined grouped aggregate
+    over the clamped column — same two-aggregate layout as
+    q_length_outliers, no full-data shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)")
+        .alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+        .alias("p95"))
+    clamped = (ev.join(F.broadcast(pct), "event_type")
+               .withColumn("cl", F.greatest("p05", F.least("p95", "value"))))
+    return (clamped.groupBy("event_type")
+            .agg(F.first("p05").alias("p05"), F.first("p95").alias("p95"),
+                 F.count("*").alias("n"),
+                 F.sum((F.col("value") < F.col("p05")).cast("long"))
+                 .alias("n_clamped_low"),
+                 F.sum((F.col("value") > F.col("p95")).cast("long"))
+                 .alias("n_clamped_high"),
+                 davg(F.col("cl")).alias("winsorized_mean"))
+            .orderBy("event_type"))
+
+
+_WINSORIZED_SQL = f"""
+WITH pct AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS p05,
+         quantile_disc(value, 0.95) AS p95
+  FROM events GROUP BY event_type),
+cl AS (
+  SELECT e.event_type, p.p05, p.p95, e.value,
+         greatest(p.p05, least(p.p95, e.value)) AS cl
+  FROM events e JOIN pct p USING (event_type))
+SELECT event_type, MIN(p05) AS p05, MIN(p95) AS p95,
+       COUNT(*) AS n,
+       SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS n_clamped_low,
+       SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS n_clamped_high,
+       {davg_sql('cl')} AS winsorized_mean
+FROM cl GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
+    "winsorized_stats": (q_winsorized_stats, _WINSORIZED_SQL),
     "psi_drift": (q_psi_drift, _PSI_SQL),
     "dsir_weights": (q_dsir_weights, _DSIR_SQL),
     "length_outliers": (q_length_outliers, _LENGTH_OUTLIERS_SQL),

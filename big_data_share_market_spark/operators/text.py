@@ -611,8 +611,56 @@ FROM r WHERE rank <= {_VOCAB_V}
 """
 
 
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over CCNet-NORMALIZED text — the pass that catches
+    the duplicates raw-byte fingerprints miss: case changes,
+    punctuation drift, digit substitutions ("v2.1" vs "v3.0"
+    boilerplate), and whitespace reflows. Normalization is the CCNet
+    recipe re-expressed portably: lowercase, every whitespace run and
+    non-alphanumeric char to a single space, all digits to '0', then
+    squeeze + trim; the fingerprint is md5 of the WHOLE normalized
+    text (not a prefix) so near-identical long docs with identical
+    heads still separate.
+
+    Scale shape: normalization is a row-local regex chain inside
+    whole-stage codegen (no UDF, no fan-out); the dedup is the same
+    ONE shuffle on the fingerprint as q_exact_dedup. At 100 TB this
+    runs as a single scan + exchange — the cheapest near-dup recall
+    upgrade available before shingle/MinHash machinery is needed
+    (dedup.py:1-20 documents that family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.col("text"))
+    norm = F.regexp_replace(norm, r"[^a-z0-9]", " ")
+    norm = F.regexp_replace(norm, r"[0-9]", "0")
+    norm = F.trim(F.regexp_replace(norm, r" +", " "))
+    w = W.partitionBy("norm_fp")
+    return (docs.select("doc_id", F.md5(norm).alias("norm_fp"),
+                        F.length(norm).alias("norm_len"))
+            .withColumn("n_copies", F.count("*").over(w))
+            .withColumn("keep",
+                        F.col("doc_id") == F.min("doc_id").over(w))
+            .select("doc_id", "norm_fp", "norm_len", "n_copies", "keep"))
+
+
+_NORMALIZED_DEDUP_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+             '[0-9]', '0', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, md5(norm) AS norm_fp, length(norm) AS norm_len,
+       COUNT(*) OVER (PARTITION BY md5(norm)) AS n_copies,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep
+FROM n
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "normalized_dedup": (q_normalized_dedup, _NORMALIZED_DEDUP_SQL),
     "vocab_coverage": (q_vocab_coverage, _VOCAB_COVERAGE_SQL),
     "gopher_filters": (q_gopher_filters, _GOPHER_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
