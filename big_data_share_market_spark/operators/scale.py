@@ -512,12 +512,90 @@ def compact_small_files(spark: SparkSession, src_dir: str, dst_dir: str,
             "files_after": files_after}
 
 
+_ZONEMAP_DIR = "/tmp/bdsm_zonemap"
+
+
+def _zonemap_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events range-clustered on ts: repartitionByRange +
+    sortWithinPartitions, one parquet file per range — the layout
+    whose per-file min/max stats ("zone maps") are disjoint.
+
+    The stage path is FIXED (not sf-suffixed) because the oracle is a
+    static SQL string reading the same files; a tag file records
+    which sf_dir staged last and a different sf restages. Harness
+    order (Spark query, then oracle) guarantees the oracle reads the
+    files this query just audited."""
+    tag = f"{_ZONEMAP_DIR}/_STAGED_FOR"
+    staged = None
+    if os.path.exists(tag):
+        with open(tag) as fh:
+            staged = fh.read()
+    if staged != sf_dir:
+        (load_table(spark, sf_dir, "events")
+         .repartitionByRange(8, "ts", "event_id")
+         .sortWithinPartitions("ts", "event_id")
+         .write.mode("overwrite").parquet(_ZONEMAP_DIR))
+        with open(tag, "w") as fh:
+            fh.write(sf_dir)
+    return _ZONEMAP_DIR
+
+
+def q_file_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) audit of a range-clustered layout —
+    the data-skipping effectiveness metric: a time-range predicate
+    can skip a file iff the file's [min_ts, max_ts] interval misses
+    the predicate, so the fraction of files whose interval OVERLAPS
+    its neighbor is exactly the fraction of wasted reads. Events are
+    staged `repartitionByRange(ts).sortWithinPartitions(ts)` (the
+    clustering a 100 TB time-series store maintains); the audit
+    reads the files back and reports per-file row counts, the
+    min/max ts zone map, and `overlaps_next` — all-false proves the
+    layout skips perfectly. Run it against an unclustered landing
+    zone and the same query quantifies how much a re-cluster buys.
+
+    Scale shape: one file-grain aggregate (group on
+    input_file_name(), map-side combined — file count rows, not data
+    rows, reach the exchange) + a window over the file-stats frame
+    (bytes-sized). The oracle reads the SAME staged files via
+    read_parquet(filename=true), so both engines see identical
+    physical metadata."""
+    path = _zonemap_dir(spark, sf_dir)
+    fname = F.regexp_extract(F.input_file_name(), r"[^/]+$", 0)
+    stats = (spark.read.parquet(path)
+             .groupBy(fname.alias("file"))
+             .agg(F.count("*").alias("n_rows"),
+                  F.min("ts").alias("min_ts"),
+                  F.max("ts").alias("max_ts")))
+    w = W.orderBy("min_ts", "file")
+    return (stats.withColumn("next_min", F.lead("min_ts").over(w))
+            .withColumn("overlaps_next",
+                        F.coalesce(F.col("max_ts") >= F.col("next_min"),
+                                   F.lit(False)))
+            .select("file", "n_rows", "min_ts", "max_ts", "overlaps_next"))
+
+
+# Every harness runs the Spark query before its oracle, so the staged
+# files are always the ones this sf's query just audited.
+_ZONEMAP_AUDIT_SQL = f"""
+WITH stats AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS file,
+         COUNT(*) AS n_rows, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+  FROM read_parquet('{_ZONEMAP_DIR}/*.parquet', filename=true)
+  GROUP BY 1)
+SELECT file, n_rows, min_ts, max_ts,
+       COALESCE(max_ts >= lead(min_ts)
+                OVER (ORDER BY min_ts, file), FALSE) AS overlaps_next
+FROM stats
+"""
+
+
 QUERIES = {
     "zorder_key": (q_zorder_key, _ZORDER_SQL),
     "incremental_ohlc_rollup": (q_incremental_ohlc_rollup,
                                 _INCREMENTAL_ROLLUP_SQL),
     "salted_skew_agg": (q_salted_skew_agg, _SALTED_SQL),
     "salted_skew_join": (q_salted_skew_join, _SALTED_JOIN_SQL),
+    "file_zonemap_audit": (q_file_zonemap_audit, _ZONEMAP_AUDIT_SQL),
     "orders_grouping_sets": (q_orders_grouping_sets, _GROUPING_SETS_SQL),
     "customer_balance_ranks": (q_customer_balance_ranks, _BALANCE_RANKS_SQL),
     "custkeys_intersect": (q_custkeys_intersect, _INTERSECT_SQL),
