@@ -1315,8 +1315,73 @@ LIMIT 5
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 retrieval over SQ8 scalar-quantized embeddings — the
+    faiss-style int8 compression path (4× smaller than float32, 8×
+    smaller than the float64 compute form) that a 100 TB vector store
+    keeps hot in memory: each vector stores one float scale
+    (max|x|/127) plus int8 codes round(x/scale); search reconstructs
+    code*scale on the fly and ranks by cosine against the
+    FULL-PRECISION query (asymmetric distance, like ann_pq_topk but
+    per-dimension instead of per-subspace — higher fidelity, lower
+    compression).
+
+    Everything is row-local codegen (quantize + reconstruct are array
+    transforms over the scan; the 1-row query vector broadcasts) and
+    the ranking is TakeOrderedAndProject — no shuffle anywhere. The
+    quantizer is oracle-exact: max via a 0-init fold over abs values,
+    round as floor(x/s + 0.5), reconstruction and the cosine's
+    sequential index fold all IEEE-identical across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    absmax = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")
+    base = (emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", "label", "embedding",
+                    (absmax / 127.0).alias("scale")))
+    recon = F.expr(
+        "CASE WHEN scale = 0.0 THEN transform(embedding, x -> 0.0) "
+        "ELSE transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) * scale) "
+        "END")
+    cand = (base.withColumn("recon", recon)
+            .crossJoin(F.broadcast(query)))
+    return (_with_cosine(cand, "recon", "q_emb")
+            .select("vec_id", "label", "scale",
+                    F.col("cosine").alias("sq8_cosine"))
+            .orderBy(F.desc("sq8_cosine"), F.asc("vec_id"))
+            .limit(10))
+
+
+_SQ8_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT vec_id, label, embedding,
+         list_reduce(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE))),
+                     (a, b) -> greatest(a, b)) / 127.0 AS scale
+  FROM embeddings WHERE vec_id <> 0),
+rec AS (
+  SELECT vec_id, label, scale,
+         CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding, x ->
+                CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)
+                  * scale)
+         END AS recon
+  FROM base)
+SELECT vec_id, label, scale,
+       {_cosine_sql('recon', 'q_emb')} AS sq8_cosine
+FROM rec, q
+ORDER BY sq8_cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "sq8_topk": (q_sq8_topk, _SQ8_TOPK_SQL),
     # numpy kernel: no value oracle by design (pairwise vs sequential
     # float summation); invariant-tested against cosine_topk instead.
     "cosine_topk_numpy": (q_cosine_topk_numpy, None),

@@ -239,3 +239,24 @@ def test_registry_outputs_are_driver_hashable(spark):
             offenders[name] = cols
     assert not offenders, (
         f"registry queries with non-hashable output columns: {offenders}")
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """SQ8 quantization trades precision for 4x compression; the
+    invariant is RECALL, not score equality: the int8-reconstructed
+    top-10 must recover most of the exact top-10 (>= 8/10 on the
+    fixture — per-dimension quantization error is ~scale/2, far below
+    the fixture's cosine gaps), and reconstructed scores must sit
+    within the worst-case quantization bound of the exact ones."""
+    from big_data_share_market_spark.registry import all_queries
+    q = all_queries()
+    exact = q["cosine_topk"][0](spark, SF_DIR).collect()
+    sq8 = q["sq8_topk"][0](spark, SF_DIR).collect()
+    assert len(sq8) == len(exact) > 0
+    overlap = {r.vec_id for r in sq8} & {r.vec_id for r in exact}
+    assert len(overlap) >= 8, f"SQ8 recall@10 too low: {len(overlap)}/10"
+    exact_by_id = {r.vec_id: r.cosine for r in exact}
+    for r in sq8:
+        if r.vec_id in exact_by_id:
+            # 64 dims, each off by <= scale/2 against a unit-ish query
+            assert abs(r.sq8_cosine - exact_by_id[r.vec_id]) < 0.05

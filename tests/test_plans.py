@@ -26,6 +26,8 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 # Queries where a broadcast-nested-loop join is the INTENDED physical
 # shape (a broadcast single-row/codebook crossJoin, not an accident).
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            # broadcast 1-row query vector onto the quantized scan
+            "sq8_topk",
             # broadcast 1-row BM25 stats + 1-row query vector
             "rrf_hybrid_topk",
             # 1-row x 1-row crossJoin of the two variant scalars
