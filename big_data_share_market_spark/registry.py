@@ -71,7 +71,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.patterns", "operators.transforms",
                  "operators.finance",
                  "operators.dedup", "operators.similarity",
-                 "operators.text", "operators.corpus",
+                 "operators.text", "operators.corpus", "operators.bpe",
                  "operators.retrieval",
                  "operators.multimodal",
                  "operators.sampling", "operators.warehouse",

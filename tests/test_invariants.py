@@ -260,3 +260,32 @@ def test_sq8_topk_recall_vs_exact(spark):
         if r.vec_id in exact_by_id:
             # 64 dims, each off by <= scale/2 against a unit-ish query
             assert abs(r.sq8_cosine - exact_by_id[r.vec_id]) < 0.05
+
+
+def test_bpe_trainer_semantics():
+    """Hand-pinned BPE trainer behavior: count-weighted argmax with
+    (total DESC, a, b) tiebreak, and greedy LEFTMOST merge
+    application via the marker-string replace (the property that
+    makes the Spark/DuckDB/Python trainers identical)."""
+    from big_data_share_market_spark.operators.bpe import _train_merges
+    # (a,b): 2 from 'aaab' + 3 from 'ab' = 5; (a,a): 4 -> merge (a,b)
+    # then (a,a) ties (a,ab) at 2, lexical tiebreak picks (a,a).
+    merges = _train_merges([("aaab", 2), ("ab", 3)])
+    assert merges[0] == ("|a|b", "|ab")
+    assert merges[1] == ("|a|a", "|aa")
+    # greedy leftmost: aaa + merge (a,a) -> [aa, a], not [a, aa]
+    assert "|a|a|a".replace("|a|a", "|aa") == "|aa|a"
+    # merge never crosses piece boundaries: [xa, b] has no '|a|b'
+    assert "|xa|b".replace("|a|b", "|ab") == "|xa|b"
+
+
+def test_bpe_encode_zero_shuffle(spark):
+    """Given the merge artifact, encoding is embarrassingly parallel:
+    the plan must be a pure scan-side projection — no Exchange, no
+    join, no Generate."""
+    from big_data_share_market_spark.plans import explain_str
+    from big_data_share_market_spark.registry import all_queries
+    fn, _ = all_queries()["bpe_encode"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
