@@ -73,6 +73,9 @@ HEADLINE = [
     "containment_neardup",  # asymmetric near-subset dedup
     "rrf_hybrid_topk",      # BM25 + dense fusion (two TakeOrdereds)
     "domain_cap_sample",    # two-level distributed per-domain rank
+    "salted_skew_join",     # fact-salt + replicated-dim merge join
+    "bpe_encode",           # zero-shuffle subword tokenization
+    "file_zonemap_audit",   # per-file min/max data-skipping stats
 ]
 
 

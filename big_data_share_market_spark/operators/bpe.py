@@ -110,7 +110,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.expr(words_arr).alias("ws"))
-        .filter(F.size("ws") > 0)
+        # no row filter: a doc with zero valid words emits (0, 0,
+        # md5('')) — filtering on size(ws) would let predicate
+        # pushdown substitute the whole transform chain into the
+        # scan's DataFilters (the inferred-filter pathology pinned by
+        # test_no_expensive_exprs_in_scan_filters)
         .select("doc_id",
                 F.size("ws").cast("bigint").alias("n_words"),
                 F.expr(f"array_join(transform(ws, x -> {chain}), '')")
@@ -169,8 +173,7 @@ docw AS MATERIALIZED (
 encd AS MATERIALIZED (
   SELECT doc_id, len(ws) AS n_words,
          array_to_string(list_transform(ws, x -> {chain}), '') AS sstr
-  FROM docw, {bs}
-  WHERE len(ws) > 0)
+  FROM docw, {bs})
 SELECT doc_id, n_words,
        CAST(length(sstr) - length(replace(sstr, '|', '')) AS BIGINT)
          AS n_pieces,
