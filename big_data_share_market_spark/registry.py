@@ -19,12 +19,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: wave (semantic dedup, k-means, PQ/batch ANN, gopher/DSIR, BM25,
 #: sketches, format round-trips, streaming corpus accounting) plus
 #: label_centroids (r3 FAIL: array column broke the driver's value
-#: hasher; output is now scalar rows) — and pads the window to 50
-#: with re-verification picks: every query whose code or oracle
-#: changed this round, plus headline representatives of each family.
-#: After this round the driver union covers the whole registry
-#: except the 4 rows-only sketch/numpy queries (no SQL oracle by
-#: design; the driver records rows-only checks for them here).
+#: hasher; output is now scalar rows) — and fills the remaining 15
+#: slots with the round-4 continuation wave (bloom dedup, CDC diff,
+#: salted join, BPE, SQ8, zone-map audit, PSI, A/B z-test, RRF,
+#: GDPR, binary ingest, schema evolution, streaming ingest gate),
+#: which are also never-driver-checked. After this round the union
+#: covers the whole registry except lang_temperature_sample and
+#: domain_cap_sample (sampling-family siblings driver-green; next
+#: rotation) and the 4 rows-only sketch/numpy queries (no SQL oracle
+#: by design; the driver records rows-only checks for them here).
 _FIRST_50 = (
     # --- never driver-verified (35) ---
     # changed this round: scalar-row output / pruned verify / oracle fix
@@ -50,12 +53,17 @@ _FIRST_50 = (
     "candle_color", "custkeys_except",
     # streaming corpus accounting
     "stream_corpus_token_totals", "stream_quality_gate",
-    # --- re-verification picks (15): headline per family ---
-    "signal_case", "pricing_summary", "last_per_key", "ema", "macd",
-    "adx", "exact_dedup", "minhash_lsh_dedup", "embedding_neardup",
-    "clean_corpus", "quality_score", "hash_split",
-    "corpus_to_training_set", "stream_ohlc_bars",
-    "stream_upsert_idempotent",
+    # --- round-4 continuation wave (15, also never driver-checked;
+    # the re-verification picks they displaced were all driver-green
+    # in r1/r2 and unchanged since, so every slot now buys new
+    # coverage; lang_temperature_sample and domain_cap_sample wait
+    # for the next rotation — their sampling-family siblings are
+    # driver-green) ---
+    "bloom_incremental_dedup", "snapshot_diff", "salted_skew_join",
+    "normalized_dedup", "winsorized_stats", "sq8_topk", "bpe_encode",
+    "file_zonemap_audit", "psi_drift", "ab_test_ztest",
+    "rrf_hybrid_topk", "gdpr_erasure", "binaryfile_ingest",
+    "schema_evolution_read", "stream_ingest_dedup_gate",
 )
 
 
