@@ -22,6 +22,48 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+#: Staged tokenized corpus per (SparkContext, sf_dir) — see staged_tokens.
+_TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def staged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, toks, n_chars) — the normalized token array for
+    every document, STAGED: persisted MEMORY_AND_DISK once per
+    (SparkContext, sf_dir), the tokenization twin of dedup._shingled.
+
+    Staging rationale: the interpreted `split(trim(lower(text)))`
+    tokenizer is the dominant cost of the lexical family, and Spark
+    does not dedupe common plan subtrees — BM25 alone evaluates its
+    feature subtree twice (corpus-stats agg + scoring scan), and the
+    retrieval suite (bm25_topk, rrf_hybrid_topk, quality_classifier)
+    re-tokenizes the same corpus five times per bench pass without
+    this stage. A 100 TB deployment tokenizes the corpus ONCE into a
+    staging store and runs every lexical sweep off it; persist() is
+    local-mode's equivalent. Cache key includes applicationId so a
+    new SparkContext never sees a stale handle.
+
+    fan_out before the tokenizer: the per-row kernel is CPU-bound and
+    a single-file fixture scan would otherwise pin it to 1-2 tasks;
+    at scale the scan is already wide and fan_out is a no-op."""
+    from pyspark import StorageLevel
+
+    from ..tables import fan_out
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    staged = (
+        fan_out(spark, _docs(spark, sf_dir))
+        .select("doc_id", "lang", toks.alias("toks"),
+                F.length("text").alias("n_chars"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _TOK_CACHE[key] = staged
+    return staged
+
+
 # ---------------------------------------------------------------------------
 # Token counting
 # ---------------------------------------------------------------------------
