@@ -1388,7 +1388,92 @@ ORDER BY a_id, b_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Segment-level dedup with text reconstruction (C4 line-dedup analog)
+# ---------------------------------------------------------------------------
+
+#: Tokens per segment and the removal threshold: a segment occurring
+#: >= _SEG_MAXOCC times corpus-wide is boilerplate and excised from
+#: EVERY document (the C4 rule is "any three-sentence span occurring
+#: more than once"; the threshold is data-dependent, 3 here).
+_SEG_W = 10
+_SEG_MAXOCC = 3
+
+
+def q_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SEGMENT dedup with document reconstruction — the
+    C4/RefinedWeb "line dedup" re-expressed for a corpus without line
+    boundaries: split each document into consecutive `_SEG_W`-token
+    segments (trailing partial included), count every segment's
+    occurrences across the WHOLE corpus, excise segments occurring
+    >= `_SEG_MAXOCC` times from every document, and rebuild the
+    surviving text in original order. Unlike `dup_ngram_spans`
+    (which only scores duplication), this emits the cleaned corpus —
+    per doc: segment count, removed count, and the rebuilt text.
+
+    Scale shape: two data shuffles, both linear in corpus tokens.
+    (1) segment rows shuffle on the md5 segment fingerprint, where a
+    window count computes corpus occurrence — no self-join, so a
+    boilerplate segment in k docs costs O(k) rows, never O(k²);
+    (2) survivors re-shuffle on doc_id where array_sort(collect_list)
+    restores segment order (collect_list skips the nulls that
+    when(keep, …) leaves for excised segments, so the filter rides
+    inside the aggregate — no extra pass). Reads the staged token
+    relation, so the interpreted tokenizer does not re-run."""
+    from .text import staged_tokens
+
+    segs_expr = (
+        f"transform(sequence(0, cast(ceil(size(toks) / {_SEG_W}.0) as int) - 1), "
+        f"i -> struct(cast(i as long) as seg_idx, "
+        f"concat_ws(' ', slice(toks, i * {_SEG_W} + 1, {_SEG_W})) as seg))")
+    seg = (
+        staged_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", F.explode_outer(F.expr(segs_expr)).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", "s.seg_idx", "s.seg",
+                F.md5(F.col("s.seg")).alias("fp"))
+    )
+    occ = F.count("*").over(Window.partitionBy("fp"))
+    kept_struct = F.when(
+        F.col("n_occ") < _SEG_MAXOCC, F.struct("seg_idx", "seg"))
+    return (
+        seg.withColumn("n_occ", occ)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("n_occ") >= _SEG_MAXOCC).cast("long"))
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s["seg"])).alias("rebuilt_text"),
+        )
+    )
+
+
+_SEGMENT_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 1),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(w, i * {_SEG_W} + 1,
+                                    i * {_SEG_W} + {_SEG_W}), ' ') AS seg
+  FROM t, UNNEST(range(0, CAST(ceil(len(w) / {_SEG_W}.0) AS INT))) AS u(i)),
+c AS (SELECT *, COUNT(*) OVER (PARTITION BY seg) AS n_occ FROM seg)
+SELECT doc_id, COUNT(*) AS n_segments,
+       SUM(CASE WHEN n_occ >= {_SEG_MAXOCC} THEN 1 ELSE 0 END) AS n_removed,
+       array_to_string(
+         list(seg ORDER BY seg_idx) FILTER (WHERE n_occ < {_SEG_MAXOCC}),
+         ' ') AS rebuilt_text
+FROM c GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "segment_dedup_rebuild": (q_segment_dedup_rebuild, _SEGMENT_DEDUP_SQL),
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
     "containment_neardup": (q_containment_neardup, _CONTAINMENT_SQL),
     "incremental_dedup": (q_incremental_dedup, _INCREMENTAL_DEDUP_SQL),

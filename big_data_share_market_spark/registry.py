@@ -79,6 +79,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.patterns", "operators.transforms",
                  "operators.finance",
                  "operators.dedup", "operators.similarity",
+                 "operators.graph", "operators.regression",
                  "operators.text", "operators.corpus", "operators.bpe",
                  "operators.retrieval",
                  "operators.multimodal",
