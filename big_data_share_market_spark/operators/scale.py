@@ -367,6 +367,57 @@ ORDER BY hour_ts
 """
 
 
+#: The event-type dimension: (event_type, category) — a tiny dim
+#: whose CATEGORY filter only implies the fact's partition column
+#: through the join, which is exactly the shape dynamic partition
+#: pruning exists for.
+_TYPE_DIM = (
+    ("click", "engagement"), ("view", "engagement"),
+    ("purchase", "conversion"), ("signup", "conversion"),
+    ("error", "ops"),
+)
+
+
+def q_dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals for 'engagement' events via a DIM JOIN over the
+    partitionBy(event_type) layout — the dynamic-partition-pruning
+    shape: the filter is on the dim's `category`, so no static
+    predicate mentions the fact's partition column, yet the fact scan
+    must still skip the non-engagement directories.
+
+    Catalyst inserts a DynamicPruningExpression on the fact's
+    PartitionFilters (asserted in test_plans): the broadcast of the
+    filtered dim is REUSED as a runtime IN-set over event_type at
+    file-listing time. At 100 TB this is the difference between
+    scanning 2 of 5 partitions and scanning all of them — and it
+    composes with any dim predicate, not just ones the author thought
+    to duplicate onto the fact (cf. q_partition_pruned_agg, the
+    static-literal case)."""
+    ev = partitioned_events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        list(_TYPE_DIM), "event_type string, category string")
+    return (
+        ev.join(F.broadcast(dim.filter(F.col("category") == "engagement")),
+                "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast(DEC)).cast("double")
+             .alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+_DPP_SQL = f"""
+WITH dim(event_type, category) AS (
+  VALUES {", ".join(f"('{t}', '{c}')" for t, c in _TYPE_DIM)})
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events JOIN dim USING (event_type)
+WHERE category = 'engagement'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Z-order clustering key (multi-dimensional data skipping)
 # ---------------------------------------------------------------------------
@@ -603,4 +654,5 @@ QUERIES = {
     "ohlc_day_rollup": (q_ohlc_day_rollup, _DAY_ROLLUP_SQL),
     "bucketed_join_revenue": (q_bucketed_join_revenue, _BUCKETED_JOIN_SQL),
     "partition_pruned_agg": (q_partition_pruned_agg, _PARTITION_PRUNED_SQL),
+    "dpp_join_prune": (q_dpp_join_prune, _DPP_SQL),
 }

@@ -301,3 +301,41 @@ def test_coverage_doc_mentions_every_query():
     cov = open(os.path.join(root, "COVERAGE.md")).read()
     missing = [n for n in all_queries() if f"`{n}`" not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_segment_dedup_reconstruction(spark):
+    """Documents with no excised segment must rebuild EXACTLY to
+    their normalized text (the segmentation is a partition of the
+    token sequence), and removal accounting must be consistent:
+    0 <= n_removed <= n_segments, with rebuilt_text empty iff every
+    segment was excised."""
+    from pyspark.sql import functions as F
+
+    from big_data_share_market_spark.operators.dedup import (
+        q_segment_dedup_rebuild)
+    from big_data_share_market_spark.tables import load_table
+
+    out = q_segment_dedup_rebuild(spark, SF_DIR)
+    norm = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))),
+                                 r"\s+")).alias("norm_text"))
+    j = out.join(norm, "doc_id").cache()
+    try:
+        bad_bounds = j.filter(
+            (F.col("n_removed") < 0)
+            | (F.col("n_removed") > F.col("n_segments"))).count()
+        assert bad_bounds == 0
+        intact_mismatch = j.filter(
+            (F.col("n_removed") == 0)
+            & (F.col("rebuilt_text") != F.col("norm_text"))).count()
+        assert intact_mismatch == 0
+        empty_wrong = j.filter(
+            (F.col("rebuilt_text") == "")
+            != (F.col("n_removed") == F.col("n_segments"))).count()
+        assert empty_wrong == 0
+        # The fixture plants real near-dups: the operator must excise
+        # SOMETHING somewhere, else the test proves nothing.
+        assert j.filter(F.col("n_removed") > 0).count() > 0
+    finally:
+        j.unpersist()

@@ -259,6 +259,17 @@ def test_partitioned_layout_prunes(spark):
     assert m and "event_type" in m.group(1), plan
 
 
+def test_dpp_join_prunes_fact_partitions(spark):
+    """The category-filtered dim join must prune the fact's
+    event_type partitions at RUNTIME via dynamic partition pruning —
+    no static predicate mentions the partition column, so a plan
+    without a dynamicpruning PartitionFilter would scan all five
+    type directories."""
+    from big_data_share_market_spark.operators.scale import q_dpp_join_prune
+    plan = explain_str(q_dpp_join_prune(spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_no_expensive_exprs_in_scan_filters(spark):
     """Regression guard for the explode inferred-filter pathology
     (r3): `explode(expr)` makes the optimizer infer `size(expr) > 0`
