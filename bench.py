@@ -76,6 +76,10 @@ HEADLINE = [
     "salted_skew_join",     # fact-salt + replicated-dim merge join
     "bpe_encode",           # zero-shuffle subword tokenization
     "file_zonemap_audit",   # per-file min/max data-skipping stats
+    "segment_dedup_rebuild",  # C4-style segment excision + rebuild
+    "part_pagerank",        # 5-iteration fixed-point PageRank
+    "ols_price_model",      # one-pass normal-equations regression
+    "dpp_join_prune",       # dynamic partition pruning via dim join
 ]
 
 

@@ -188,7 +188,103 @@ WHERE cnt * {_MG_K + 1} > (SELECT total FROM tot)
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic, therefore ORACLE-checked)
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: depth (independent hash rows) × width (buckets).
+#: eps = e/width ≈ 1.1%, delta = e^-depth ≈ 1.8% — overcount of any
+#: estimate is <= eps * total_tokens with prob 1 - delta.
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_bucket_spark(seed: int) -> str:
+    return (f"CAST(conv(substring(md5(concat('{seed}:', term)), 1, 15), "
+            f"16, 10) AS BIGINT) % {_CMS_W}")
+
+
+def _cms_bucket_duck(seed: int) -> str:
+    return (f"CAST(('0x' || substring(md5('{seed}:' || term), 1, 15)) "
+            f"AS BIGINT) % {_CMS_W}")
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token occurrences, then point
+    estimates for the top-10 exact terms next to their true counts —
+    (term, exact_cnt, cms_est, overcount). Unlike the HLL/KLL family
+    (engine-native sketches, rows-only checks), this CMS uses FIXED
+    md5-derived hash rows, so the whole sketch is deterministic
+    integer arithmetic and the DuckDB oracle certifies it exactly —
+    including the CMS guarantee overcount >= 0.
+
+    Scale shape: the sketch is built from the (term, cnt) aggregate
+    — one shuffle over corpus tokens, identical to what exact
+    counting already needs map-side — and collapses to d×w = 1024
+    integer cells regardless of corpus size; cells and the probe
+    rows broadcast. Mergeability is the point at 100 TB: per-shard
+    CMS cells ADD (sum per (row, bucket)), so sketching the new day
+    and merging with yesterday's cells never rescans history —
+    exactly the HLL-union story, but for point frequencies."""
+    from .text import staged_tokens
+
+    tf = (staged_tokens(spark, sf_dir)
+          .select(F.explode_outer("toks").alias("term"))
+          .filter(F.col("term").isNotNull())
+          .groupBy("term").agg(F.count("*").alias("cnt")))
+    buckets = [(s, F.expr(_cms_bucket_spark(s))) for s in range(_CMS_D)]
+    cells = (
+        tf.select("cnt", F.explode(F.array(*[
+            F.struct(F.lit(s).alias("seed"), b.alias("bucket"))
+            for s, b in buckets])).alias("sb"))
+        .groupBy("sb.seed", "sb.bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = (tf.orderBy(F.desc("cnt"), F.asc("term")).limit(10)
+           .select("term", F.col("cnt").alias("exact_cnt")))
+    probes = top.select(
+        "term", "exact_cnt", F.explode(F.array(*[
+            F.struct(F.lit(s).alias("seed"), b.alias("bucket"))
+            for s, b in buckets])).alias("sb"))
+    est = (probes.join(F.broadcast(cells),
+                       (F.col("sb.seed") == F.col("seed"))
+                       & (F.col("sb.bucket") == F.col("bucket")))
+           .groupBy("term", "exact_cnt")
+           .agg(F.min("cell").alias("cms_est")))
+    return est.select(
+        "term", "exact_cnt", "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"))
+
+
+_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+sb AS (
+  {" UNION ALL ".join(
+      f"SELECT term, cnt, {s} AS seed, {_cms_bucket_duck(s)} AS bucket FROM tf"
+      for s in range(_CMS_D))}),
+cells AS (SELECT seed, bucket, SUM(cnt) AS cell
+          FROM sb GROUP BY seed, bucket),
+top AS (SELECT term, cnt AS exact_cnt FROM tf
+        ORDER BY cnt DESC, term ASC LIMIT 10),
+probe AS (
+  {" UNION ALL ".join(
+      f"SELECT term, exact_cnt, {s} AS seed, {_cms_bucket_duck(s)} AS bucket FROM top"
+      for s in range(_CMS_D))}),
+est AS (
+  SELECT p.term, p.exact_cnt, MIN(c.cell) AS cms_est
+  FROM probe p JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+  GROUP BY p.term, p.exact_cnt)
+SELECT term, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
 QUERIES = {
+    "cms_token_counts": (q_cms_token_counts, _CMS_SQL),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_value_quantiles": (q_approx_value_quantiles, None),
     "hll_merge_consistency": (q_hll_merge_consistency, None),

@@ -700,8 +700,113 @@ FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity join (inverted-index dot product)
+# ---------------------------------------------------------------------------
+
+#: Document-frequency cap for the pairing join (terms in more than
+#: _TFIDF_DF_CAP docs are dropped from the VECTORS entirely) and the
+#: fixed-point weight scale (1e4 units per tfidf point — integer dot
+#: products and norms, so cross-engine float summation order and
+#: ln() ULP differences cannot perturb the compare).
+_TFIDF_DF_CAP = 32
+_W_SCALE = 10_000
+_TFIDF_TOP_PAIRS = 20
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar document pairs by TF-IDF cosine over the
+    RARE-TERM subspace — the sparse / inverted-index similarity join,
+    the lexical twin of embedding_neardup (similarity.py): vectors
+    meet on their shared TERMS via an equi-join on the posting list,
+    never through an all-pairs comparison.
+
+    Semantics: vectors keep only terms with df <= 32 (hot terms carry
+    near-zero idf and are what make naive term joins quadratic — this
+    is the frequency-capped sparse join every production
+    set-similarity system runs, cf. the df-capped Jaccard family in
+    dedup.py); weights are smoothed tf-idf quantized to integer 1e-4
+    units, so dot products and norms are EXACT integer sums in both
+    engines and cosine is one identical double expression at the end.
+
+    Scale shape: tf is one (doc_id, term) groupBy off the staged
+    token corpus; df is a vocabulary-sized agg that broadcasts back;
+    the pairing join fans out at most df²/2 <= 512 pairs per term;
+    per-pair scores aggregate in one shuffle; TakeOrdered keeps the
+    global top-20 without a global sort."""
+    tok = staged_tokens(spark, sf_dir)
+    n_docs = tok.count()  # scalar off the staged relation, no rescan
+    tf = (tok.select("doc_id", F.explode_outer("toks").alias("term"))
+          .filter(F.col("term").isNotNull())
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wq = F.round(
+        F.col("tf")
+        * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        * _W_SCALE).cast("long")
+    vec = (tf.join(F.broadcast(df.filter(F.col("df") <= _TFIDF_DF_CAP)),
+                   "term")
+           .select("doc_id", "term", "df", wq.alias("wq")))
+    norms = vec.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    pairable = vec.filter(F.col("df") >= 2)
+    a = pairable.select(F.col("doc_id").alias("a_id"), "term",
+                        F.col("wq").alias("wa"))
+    b = pairable.select(F.col("doc_id").alias("b_id"), "term",
+                        F.col("wq").alias("wb"))
+    dots = (a.join(b, "term")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("a_id"),
+                      F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("b_id"),
+                      F.col("n2").alias("nb2"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("na2").cast("double"))
+              * F.sqrt(F.col("nb2").cast("double"))))
+    return (dots.join(na, "a_id").join(nb, "b_id")
+            .select("a_id", "b_id", "dot", cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id"))
+            .limit(_TFIDF_TOP_PAIRS))
+
+
+_TFIDF_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+vec AS (
+  SELECT tf.doc_id, tf.term, df.df,
+         CAST(round(tf.tf
+                    * (ln(((SELECT COUNT(*) FROM documents) + 1.0)
+                          / (df.df + 1.0)) + 1.0)
+                    * {_W_SCALE}) AS BIGINT) AS wq
+  FROM tf JOIN df USING (term)
+  WHERE df.df <= {_TFIDF_DF_CAP}),
+norms AS (SELECT doc_id, SUM(wq * wq) AS n2 FROM vec GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.wq * b.wq) AS dot
+  FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id, CAST(dot AS BIGINT) AS dot,
+       CAST(dot AS DOUBLE)
+       / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = a_id
+JOIN norms nb ON nb.doc_id = b_id
+ORDER BY cosine DESC, a_id ASC, b_id ASC
+LIMIT {_TFIDF_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, _TFIDF_PAIRS_SQL),
     "normalized_dedup": (q_normalized_dedup, _NORMALIZED_DEDUP_SQL),
     "vocab_coverage": (q_vocab_coverage, _VOCAB_COVERAGE_SQL),
     "gopher_filters": (q_gopher_filters, _GOPHER_SQL),
