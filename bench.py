@@ -80,6 +80,9 @@ HEADLINE = [
     "part_pagerank",        # 5-iteration fixed-point PageRank
     "ols_price_model",      # one-pass normal-equations regression
     "dpp_join_prune",       # dynamic partition pruning via dim join
+    "tfidf_cosine_pairs",   # sparse inverted-index similarity join
+    "cms_token_counts",     # oracle-checked count-min sketch
+    "edit_distance_neardup",  # capped Levenshtein fuzzy-dedup verify
 ]
 
 

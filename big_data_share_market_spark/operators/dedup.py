@@ -1472,8 +1472,91 @@ FROM c GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup verify (candidate-pruned Levenshtein)
+# ---------------------------------------------------------------------------
+
+#: Per-group pair cap, per-doc comparison prefix (Levenshtein is
+#: O(len²) per pair — production systems bound the operand, not the
+#: pair count alone), and the near-dup similarity threshold.
+_LEV_GROUP_CAP = 8
+_LEV_PREFIX = 512
+_LEV_T = 0.8
+
+
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: candidate pairs from
+    the 8-word-prefix fingerprint blocks (the exact_dedup key),
+    verified with normalized Levenshtein similarity
+    ``1 − lev(a, b) / max(|a|, |b|)`` over the first 512 normalized
+    chars — the instruction-/short-document fuzzy-dedup shape, where
+    token shingles are too coarse and edit distance is the similarity
+    that matters. Emits every verified pair with its similarity and
+    the `is_neardup` decision at 0.8.
+
+    Scale shape: Levenshtein is QUADRATIC in operand length and runs
+    JVM-side per candidate pair — so both factors are bounded:
+    (1) pairs come only from fingerprint blocks (equi-shuffle on fp,
+    never all-pairs), ranked and capped at 8 docs per block
+    (cap²/2 = 32 pairs max per block, degenerate blocks truncate
+    deterministically by doc_id rather than exploding);
+    (2) each operand is the first 512 normalized chars, making the
+    per-pair cost a constant ~512² cell DP regardless of document
+    length. Both caps mirror the df-capped Jaccard discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = F.md5(F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
+    base = docs.select("doc_id", fp.alias("fp"),
+                       F.substring(norm, 1, _LEV_PREFIX).alias("t"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    capped = (base.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= _LEV_GROUP_CAP))
+    a = capped.select("fp", F.col("doc_id").alias("a_id"),
+                      F.col("t").alias("ta"))
+    b = capped.select("fp", F.col("doc_id").alias("b_id"),
+                      F.col("t").alias("tb"))
+    pairs = (a.join(b, "fp")
+             .filter(F.col("a_id") < F.col("b_id")))
+    lev = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.lit(1.0) - lev.cast("double") / mx.cast("double")
+    return (pairs.select("a_id", "b_id", lev.alias("lev"),
+                         sim.alias("sim"),
+                         (sim >= _LEV_T).alias("is_neardup"))
+            .orderBy("a_id", "b_id"))
+
+
+_EDIT_NEARDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 8), ' ')) AS fp,
+         substring(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                   1, {_LEV_PREFIX}) AS t
+  FROM documents),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, fp, t,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM base)
+  WHERE rn <= {_LEV_GROUP_CAP}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         levenshtein(a.t, b.t) AS lev,
+         1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+             / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) AS sim
+  FROM capped a JOIN capped b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, lev, sim, sim >= {_LEV_T} AS is_neardup
+FROM pairs
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "segment_dedup_rebuild": (q_segment_dedup_rebuild, _SEGMENT_DEDUP_SQL),
+    "edit_distance_neardup": (q_edit_distance_neardup, _EDIT_NEARDUP_SQL),
     "exact_dedup": (q_exact_dedup, _EXACT_DEDUP_SQL),
     "containment_neardup": (q_containment_neardup, _CONTAINMENT_SQL),
     "incremental_dedup": (q_incremental_dedup, _INCREMENTAL_DEDUP_SQL),
