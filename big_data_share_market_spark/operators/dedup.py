@@ -1422,12 +1422,20 @@ def q_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, so the interpreted tokenizer does not re-run."""
     from .text import staged_tokens
 
+    return segment_rebuild(staged_tokens(spark, sf_dir))
+
+
+def segment_rebuild(tok: DataFrame) -> DataFrame:
+    """Core of q_segment_dedup_rebuild over any (doc_id, toks)
+    relation — split out so edge cases (1-token docs, exact-boundary
+    lengths, corpus-wide boilerplate) are unit-testable on crafted
+    frames (tests/test_invariants.py)."""
     segs_expr = (
         f"transform(sequence(0, cast(ceil(size(toks) / {_SEG_W}.0) as int) - 1), "
         f"i -> struct(cast(i as long) as seg_idx, "
         f"concat_ws(' ', slice(toks, i * {_SEG_W} + 1, {_SEG_W})) as seg))")
     seg = (
-        staged_tokens(spark, sf_dir)
+        tok
         .filter(F.size("toks") >= 1)
         .select("doc_id", F.explode_outer(F.expr(segs_expr)).alias("s"))
         .filter(F.col("s").isNotNull())

@@ -339,3 +339,66 @@ def test_segment_dedup_reconstruction(spark):
         assert j.filter(F.col("n_removed") > 0).count() > 0
     finally:
         j.unpersist()
+
+
+def test_segment_rebuild_edge_cases(spark):
+    """Crafted-corpus edges for segment_rebuild: a 1-token doc is one
+    (partial) segment; a doc of exactly _SEG_W tokens is one segment;
+    _SEG_W+1 tokens is two; a segment occurring >= 3 times vanishes
+    from EVERY doc including partial-trailing copies; below-threshold
+    repetition (2 occurrences) survives untouched."""
+    from pyspark.sql import functions as F
+
+    from big_data_share_market_spark.operators.dedup import (
+        _SEG_W, segment_rebuild)
+
+    boiler = " ".join(f"b{i}" for i in range(_SEG_W))   # a full segment
+    tail = "x y z"
+    rows = [
+        (1, "solo"),                                    # 1 token
+        (2, " ".join(f"w{i}" for i in range(_SEG_W))),  # exactly one
+        (3, " ".join(f"v{i}" for i in range(_SEG_W + 1))),  # one + tail
+        (4, f"{boiler} {tail}"),                        # boiler ×3 ...
+        (5, f"{boiler} unique4 five"),
+        (6, boiler),
+        (7, "twice alpha"),                             # repeated ×2 only
+        (8, "twice alpha"),
+    ]
+    tok = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    got = {r["doc_id"]: r for r in segment_rebuild(tok).collect()}
+    assert got[1]["n_segments"] == 1 and got[1]["rebuilt_text"] == "solo"
+    assert got[2]["n_segments"] == 1 and got[2]["n_removed"] == 0
+    assert got[3]["n_segments"] == 2 and got[3]["n_removed"] == 0
+    # the boilerplate segment occurred 3x -> excised everywhere
+    assert got[4]["n_removed"] == 1 and got[4]["rebuilt_text"] == tail
+    assert got[5]["rebuilt_text"] == "unique4 five"
+    assert got[6]["n_segments"] == 1 and got[6]["rebuilt_text"] == ""
+    # 2 occurrences is below the >=3 threshold
+    assert got[7]["n_removed"] == 0 and got[7]["rebuilt_text"] == "twice alpha"
+    assert got[8]["rebuilt_text"] == "twice alpha"
+
+
+def test_pagerank_mass_conserved(spark):
+    """PageRank invariants the oracle equality cannot state for OTHER
+    data: total rank mass stays within the deterministic integer-
+    floor loss bound of 1.0, every rank is positive, and rank bounds
+    hold (>= the damped base (1-d)/N for all, <= 1)."""
+    from big_data_share_market_spark.operators.graph import (
+        _DAMP_NUM, _DAMP_DEN, _TOTAL, q_part_pagerank)
+    from pyspark.sql import functions as F
+
+    out = q_part_pagerank(spark, SF_DIR).cache()
+    try:
+        n = out.count()
+        agg = out.agg(F.sum("units").alias("mass"),
+                      F.min("units").alias("mn"),
+                      F.max("units").alias("mx")).first()
+        base = (_DAMP_DEN - _DAMP_NUM) * _TOTAL // (_DAMP_DEN * n)
+        assert agg["mn"] >= base > 0
+        assert agg["mx"] <= _TOTAL
+        # every integer division floors away < 1 unit per dividend;
+        # after 5 rounds the loss is still a vanishing fraction.
+        assert 0.99 * _TOTAL <= agg["mass"] <= _TOTAL
+    finally:
+        out.unpersist()
