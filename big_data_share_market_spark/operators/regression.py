@@ -83,12 +83,19 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
+    return ols_fit(li)
 
+
+def ols_fit(df: DataFrame) -> DataFrame:
+    """One-pass normal-equations fit over any (x1, x2, y) integer
+    frame — split out so the Cramer formulas are testable against a
+    crafted exact-recovery dataset (tests/test_invariants.py), not
+    just the noise fixture."""
     def _s(expr):
         return F.sum(expr.cast(_DEC0)).cast("double")
 
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
-    mo = li.agg(
+    mo = df.agg(
         F.count("*").cast("double").alias("n"),
         _s(x1).alias("s1"), _s(x2).alias("s2"),
         _s(x1 * x1).alias("s11"), _s(x1 * x2).alias("s12"),

@@ -298,8 +298,50 @@ FROM lineitem
 """
 
 
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-FREE semi-structured access via Spark 4's VARIANT type:
+    `try_parse_json` shreds `events.props` into the binary variant
+    encoding once, `variant_get` path-extracts without declaring a
+    schema up front — the open-schema complement of
+    `props_json_extract` (which needs `_PROPS_SCHEMA` at plan time).
+    Per event_type: rows, rows where $.k exists, min/max/sum of k.
+
+    Scale notes: parse + extraction are row-local JVM expressions
+    (one parse feeding every extraction via the shared subexpression);
+    `try_parse_json` maps malformed documents to NULL instead of
+    failing the task — the PERMISSIVE contract, here at expression
+    granularity. All aggregates are exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr(
+        "CAST(variant_get(try_parse_json(props), '$.k') AS BIGINT)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.count("k").alias("n_with_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+_VARIANT_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "props_json_extract": (q_props_json_extract, _PROPS_JSON_SQL),
+    "variant_props_stats": (q_variant_props_stats, _VARIANT_PROPS_SQL),
     "json_envelope_roundtrip": (q_json_envelope_roundtrip, _ROUNDTRIP_SQL),
     "flatten_nested": (q_flatten_nested, _FLATTEN_SQL),
     "jsonl_corrupt_tolerant_scan": (q_jsonl_corrupt_tolerant_scan,

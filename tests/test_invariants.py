@@ -402,3 +402,38 @@ def test_pagerank_mass_conserved(spark):
         assert 0.99 * _TOTAL <= agg["mass"] <= _TOTAL
     finally:
         out.unpersist()
+
+
+def test_ols_exact_recovery_and_numpy_parity(spark):
+    """The Cramer solve must (a) recover planted coefficients exactly
+    on a noise-free crafted dataset (R² = 1) and (b) agree with
+    numpy's least-squares on a noisy one — guarding the formula
+    transcription beyond the white-noise fixture, whose R² ≈ 0
+    exercises nothing about the solve."""
+    import numpy as np
+
+    from big_data_share_market_spark.operators.regression import ols_fit
+
+    # (a) exact plant: y = 7 + 2*x1 - 5*x2, integers, no noise.
+    rows = [(x1, x2, 7 + 2 * x1 - 5 * x2)
+            for x1 in range(0, 20) for x2 in range(0, 15)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    got = ols_fit(df).first()
+    assert got["n_rows"] == 300
+    assert abs(got["b_intercept"] - 7.0) < 1e-9
+    assert abs(got["b_quantity"] - 2.0) < 1e-9
+    assert abs(got["b_discount"] + 5.0) < 1e-9
+    assert abs(got["r2"] - 1.0) < 1e-12
+
+    # (b) deterministic integer noise -> compare with numpy lstsq.
+    noisy = [(x1, x2, 7 + 2 * x1 - 5 * x2 + ((x1 * 37 + x2 * 17) % 11) - 5)
+             for x1 in range(0, 20) for x2 in range(0, 15)]
+    df2 = spark.createDataFrame(noisy, "x1 long, x2 long, y long")
+    got2 = ols_fit(df2).first()
+    arr = np.array(noisy, dtype=float)
+    X = np.column_stack([np.ones(len(arr)), arr[:, 0], arr[:, 1]])
+    beta, *_ = np.linalg.lstsq(X, arr[:, 2], rcond=None)
+    assert abs(got2["b_intercept"] - beta[0]) < 1e-8
+    assert abs(got2["b_quantity"] - beta[1]) < 1e-8
+    assert abs(got2["b_discount"] - beta[2]) < 1e-8
+    assert 0.0 < got2["r2"] < 1.0
