@@ -13,6 +13,7 @@ Layout:
   sources/     — JSON envelope encode/decode, schema flatten, Kafka/JDBC
   streaming/   — Structured Streaming: watermark, OHLC bars, stateful
   registry     — name → (query fn, DuckDB oracle SQL) for the driver
+  staging      — staged-relation lifecycle (inspect / unpersist)
 """
 
 __version__ = "0.1.0"

@@ -437,3 +437,24 @@ def test_ols_exact_recovery_and_numpy_parity(spark):
     assert abs(got2["b_quantity"] - beta[1]) < 1e-8
     assert abs(got2["b_discount"] - beta[2]) < 1e-8
     assert 0.0 < got2["r2"] < 1.0
+
+
+def test_unpersist_staged_releases_and_restages(spark):
+    """The staged-relation lifecycle: staging pins relations in the
+    cache registries, unpersist_staged releases every one of them and
+    empties the registries, and the next query transparently
+    re-stages with identical results."""
+    from big_data_share_market_spark import staging
+    from big_data_share_market_spark.operators.dedup import _shingled
+    from big_data_share_market_spark.operators.text import staged_tokens
+
+    staged_tokens(spark, SF_DIR).count()
+    _shingled(spark, SF_DIR).count()
+    held = staging.staged_relations()
+    assert "text.tokens" in held and "dedup.shingles" in held
+    n_before = staged_tokens(spark, SF_DIR).count()
+    released = staging.unpersist_staged()
+    assert released >= 2
+    assert staging.staged_relations() == {}
+    assert staged_tokens(spark, SF_DIR).count() == n_before
+    assert staging.staged_relations().get("text.tokens")
