@@ -338,10 +338,23 @@ def partitioned_events(spark: SparkSession, sf_dir: str,
                        path: str | None = None) -> DataFrame:
     """Write events `partitionBy(event_type)` and read back — the
     directory layout IS the index: an event_type predicate prunes at
-    file-listing time (PartitionFilters, asserted in test_plans)."""
+    file-listing time (PartitionFilters, asserted in test_plans).
+
+    The write is STAGED like the zonemap store (a tag file records
+    which sf_dir landed last): two queries read this layout and the
+    full partitioned rewrite was re-running on every call — the
+    store is a fixture of the layout, not part of the queries' work."""
     out = path or os.path.join(tempfile.gettempdir(), "bdsm_events_parted")
-    (load_table(spark, sf_dir, "events").write
-     .partitionBy("event_type").mode("overwrite").parquet(out))
+    tag = os.path.join(out, "_STAGED_FOR")
+    staged = None
+    if os.path.exists(tag):
+        with open(tag) as fh:
+            staged = fh.read()
+    if staged != sf_dir:
+        (load_table(spark, sf_dir, "events").write
+         .partitionBy("event_type").mode("overwrite").parquet(out))
+        with open(tag, "w") as fh:
+            fh.write(sf_dir)
     return spark.read.parquet(out)
 
 
