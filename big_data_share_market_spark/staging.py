@@ -36,6 +36,7 @@ def _cache_registries() -> list[tuple[str, dict]]:
         ("dedup.minhash_sigs", dedup._MH_CACHE),
         ("dedup.simhash_table", dedup._SIMHASH_CACHE),
         ("text.tokens", text._TOK_CACHE),
+        ("text.tfidf_index", text._TFIDF_VEC_CACHE),
         ("graph.adjacency", graph._EDGE_CACHE),
         ("bpe.merges", bpe._MERGE_CACHE),
         ("similarity.pq_codebook", similarity._PQ_CODEBOOK_CACHE),
