@@ -83,6 +83,7 @@ HEADLINE = [
     "tfidf_cosine_pairs",   # sparse inverted-index similarity join
     "cms_token_counts",     # oracle-checked count-min sketch
     "edit_distance_neardup",  # capped Levenshtein fuzzy-dedup verify
+    "holt_forecast",        # coupled two-state Arrow kernel + forecasts
 ]
 
 

@@ -391,7 +391,125 @@ FROM dxr
 """
 
 
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast (coupled two-state recurrence)
+# ---------------------------------------------------------------------------
+
+#: Holt smoothing constants (level, trend) and forecast horizons.
+_HOLT_A = 0.2
+_HOLT_B = 0.1
+_HOLT_H = (1, 2, 3)
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Holt linear-trend state + h-step-ahead forecasts
+    (Holt 1957 / Hyndman & Athanasopoulos FPP, public method):
+    ``l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1});
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}``, init l₁=y₁, b₁=0;
+    ``ŷ_{T+h} = l_T + h·b_T``. The coupled two-state recurrence the
+    single-accumulator ewm kernel cannot express — so it gets its own
+    partition-wide Arrow kernel with (level, trend) carried jointly
+    across batches.
+
+    Cross-engine exactness: the kernel executes the recurrence with
+    the EXACT operation order mirrored in the oracle's recursive CTE
+    (`l2 = α*y + (1−α)*(l+b)` then `β*(l2−l) + (1−β)*b`); sequential
+    per-key evaluation is deterministic in both engines, so five
+    hundred chained steps stay bit-identical. (A DuckDB 1.0.0
+    list_reduce STRUCT-accumulator fold silently mis-evaluates
+    cross-referencing fields — hence the recursive-CTE oracle, not a
+    lambda fold.)
+
+    Scale shape: one hash exchange on the key + in-partition sort,
+    one Python pass over every row (same contract as _apply_ewm),
+    then a per-key last-row window on the layout the kernel
+    preserved — no second shuffle. Output is |keys| rows."""
+    from pyspark.sql.window import Window
+
+    s = (_series(spark, sf_dir)
+         .filter(F.col("close").isNotNull()))
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in s.schema.fields)
+    schema = f"{in_schema}, holt_level double, holt_trend double"
+    a, b_const = _HOLT_A, _HOLT_B
+
+    def kernel(batches):
+        carry_key = None
+        lvl = trend = math.nan
+        started = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            ys = pdf["close"].to_numpy(dtype=np.float64)
+            out_l = np.empty(len(pdf), dtype=np.float64)
+            out_b = np.empty(len(pdf), dtype=np.float64)
+            for i in range(len(pdf)):
+                if keys[i] != carry_key:
+                    started = False
+                    carry_key = keys[i]
+                y = ys[i]
+                if not started:
+                    lvl, trend, started = y, 0.0, True
+                else:
+                    l2 = a * y + (1.0 - a) * (lvl + trend)
+                    trend = b_const * (l2 - lvl) + (1.0 - b_const) * trend
+                    lvl = l2
+                out_l[i] = lvl
+                out_b[i] = trend
+            yield pdf.assign(holt_level=out_l, holt_trend=out_b)
+
+    staged = s.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id")
+    fitted = staged.mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    last = (fitted
+            .withColumn("rn_last", F.row_number().over(w))
+            .withColumn("n_obs", F.count("*").over(
+                Window.partitionBy("user_id")))
+            .filter(F.col("rn_last") == 1)
+            .select("user_id", "n_obs",
+                    F.col("holt_level").alias("level"),
+                    F.col("holt_trend").alias("trend")))
+    return last.select(
+        "user_id", "n_obs", "level", "trend",
+        *[(F.col("level") + F.lit(float(h)) * F.col("trend"))
+          .alias(f"fc_{h}") for h in _HOLT_H]).orderBy("user_id")
+
+
+def _holt_sql() -> str:
+    a = f"CAST({_HOLT_A} AS DOUBLE)"
+    b = f"CAST({_HOLT_B} AS DOUBLE)"
+    fc = ", ".join(
+        f"level + CAST({float(h)} AS DOUBLE) * trend AS fc_{h}"
+        for h in _HOLT_H)
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+h AS (
+  SELECT user_id, rn, y AS l, CAST(0 AS DOUBLE) AS b
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT q.user_id, q.rn, q.l2 AS l,
+         {b}*(q.l2 - q.l) + (1.0-{b})*q.b AS b
+  FROM (
+    SELECT s.user_id, s.rn, h.l, h.b,
+           {a}*s.y + (1.0-{a})*(h.l + h.b) AS l2
+    FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1) q),
+fin AS (
+  SELECT user_id, MAX(rn) AS n_obs FROM h GROUP BY user_id)
+SELECT fin.user_id, fin.n_obs, h.l AS level, h.b AS trend, {fc}
+FROM fin JOIN h ON h.user_id = fin.user_id AND h.rn = fin.n_obs
+ORDER BY fin.user_id
+"""
+
+
 QUERIES = {
+    "holt_forecast": (q_holt_forecast, _holt_sql()),
     "ema": (q_ema, _EMA_SQL),
     "macd": (q_macd, _MACD_SQL),
     "tsi": (q_tsi, _TSI_SQL),
