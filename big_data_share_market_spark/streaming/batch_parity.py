@@ -511,7 +511,48 @@ WHERE d.doc_id % 10 >= 8 AND b.fp IS NULL
 """
 
 
+def q_stream_holt_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt linear-trend fit as a LIVE operator: per-key coupled
+    (level, trend) state in the checkpoint, updated once per event —
+    the streaming form of operators/ewm.q_holt_forecast, emitting the
+    running trajectory instead of the final forecast row. Oracle =
+    the same per-key recursive CTE over the batch table; stream and
+    batch agree bit-for-bit because kernel and CTE execute the
+    recurrence in the same operation order."""
+    from .state import holt_per_key
+
+    sdf = events_stream(spark, sf_dir)
+    return run_available_now(holt_per_key(sdf), spark,
+                             output_mode="append")
+
+
+def _stream_holt_sql() -> str:
+    a = "CAST(0.2 AS DOUBLE)"
+    b = "CAST(0.1 AS DOUBLE)"
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+h AS (
+  SELECT user_id, event_id, ts, rn, y, y AS l, CAST(0 AS DOUBLE) AS b
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT q.user_id, q.event_id, q.ts, q.rn, q.y, q.l2 AS l,
+         {b}*(q.l2 - q.l) + (1.0-{b})*q.b AS b
+  FROM (
+    SELECT s.user_id, s.event_id, s.ts, s.rn, s.y, h.l, h.b,
+           {a}*s.y + (1.0-{a})*(h.l + h.b) AS l2
+    FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1) q)
+SELECT user_id, event_id, ts, y AS close,
+       l AS holt_level, b AS holt_trend
+FROM h
+"""
+
+
 QUERIES = {
+    "stream_holt_per_key": (q_stream_holt_per_key, _stream_holt_sql()),
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_ingest_dedup_gate": (q_stream_ingest_dedup_gate,
                                  _STREAM_INGEST_DEDUP_SQL),

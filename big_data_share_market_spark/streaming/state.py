@@ -169,6 +169,76 @@ def ema_per_key(sdf: DataFrame,
     )
 
 
+#: Output mirrors the batch Holt kernel's per-row trajectory
+#: (operators/ewm.q_holt_forecast computes the same recurrence).
+HOLT_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                   "close DOUBLE, holt_level DOUBLE, holt_trend DOUBLE")
+HOLT_STATE_DDL = "lvl DOUBLE, trend DOUBLE, started BOOLEAN"
+
+
+def _holt_fn(a: float, b_const: float):
+    """Checkpointed continuation of the coupled Holt recurrence —
+    the same operation order as the batch kernel
+    (operators/ewm.q_holt_forecast), so the streamed trajectory is
+    bit-identical to the batch fit when events arrive in order."""
+    import math
+
+    import numpy as np
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            lvl, trend, started = state.get
+        else:
+            lvl, trend, started = math.nan, math.nan, False
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((lvl, trend, started))
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out_l = np.empty(len(vals), dtype="float64")
+        out_b = np.empty(len(vals), dtype="float64")
+        for i, y in enumerate(vals):
+            if not started:
+                lvl, trend, started = float(y), 0.0, True
+            else:
+                l2 = a * float(y) + (1.0 - a) * (lvl + trend)
+                trend = b_const * (l2 - lvl) + (1.0 - b_const) * trend
+                lvl = l2
+            out_l[i] = lvl
+            out_b[i] = trend
+        state.update((lvl, trend, started))
+        yield pd.DataFrame({
+            "user_id": user_id,
+            "event_id": pdf["event_id"].astype("int64"),
+            "ts": pdf["ts"],
+            "close": vals,
+            "holt_level": out_l,
+            "holt_trend": out_b,
+        })
+
+    return fn
+
+
+def holt_per_key(sdf: DataFrame, a: float = 0.2,
+                 b_const: float = 0.1) -> DataFrame:
+    """Streaming Holt level+trend per user_id with checkpointed
+    coupled state (lvl, trend, started) — O(n_keys × 2 doubles)."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_fn(a, b_const),
+            outputStructType=HOLT_OUTPUT_DDL,
+            stateStructType=HOLT_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Running peak / drawdown via transformWithStateInPandas (the Spark 4
 # arbitrary-state v2 API — typed per-key state handles, RocksDB-backed)
