@@ -28,6 +28,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: domain_cap_sample (sampling-family siblings driver-green; next
 #: rotation) and the 4 rows-only sketch/numpy queries (no SQL oracle
 #: by design; the driver records rows-only checks for them here).
+#:
+#: ROUND-5 ROTATION NOTE: after this round's driver run, the
+#: never-driver-verified set is exactly the round-4 continuation
+#: additions — lang_temperature_sample, domain_cap_sample (deferred
+#: from r4), segment_dedup_rebuild, part_pagerank, ols_price_model,
+#: dpp_join_prune, tfidf_cosine_pairs, cms_token_counts,
+#: edit_distance_neardup, variant_props_stats, holt_forecast,
+#: stream_holt_per_key. Front-load those twelve next rotation; the
+#: remaining 38 slots can re-verify this round's perf-touched
+#: queries (bm25_topk, rrf_hybrid_topk, quality_classifier,
+#: partition_pruned_agg, and the staged dedup family).
 _FIRST_50 = (
     # --- never driver-verified (35) ---
     # changed this round: scalar-row output / pruned verify / oracle fix
