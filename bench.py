@@ -84,6 +84,7 @@ HEADLINE = [
     "cms_token_counts",     # oracle-checked count-min sketch
     "edit_distance_neardup",  # capped Levenshtein fuzzy-dedup verify
     "holt_forecast",        # coupled two-state Arrow kernel + forecasts
+    "holt_winters",         # triple smoothing, m-vector seasonal state
 ]
 
 

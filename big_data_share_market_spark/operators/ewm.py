@@ -508,8 +508,149 @@ ORDER BY fin.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal (triple exponential smoothing)
+# ---------------------------------------------------------------------------
+
+#: Smoothing constants (level, trend, seasonal), season length, and
+#: forecast horizons (h <= _HW_M so no seasonal wraparound logic).
+_HW_A = 0.3
+_HW_B = 0.1
+_HW_G = 0.2
+_HW_M = 4
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per key (triple
+    exponential; Winters 1960 / Hyndman & Athanasopoulos FPP):
+    ``l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1}+b_{t−1});
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1};
+    s_t = γ(y_t − l_t) + (1−γ)s_{t−m}``, m = 4, classical
+    deterministic init at t = m (l = sequential mean of the first m
+    observations, b = 0, s_i = y_i − l). Output: one row per key with
+    the final (level, trend) and ŷ_{T+h} = l + h·b + s_{T+h−m} for
+    h = 1..3.
+
+    Kernel: the m-vector seasonal state rides with (level, trend) in
+    the same partition-wide pass as the Holt kernel; the key's final
+    summary row is emitted on key change (keys are contiguous after
+    the sort), so output is |keys| rows with no window stage at all.
+
+    Oracle: per-key recursive CTE whose rows carry the seasonal
+    DOUBLE[] and rotate it with list_append(seas[2:m], s_new) —
+    verified bit-identical to the sequential Python recurrence (the
+    struct-accumulator fold bug does not affect recursive CTEs).
+    Both sides compute the init mean as a SEQUENTIAL fold over the
+    first m values (a parallel SUM could round differently)."""
+    s = (_series(spark, sf_dir)
+         .filter(F.col("close").isNotNull()))
+    schema = ("user_id bigint, n_obs bigint, level double, "
+              "trend double, " + ", ".join(
+                  f"fc_{h} double" for h in (1, 2, 3)))
+    a, bc, g, m = _HW_A, _HW_B, _HW_G, _HW_M
+
+    def kernel(batches):
+        cur_key = None
+        buf: list[float] = []
+        lvl = trend = math.nan
+        seas: list[float] = []
+        n = 0
+        started = False
+
+        def summary_row():
+            if n < m:
+                return None
+            fcs = {f"fc_{h}": lvl + float(h) * trend + seas[h - 1]
+                   for h in (1, 2, 3)}
+            return {"user_id": cur_key, "n_obs": n,
+                    "level": lvl, "trend": trend, **fcs}
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            ys = pdf["close"].to_numpy(dtype=np.float64)
+            rows = []
+            for i in range(len(pdf)):
+                if keys[i] != cur_key:
+                    row = summary_row()
+                    if row is not None:
+                        rows.append(row)
+                    cur_key = keys[i]
+                    buf, seas = [], []
+                    lvl, trend, n, started = math.nan, math.nan, 0, False
+                y = float(ys[i])
+                n += 1
+                if not started:
+                    buf.append(y)
+                    if len(buf) == m:
+                        acc = buf[0]
+                        for v in buf[1:]:
+                            acc = acc + v
+                        lvl = acc / float(m)
+                        trend = 0.0
+                        seas = [v - lvl for v in buf]
+                        started = True
+                else:
+                    l2 = a * (y - seas[0]) + (1.0 - a) * (lvl + trend)
+                    trend = bc * (l2 - lvl) + (1.0 - bc) * trend
+                    snew = g * (y - l2) + (1.0 - g) * seas[0]
+                    seas = seas[1:] + [snew]
+                    lvl = l2
+            if rows:
+                yield pd.DataFrame(rows)
+        row = summary_row()
+        if row is not None:
+            yield pd.DataFrame([row])
+
+    staged = s.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id")
+    return staged.mapInPandas(kernel, schema=schema).orderBy("user_id")
+
+
+def _holt_winters_sql() -> str:
+    a = f"CAST({_HW_A} AS DOUBLE)"
+    b = f"CAST({_HW_B} AS DOUBLE)"
+    g = f"CAST({_HW_G} AS DOUBLE)"
+    m = _HW_M
+    fc = ", ".join(
+        f"level + CAST({float(h)} AS DOUBLE) * trend + seas[{h}] AS fc_{h}"
+        for h in (1, 2, 3))
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+anchor AS (
+  SELECT user_id,
+         list_reduce(list(y ORDER BY rn) FILTER (WHERE rn <= {m}),
+                     (acc, v) -> acc + v) / CAST({m} AS DOUBLE) AS l0,
+         list(y ORDER BY rn) FILTER (WHERE rn <= {m}) AS first_m
+  FROM s GROUP BY user_id HAVING COUNT(*) >= {m}),
+h AS (
+  SELECT user_id, {m} AS rn, l0 AS l, CAST(0 AS DOUBLE) AS b,
+         list_transform(first_m, v -> v - l0) AS seas
+  FROM anchor
+  UNION ALL
+  SELECT q.user_id, q.rn, q.l2 AS l,
+         {b}*(q.l2 - q.l) + (1.0-{b})*q.b AS b,
+         list_append(q.seas[2:{m}],
+                     {g}*(q.y - q.l2) + (1.0-{g})*q.seas[1]) AS seas
+  FROM (
+    SELECT s.user_id, s.rn, s.y, h.l, h.b, h.seas,
+           {a}*(s.y - h.seas[1]) + (1.0-{a})*(h.l + h.b) AS l2
+    FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1) q),
+fin AS (SELECT user_id, MAX(rn) AS n_obs FROM h GROUP BY user_id)
+SELECT fin.user_id, fin.n_obs, h.l AS level, h.b AS trend, {fc}
+FROM fin JOIN h ON h.user_id = fin.user_id AND h.rn = fin.n_obs
+ORDER BY fin.user_id
+"""
+
+
 QUERIES = {
     "holt_forecast": (q_holt_forecast, _holt_sql()),
+    "holt_winters": (q_holt_winters, _holt_winters_sql()),
     "ema": (q_ema, _EMA_SQL),
     "macd": (q_macd, _MACD_SQL),
     "tsi": (q_tsi, _TSI_SQL),
