@@ -157,7 +157,111 @@ ORDER BY dow
 """
 
 
+#: The data contract: (column, max allowed null fraction, declared
+#: numeric [lo, hi] or None for non-numeric). In a real pipeline this
+#: is a table loaded from the contract store — the literal rows model
+#: that artifact, and the checks treat it as DATA (cf. the
+#: quality-classifier weight table): tightening a bound is a contract
+#: edit, not a query edit.
+_CONTRACT = (
+    ("l_orderkey", 0.0, (0.0, 1e9)),
+    ("l_quantity", 0.0, (1.0, 50.0)),
+    ("l_extendedprice", 0.0, (0.0, 1e7)),
+    ("l_discount", 0.0, (0.0, 0.10)),
+    ("l_tax", 0.0, (0.0, 0.08)),
+    ("l_returnflag", 0.0, None),
+    ("l_shipdate", 0.0, None),
+)
+
+
+def q_contract_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation — the PASS/FAIL judgment layer on top
+    of the raw profile (`dq_profile_lineitem` measures; this decides):
+    per contracted column, the observed null fraction against the
+    declared maximum and the observed numeric range against the
+    declared [lo, hi], plus the verdict booleans a CI gate consumes.
+
+    Scale shape: identical to the profile — ONE aggregate pass
+    computes every column's facts simultaneously (constant aggregate
+    state), the contract rides as literals into row-local comparisons
+    in the exploded one-row result. Violations cost the same as
+    passes; at 100 TB this is one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, _mnf, rng in _CONTRACT:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .alias(f"{col}__nulls"))
+        if rng is not None:
+            aggs += [F.min(col).cast("double").alias(f"{col}__min"),
+                     F.max(col).cast("double").alias(f"{col}__max")]
+    one = li.agg(*aggs)
+    # Output carries NO NULL cells by design: a numeric-NULL column
+    # round-trips as None in Spark but NaN through pandas on the
+    # oracle side, which the driver's value compare cannot unify —
+    # NaN itself normalizes identically in both harnesses, so it is
+    # the sentinel for the non-applicable bounds; non-numeric columns
+    # get a vacuous range_ok = TRUE.
+    structs = []
+    for col, max_null_frac, rng in _CONTRACT:
+        null_frac = (F.col(f"{col}__nulls").cast("double")
+                     / F.col("n_rows").cast("double"))
+        nulls_ok = null_frac <= F.lit(max_null_frac)
+        if rng is not None:
+            lo, hi = rng
+            range_ok = ((F.col(f"{col}__min") >= F.lit(lo))
+                        & (F.col(f"{col}__max") <= F.lit(hi)))
+            omin = F.col(f"{col}__min")
+            omax = F.col(f"{col}__max")
+        else:
+            range_ok = F.lit(True)
+            omin = F.lit(float("nan"))
+            omax = F.lit(float("nan"))
+        structs.append(F.struct(
+            F.lit(col).alias("column"),
+            null_frac.alias("null_frac"),
+            nulls_ok.alias("nulls_ok"),
+            omin.alias("observed_min"),
+            omax.alias("observed_max"),
+            range_ok.alias("range_ok"),
+            (nulls_ok & range_ok).alias("passes"),
+        ))
+    return (one.select(F.explode(F.array(*structs)).alias("c"))
+            .select("c.*").orderBy("column"))
+
+
+def _contract_branch_sql(col: str, max_null_frac: float, rng) -> str:
+    null_frac = (f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+                 f" AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
+    nulls_ok = f"({null_frac}) <= {max_null_frac}"
+    if rng is not None:
+        lo, hi = rng
+        omin = f"CAST(MIN({col}) AS DOUBLE)"
+        omax = f"CAST(MAX({col}) AS DOUBLE)"
+        range_ok = f"({omin} >= {lo} AND {omax} <= {hi})"
+        passes = f"({nulls_ok}) AND ({range_ok})"
+    else:
+        omin = omax = "CAST('NaN' AS DOUBLE)"
+        range_ok = "TRUE"
+        passes = f"({nulls_ok})"
+    return f"""
+  SELECT '{col}' AS "column", {null_frac} AS null_frac,
+         {nulls_ok} AS nulls_ok,
+         {omin} AS observed_min, {omax} AS observed_max,
+         {range_ok} AS range_ok, {passes} AS passes
+  FROM lineitem"""
+
+
+_CONTRACT_SQL = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(
+        _contract_branch_sql(c, mnf, rng) for c, mnf, rng in _CONTRACT)
+    + ')\nORDER BY "column"'
+)
+
+
 QUERIES = {
+    "contract_check_lineitem": (q_contract_check_lineitem, _CONTRACT_SQL),
     "dq_profile_lineitem": (q_dq_profile_lineitem, _DQ_PROFILE_SQL),
     "missing_bars": (q_missing_bars, _MISSING_BARS_SQL),
     "dow_seasonality": (q_dow_seasonality, _dow_sql()),

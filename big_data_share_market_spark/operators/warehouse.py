@@ -238,7 +238,85 @@ WHERE v1.old_price IS NULL OR v2.new_price IS NULL
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the consumer side of `snapshot_diff`: replay an
+    ordered I/U/D changelog onto a PK-keyed base state and emit the
+    resulting table. The changelog is carved deterministically from
+    `orders` with overlapping stripes so the ordering semantics are
+    actually exercised: two updates can hit one key (higher seq
+    wins) and a delete can follow an update (delete wins).
+
+    Scale shape: base and changelog union into one relation with a
+    monotone `seq` (base rows seq 0); the final state is a single
+    last-writer-wins window per PK (ONE hash shuffle), then a
+    row-local `op != 'D'` filter — the standard "apply changes as of
+    now" materialization, identical in cost to dedup_upsert no
+    matter how many change batches the log contains. At 100 TB the
+    changelog side is O(changes); only the PK shuffle touches the
+    base."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = (orders.filter(key % 97 != 3)
+            .select("o_orderkey",
+                    F.col("o_totalprice").alias("price"),
+                    F.lit("B").alias("op"), F.lit(0).alias("seq")))
+    upd1 = (orders.filter(key % 11 == 0)
+            .select("o_orderkey",
+                    (F.col("o_totalprice") + 1).alias("price"),
+                    F.lit("U").alias("op"), F.lit(1).alias("seq")))
+    upd2 = (orders.filter(key % 13 == 0)
+            .select("o_orderkey",
+                    (F.col("o_totalprice") + 2).alias("price"),
+                    F.lit("U").alias("op"), F.lit(2).alias("seq")))
+    ins = (orders.filter(key % 97 == 3)
+           .select("o_orderkey",
+                   F.col("o_totalprice").alias("price"),
+                   F.lit("I").alias("op"), F.lit(1).alias("seq")))
+    dels = (orders.filter(key % 97 == 5)
+            .select("o_orderkey",
+                    F.lit(None).cast("double").alias("price"),
+                    F.lit("D").alias("op"), F.lit(3).alias("seq")))
+    log = base.unionByName(upd1).unionByName(upd2) \
+              .unionByName(ins).unionByName(dels)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("seq"), F.desc("op"), F.desc("price"))
+    return (log.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("o_orderkey", "price", F.col("op").alias("last_op"))
+            .orderBy("o_orderkey"))
+
+
+_CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_totalprice AS price, 'B' AS op, 0 AS seq
+  FROM orders WHERE o_orderkey % 97 <> 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1, 'U', 1
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 2, 'U', 2
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'I', 1
+  FROM orders WHERE o_orderkey % 97 = 3
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 3
+  FROM orders WHERE o_orderkey % 97 = 5),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC, op DESC,
+                                        price DESC) AS rn
+  FROM log)
+SELECT o_orderkey, price, op AS last_op
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "cdc_apply": (q_cdc_apply, _CDC_APPLY_SQL),
     "scd2_order_priority": (q_scd2_order_priority, _SCD2_SQL),
     "scd2_snapshot": (q_scd2_snapshot, _SCD2_SNAPSHOT_SQL),
     "gdpr_erasure": (q_gdpr_erasure, _gdpr_sql()),
