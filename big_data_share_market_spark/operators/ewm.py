@@ -648,9 +648,125 @@ ORDER BY fin.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Forecast-residual anomaly detection (Holt one-step-ahead + EW variance)
+# ---------------------------------------------------------------------------
+
+#: EW variance decay for the residual scale and the |z| flag cutoff.
+_ANOM_RHO = 0.1
+_ANOM_Z = 3.0
+
+
+def q_forecast_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped anomaly detection: each observation is scored
+    against its own one-step-ahead Holt forecast — resid_t =
+    y_t − (l_{t−1} + b_{t−1}), normalized by the exponentially
+    weighted residual variance v (ρ = 0.1, seeded with the first
+    residual's square), flagged when |z| > 3. The standard
+    model-based change detector for metric streams: the forecast
+    absorbs trend, so flags mean "departed from recent behavior",
+    not "is large".
+
+    Per-row output (y, resid, z, is_anomaly); warmup rows carry NULL
+    resid/z and is_anomaly = false. (The kernel writes NaN into the
+    pandas batch, which Arrow maps to SQL NULL on transfer — so the
+    oracle's sentinel is NULL here, while pure-SQL producers like
+    contract_check_lineitem must use NaN: double NULLs round-trip
+    consistently, it is only non-double NULLs inside pandas object
+    columns that diverge.)
+
+    Scale shape: identical to the Holt kernel — one key exchange,
+    one sequential Arrow pass carrying (l, b, v); the oracle's
+    recursive CTE executes the same ops in the same order, so z
+    scores are bit-identical."""
+    s = (_series(spark, sf_dir)
+         .filter(F.col("close").isNotNull()))
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in s.schema.fields)
+    schema = (f"{in_schema}, resid double, z double, "
+              f"is_anomaly boolean")
+    a, bc, rho, zcut = _HOLT_A, _HOLT_B, _ANOM_RHO, _ANOM_Z
+
+    def kernel(batches):
+        cur_key = None
+        lvl = trend = var = math.nan
+        started = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            ys = pdf["close"].to_numpy(dtype=np.float64)
+            out_r = np.empty(len(pdf), dtype=np.float64)
+            out_z = np.empty(len(pdf), dtype=np.float64)
+            out_f = np.zeros(len(pdf), dtype=bool)
+            for i in range(len(pdf)):
+                if keys[i] != cur_key:
+                    cur_key = keys[i]
+                    lvl = trend = var = math.nan
+                    started = False
+                y = float(ys[i])
+                if not started:
+                    lvl, trend, started = y, 0.0, True
+                    out_r[i] = math.nan
+                    out_z[i] = math.nan
+                    continue
+                resid = y - (lvl + trend)
+                z = resid / math.sqrt(var) if not math.isnan(var) \
+                    else math.nan
+                var = (resid * resid if math.isnan(var)
+                       else (1.0 - rho) * var + rho * (resid * resid))
+                l2 = a * y + (1.0 - a) * (lvl + trend)
+                trend = bc * (l2 - lvl) + (1.0 - bc) * trend
+                lvl = l2
+                out_r[i] = resid
+                out_z[i] = z
+                out_f[i] = (not math.isnan(z)) and abs(z) > zcut
+            yield pdf.assign(resid=out_r, z=out_z, is_anomaly=out_f)
+
+    staged = s.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id")
+    return staged.mapInPandas(kernel, schema=schema)
+
+
+def _anomaly_sql() -> str:
+    a = f"CAST({_HOLT_A} AS DOUBLE)"
+    b = f"CAST({_HOLT_B} AS DOUBLE)"
+    rho = f"CAST({_ANOM_RHO} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+h AS (
+  SELECT user_id, event_id, ts, rn, y, y AS l, CAST(0 AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE) AS v,
+         CAST(NULL AS DOUBLE) AS resid, CAST(NULL AS DOUBLE) AS z
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT q.user_id, q.event_id, q.ts, q.rn, q.y,
+         {a}*q.y + (1.0-{a})*(q.l + q.b) AS l,
+         {b}*(({a}*q.y + (1.0-{a})*(q.l + q.b)) - q.l)
+           + (1.0-{b})*q.b AS b,
+         CASE WHEN q.v IS NULL THEN q.resid2 * q.resid2
+              ELSE (1.0-{rho})*q.v + {rho}*(q.resid2*q.resid2) END AS v,
+         q.resid2 AS resid,
+         q.resid2 / sqrt(q.v) AS z
+  FROM (
+    SELECT s.user_id, s.event_id, s.ts, s.rn, s.y, h.l, h.b, h.v,
+           s.y - (h.l + h.b) AS resid2
+    FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1) q)
+SELECT user_id, event_id, ts, y AS close, resid, z,
+       CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > {_ANOM_Z} END
+         AS is_anomaly
+FROM h
+"""
+
+
 QUERIES = {
     "holt_forecast": (q_holt_forecast, _holt_sql()),
     "holt_winters": (q_holt_winters, _holt_winters_sql()),
+    "forecast_anomalies": (q_forecast_anomalies, _anomaly_sql()),
     "ema": (q_ema, _EMA_SQL),
     "macd": (q_macd, _MACD_SQL),
     "tsi": (q_tsi, _TSI_SQL),
