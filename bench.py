@@ -85,6 +85,10 @@ HEADLINE = [
     "edit_distance_neardup",  # capped Levenshtein fuzzy-dedup verify
     "holt_forecast",        # coupled two-state Arrow kernel + forecasts
     "holt_winters",         # triple smoothing, m-vector seasonal state
+    "forecast_anomalies",   # one-step-ahead residual z-score flags
+    "cdc_apply",            # ordered I/U/D changelog last-writer-wins
+    "contract_check_lineitem",  # single-pass data-contract gate
+    "variant_props_stats",  # Spark-4 VARIANT schema-free extraction
 ]
 
 
