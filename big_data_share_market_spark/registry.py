@@ -35,8 +35,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: from r4), segment_dedup_rebuild, part_pagerank, ols_price_model,
 #: dpp_join_prune, tfidf_cosine_pairs, cms_token_counts,
 #: edit_distance_neardup, variant_props_stats, holt_forecast,
-#: stream_holt_per_key. Front-load those twelve next rotation; the
-#: remaining 38 slots can re-verify this round's perf-touched
+#: holt_winters, forecast_anomalies, stream_holt_per_key, cdc_apply,
+#: contract_check_lineitem. Front-load those sixteen next rotation;
+#: the remaining 34 slots can re-verify this round's perf-touched
 #: queries (bm25_topk, rrf_hybrid_topk, quality_classifier,
 #: partition_pruned_agg, and the staged dedup family).
 _FIRST_50 = (
