@@ -763,10 +763,76 @@ FROM h
 """
 
 
+#: Fraction of each key's history that is TRAINING in the backtest;
+#: the remaining tail is scored out-of-sample.
+_BT_TRAIN_FRAC = 0.8
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast evaluation — the model-selection loop
+    for the Holt family: every row's one-step-ahead residual is
+    already produced by the `forecast_anomalies` pass (the forecast
+    at t uses only state through t−1, so each residual IS an
+    out-of-sample error at origin t−1); the backtest scores only the
+    final 20% of each key's history, where the state no longer
+    remembers its warmup. Per key: n_eval, MAE, RMSE — the numbers a
+    model registry compares across candidate smoothing configs.
+
+    Scale shape: the residual pass is the one-exchange sequential
+    kernel; the eval-tail selection is a per-key count window on the
+    layout the kernel preserved (no second shuffle); the error
+    aggregate is decimal-exact (parallel double SUM order would
+    diverge across engines — same discipline as dsum everywhere
+    else). RMSE derives from the exact sum of squares, so both
+    engines take sqrt of the identical double."""
+    from pyspark.sql.window import Window
+
+    scored = q_forecast_anomalies(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tail = (scored
+            .withColumn("n_rows", F.count("*").over(w))
+            .withColumn("rn", F.row_number().over(wo))
+            .filter((F.col("rn") > F.col("n_rows") * _BT_TRAIN_FRAC)
+                    & F.col("resid").isNotNull()))
+    abs_r = F.abs(F.col("resid"))
+    return (tail.groupBy("user_id")
+            .agg(F.count("*").alias("n_eval"),
+                 (F.sum(abs_r.cast(DEC)).cast("double")
+                  / F.count("*")).alias("mae"),
+                 F.sqrt(F.sum((abs_r * abs_r).cast(DEC)).cast("double")
+                        / F.count("*")).alias("rmse"))
+            .orderBy("user_id"))
+
+
+def _backtest_sql() -> str:
+    from ..functions import dsum_sql
+
+    # The residual trajectory is the forecast_anomalies oracle; wrap
+    # it, select the per-key eval tail, aggregate decimal-exact.
+    return f"""
+WITH scored AS ({_anomaly_sql()}),
+sized AS (
+  SELECT user_id, resid,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_rows,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM scored)
+SELECT user_id, COUNT(*) AS n_eval,
+       {dsum_sql('abs(resid)')} / COUNT(*) AS mae,
+       sqrt({dsum_sql('abs(resid) * abs(resid)')} / COUNT(*)) AS rmse
+FROM sized
+WHERE rn > n_rows * {_BT_TRAIN_FRAC} AND resid IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "holt_forecast": (q_holt_forecast, _holt_sql()),
     "holt_winters": (q_holt_winters, _holt_winters_sql()),
     "forecast_anomalies": (q_forecast_anomalies, _anomaly_sql()),
+    "forecast_backtest": (q_forecast_backtest, _backtest_sql()),
     "ema": (q_ema, _EMA_SQL),
     "macd": (q_macd, _MACD_SQL),
     "tsi": (q_tsi, _TSI_SQL),
