@@ -328,7 +328,13 @@ def test_dedup_family_reads_staged_relations(spark):
     silently re-run the interpreted transforms per reference — pin
     that every consumer's plan reads an InMemoryRelation."""
     for name in ("containment_neardup", "minhash_lsh_dedup",
-                 "simhash_pairs", "ngram_jaccard_capped"):
+                 "simhash_pairs", "ngram_jaccard_capped",
+                 # lexical family: staged tokenized corpus + staged
+                 # quantized TF-IDF inverted index
+                 "bm25_topk", "quality_classifier",
+                 "tfidf_cosine_pairs", "segment_dedup_rebuild",
+                 # graph family: staged adjacency lists
+                 "part_pagerank"):
         fn, _ = _QUERIES[name]
         plan = explain_str(fn(spark, SF_DIR), "simple")
         assert "InMemoryRelation" in plan, (
