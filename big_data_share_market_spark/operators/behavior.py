@@ -217,7 +217,94 @@ FROM ab
 """
 
 
+#: Attribution lookback: a purchase converts its user's most recent
+#: click no older than this many seconds.
+_ATTR_WINDOW_S = 3600
+
+
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution — the conversion-credit assignment every
+    event pipeline runs: each purchase is attributed to the same
+    user's most recent preceding click if it happened within the
+    1-hour lookback; purchases with no qualifying click are organic.
+    Emits every purchase with its attributed click (event_id + ts +
+    latency) or NULL-free organic marker.
+
+    Scale shape: ONE window pass — events sort per user by time and
+    the carried last-click timestamp/id propagate via running MAX of
+    a (ts, event_id) STRUCT over clicks only (struct max orders
+    lexicographically, so the id rides along with its own max ts
+    instead of needing a self-join); the attribution decision is then
+    row-local. The as-of SELF-JOIN this replaces would shuffle events
+    twice and cost a range join; the window form is one exchange, and
+    at 100 TB it is the same plan with more partitions.
+
+    Cross-engine note: attributed_event_id is emitted as -1 (not
+    NULL) for organic conversions — BIGINT NULLs inside the driver's
+    pandas compare become NaN floats on one side only; latency uses
+    the same -1 sentinel."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    click_struct = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("c_id")))
+    last_click = F.max(click_struct).over(w)
+    # The attribution predicate must reference the MATERIALIZED lc
+    # column, not the window expression: an expression reused after
+    # the purchase filter would re-evaluate its window over the
+    # filtered (clickless) rows and attribute nothing.
+    attributed = (
+        F.col("lc").isNotNull()
+        & (F.unix_timestamp("ts") - F.unix_timestamp(F.col("lc")["c_ts"])
+           <= _ATTR_WINDOW_S))
+    return (
+        ev.withColumn("lc", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts",
+            attributed.alias("is_attributed"),
+            F.when(attributed, F.col("lc")["c_id"]).otherwise(-1)
+            .alias("attributed_event_id"),
+            F.when(attributed,
+                   F.unix_timestamp("ts")
+                   - F.unix_timestamp(F.col("lc")["c_ts"]))
+            .otherwise(-1).alias("latency_s"))
+        .orderBy("event_id")
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click'
+                  THEN {{'ts': ts, 'event_id': event_id}} END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS lc
+  FROM events),
+p AS (
+  SELECT event_id, user_id, ts, lc,
+         lc IS NOT NULL
+         AND date_diff('second', (lc).ts, ts) <= {_ATTR_WINDOW_S}
+           AS is_attributed
+  FROM marked WHERE event_type = 'purchase')
+SELECT event_id, user_id, ts, is_attributed,
+       CASE WHEN is_attributed THEN (lc).event_id ELSE -1 END
+         AS attributed_event_id,
+       CASE WHEN is_attributed
+            THEN date_diff('second', (lc).ts, ts) ELSE -1 END
+         AS latency_s
+FROM p
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "click_attribution": (q_click_attribution, _ATTRIBUTION_SQL),
     "funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "cohort_retention": (q_cohort_retention, _COHORT_SQL),
     "ab_test_ztest": (q_ab_test_ztest, _AB_ZTEST_SQL),
