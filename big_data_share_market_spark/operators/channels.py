@@ -1,0 +1,311 @@
+"""Bar-based channel / oscillator indicators beyond the reference's
+set: ATR (Wilder), Williams %R, CCI, MFI, Chaikin money flow, Keltner
+channels.
+
+The reference computes its indicator family over per-key price series
+(`streamlit_app/streamlit_app.py:165-292`); these extend the same
+hourly-bar surface (`transforms.ohlc_bars`) with the standard
+channel/flow indicators a share-market console offers next to
+Bollinger/stochastic/OBV. Same execution contract as indicators.py /
+ewm.py:
+
+* rolling means go through the decimal-exact sum so the DuckDB oracle
+  matches bit-for-bit, with NULL until the window holds n rows;
+* the one genuinely recursive smoothing (Wilder ATR) rides the shared
+  `_apply_ewm` partition-wide Arrow kernel (alpha = 1/n), oracle'd by
+  the same NULL-skipping `list_reduce`;
+* CCI's mean absolute deviation — a window-of-window that neither
+  engine can express as a plain frame aggregate — is folded over the
+  frame's value list with the deviations QUANTIZED to integer 1e-9
+  ticks, so the fold is an order-free BIGINT sum and hash-identical
+  across engines;
+* zero denominators yield NULL on both engines (nullif).
+
+Plan shape: everything is ONE hash exchange on user_id (the bar
+aggregation's own shuffle) followed by Window stages and, for ATR,
+one mapInPandas pass over the already-sorted layout — no extra
+exchanges, no joins. At 100 TB the cost is the bar groupBy; the
+indicator math is map-side over ~1/3600th of the event rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import DEC
+from .ewm import _apply_ewm, _ewm_sql, _ORACLE_BAR_WINDOW
+from .indicators import _rolling_mean, _rolling_mean_sql
+from .transforms import BARS_CTE, bar_window, ohlc_bars
+
+_BAR_OVER = "(PARTITION BY user_id ORDER BY bar_ts)"
+
+#: Typical price — written identically on both engines so the doubles
+#: agree bit-for-bit.
+_TP_SQL = "(high + low + close) / 3.0"
+
+
+def _with_tr(bars: DataFrame) -> DataFrame:
+    """True range: max(high-low, |high-prev_close|, |low-prev_close|),
+    first bar TR = high-low (NaN-skipping row max, as in q_adx)."""
+    w = bar_window()
+    prev_close = F.lag("close").over(w)
+    return bars.withColumn(
+        "tr",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.coalesce(F.abs(F.col("high") - prev_close), F.lit(float("-inf"))),
+            F.coalesce(F.abs(F.col("low") - prev_close), F.lit(float("-inf")))))
+
+
+_TR_CTE = f"""
+trc AS (
+  SELECT user_id, bar_ts, high, low, close, volume,
+         greatest(high - low,
+                  COALESCE(abs(high - lag(close) OVER w), '-infinity'::DOUBLE),
+                  COALESCE(abs(low - lag(close) OVER w), '-infinity'::DOUBLE)) AS tr
+  FROM bars
+  WINDOW w AS {_BAR_OVER})
+"""
+
+
+# ---------------------------------------------------------------------------
+# ATR(14), Wilder smoothing
+# ---------------------------------------------------------------------------
+
+def q_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR(14) with Wilder's recursive smoothing — ewm(alpha=1/14,
+    adjust=False) over the true range, the classical form (q_adx keeps
+    the reference's rolling-mean ATR AS WRITTEN; this is the textbook
+    one). The TR lag Window leaves the data hash(user_id)-partitioned
+    and bar-sorted, so the kernel adds no exchange."""
+    bars = _with_tr(ohlc_bars(spark, sf_dir))
+    bars = _apply_ewm(bars, ["bar_ts"], {"atr_14": ("tr", 1.0 / 14.0)},
+                      assume_sorted=True)
+    return bars.select("user_id", "bar_ts", "close", "tr", "atr_14")
+
+
+_ATR_SQL = f"""
+WITH {BARS_CTE},
+{_TR_CTE}
+SELECT user_id, bar_ts, close, tr,
+       {_ewm_sql('tr', '1.0/14.0', _ORACLE_BAR_WINDOW)} AS atr_14
+FROM trc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Williams %R(14)
+# ---------------------------------------------------------------------------
+
+def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%R(14) = -100 * (HH14 - close) / (HH14 - LL14), NULL until the
+    window holds 14 bars and on flat windows (HH == LL)."""
+    bars = ohlc_bars(spark, sf_dir)
+    f14 = bar_window().rowsBetween(-13, 0)
+    hh = F.max("high").over(f14)
+    ll = F.min("low").over(f14)
+    pct_r = F.when(
+        F.count("close").over(f14) == 14,
+        F.lit(-100.0) * (hh - F.col("close")) / F.nullif(hh - ll, F.lit(0.0)))
+    return (bars.withColumn("pct_r", pct_r)
+            .select("user_id", "bar_ts", "close", "pct_r"))
+
+
+_WILLIAMS_SQL = f"""
+WITH {BARS_CTE}
+SELECT user_id, bar_ts, close,
+       CASE WHEN COUNT(close) OVER w14 = 14 THEN
+         -100.0 * (MAX(high) OVER w14 - close)
+           / nullif(MAX(high) OVER w14 - MIN(low) OVER w14, 0.0) END AS pct_r
+FROM bars
+WINDOW w14 AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCI(20) — quantized mean-absolute-deviation fold
+# ---------------------------------------------------------------------------
+
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity channel index(20): (tp - SMA20(tp)) / (0.015 * MAD),
+    where MAD is the mean of |tp_i - SMA20_current| over the SAME
+    20-row frame — the deviations reference the frame's own mean, so
+    no plain window aggregate expresses it. Here: collect the frame's
+    tp list (20 doubles), quantize each |tp - sma| to integer 1e-9
+    ticks, and fold with a BIGINT sum — order-free, so Spark's
+    aggregate() and DuckDB's list_sum/list_transform agree exactly."""
+    bars = ohlc_bars(spark, sf_dir)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    bars = bars.withColumn("tp", tp)
+    f20 = bar_window().rowsBetween(-19, 0)
+    bars = bars.withColumn("sma_tp", _rolling_mean(F.col("tp"), bar_window(), 20))
+    madq = F.aggregate(
+        F.collect_list("tp").over(f20),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(F.abs(x - F.col("sma_tp")) * 1e9).cast("long"))
+    mad = F.when(F.count("tp").over(f20) == 20,
+                 madq.cast("double") / 1e9 / 20)
+    cci = (F.col("tp") - F.col("sma_tp")) / F.nullif(0.015 * mad, F.lit(0.0))
+    return (bars.withColumn("cci_20", cci)
+            .select("user_id", "bar_ts", "close", "tp", "cci_20"))
+
+
+_CCI_SQL = f"""
+WITH {BARS_CTE},
+tpc AS (
+  SELECT user_id, bar_ts, close, {_TP_SQL} AS tp
+  FROM bars),
+smac AS (
+  SELECT user_id, bar_ts, close, tp,
+         {_rolling_mean_sql('tp', 20, _BAR_OVER)} AS sma_tp,
+         list(tp) OVER (PARTITION BY user_id ORDER BY bar_ts
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS tps,
+         COUNT(tp) OVER (PARTITION BY user_id ORDER BY bar_ts
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n20
+  FROM tpc),
+madc AS (
+  SELECT user_id, bar_ts, close, tp, sma_tp,
+         CASE WHEN n20 = 20 THEN
+           CAST(list_sum(list_transform(tps,
+                x -> CAST(floor(abs(x - sma_tp) * 1e9) AS BIGINT))) AS DOUBLE)
+             / 1e9 / 20 END AS mad
+  FROM smac)
+SELECT user_id, bar_ts, close, tp,
+       (tp - sma_tp) / nullif(0.015 * mad, 0.0) AS cci_20
+FROM madc
+"""
+
+
+# ---------------------------------------------------------------------------
+# MFI(14)
+# ---------------------------------------------------------------------------
+
+def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money flow index(14): raw flow = tp * volume, split by the sign
+    of the tp change (ties and the first bar flow to neither side);
+    MFI = 100 - 100/(1 + pos14/neg14), NULL until 14 bars and when
+    neg14 = 0 (non-ANSI division, as the rsi oracle does)."""
+    bars = ohlc_bars(spark, sf_dir)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    bars = bars.withColumn("tp", tp)
+    w = bar_window()
+    prev_tp = F.lag("tp").over(w)
+    mf = F.col("tp") * F.col("volume")
+    bars = (bars
+            .withColumn("pos_mf", F.when(F.col("tp") > prev_tp, mf).otherwise(F.lit(0.0)))
+            .withColumn("neg_mf", F.when(F.col("tp") < prev_tp, mf).otherwise(F.lit(0.0))))
+    pos14 = _rolling_mean(F.col("pos_mf"), w, 14)
+    neg14 = _rolling_mean(F.col("neg_mf"), w, 14)
+    # rolling MEANs, not sums: the shared decimal-exact helper — the
+    # 1/14 factors cancel in the ratio exactly on both engines only if
+    # both engines divide; they do (same helper text in the oracle).
+    mfi = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + pos14 / F.nullif(neg14, F.lit(0.0)))
+    return (bars.withColumn("mfi_14", mfi)
+            .select("user_id", "bar_ts", "close", "mfi_14"))
+
+
+_MFI_SQL = f"""
+WITH {BARS_CTE},
+tpc AS (
+  SELECT user_id, bar_ts, close, volume, {_TP_SQL} AS tp
+  FROM bars),
+flows AS (
+  SELECT user_id, bar_ts, close,
+         CASE WHEN tp > lag(tp) OVER w THEN tp * volume ELSE 0.0 END AS pos_mf,
+         CASE WHEN tp < lag(tp) OVER w THEN tp * volume ELSE 0.0 END AS neg_mf
+  FROM tpc
+  WINDOW w AS {_BAR_OVER})
+SELECT user_id, bar_ts, close,
+       100.0 - 100.0 / (1.0 + {_rolling_mean_sql('pos_mf', 14, _BAR_OVER)}
+         / nullif({_rolling_mean_sql('neg_mf', 14, _BAR_OVER)}, 0.0)) AS mfi_14
+FROM flows
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chaikin money flow(20)
+# ---------------------------------------------------------------------------
+
+def q_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMF(20) = Σ20(mfv) / Σ20(volume) where mfv = volume *
+    ((close-low)-(high-close))/(high-low). Flat bars (high = low) have
+    NULL multiplier and are SKIPPED by the numerator sum (decimal SUM
+    ignores NULLs — documented deviation from pandas NaN poisoning);
+    the gate counts bars, so output is NULL until 20 bars exist."""
+    bars = ohlc_bars(spark, sf_dir)
+    mfm = ((F.col("close") - F.col("low")) - (F.col("high") - F.col("close"))) \
+        / F.nullif(F.col("high") - F.col("low"), F.lit(0.0))
+    bars = bars.withColumn("mfv", mfm * F.col("volume"))
+    f20 = bar_window().rowsBetween(-19, 0)
+    cmf = F.when(
+        F.count("close").over(f20) == 20,
+        F.sum(F.col("mfv").cast(DEC)).over(f20).cast("double")
+        / F.sum("volume").over(f20))
+    return (bars.withColumn("cmf_20", cmf)
+            .select("user_id", "bar_ts", "close", "volume", "cmf_20"))
+
+
+_CMF_SQL = f"""
+WITH {BARS_CTE},
+mfvc AS (
+  SELECT user_id, bar_ts, close, volume,
+         ((close - low) - (high - close)) / nullif(high - low, 0.0)
+           * volume AS mfv
+  FROM bars)
+SELECT user_id, bar_ts, close, volume,
+       CASE WHEN COUNT(close) OVER w20 = 20 THEN
+         CAST(SUM(CAST(mfv AS DECIMAL(25,6))) OVER w20 AS DOUBLE)
+           / SUM(volume) OVER w20 END AS cmf_20
+FROM mfvc
+WINDOW w20 AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Keltner channels(20, 10) — original SMA formulation
+# ---------------------------------------------------------------------------
+
+def q_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels in Chester Keltner's original SMA form:
+    mid = SMA20(typical price), bands = mid ± 2 * SMA10(true range).
+    Window-pure (the ewm-mid variant would ride the ATR kernel; the
+    SMA form keeps the whole query inside whole-stage codegen)."""
+    bars = _with_tr(ohlc_bars(spark, sf_dir))
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    bars = bars.withColumn("tp", tp)
+    w = bar_window()
+    mid = _rolling_mean(F.col("tp"), w, 20)
+    band = 2 * _rolling_mean(F.col("tr"), w, 10)
+    return (bars.withColumn("kc_mid", mid)
+            .withColumn("kc_up", mid + band)
+            .withColumn("kc_dn", mid - band)
+            .select("user_id", "bar_ts", "close", "kc_mid", "kc_up", "kc_dn"))
+
+
+_KELTNER_SQL = f"""
+WITH {BARS_CTE},
+{_TR_CTE},
+tpc AS (
+  SELECT user_id, bar_ts, close, tr, {_TP_SQL} AS tp
+  FROM trc)
+SELECT user_id, bar_ts, close,
+       {_rolling_mean_sql('tp', 20, _BAR_OVER)} AS kc_mid,
+       {_rolling_mean_sql('tp', 20, _BAR_OVER)}
+         + 2 * {_rolling_mean_sql('tr', 10, _BAR_OVER)} AS kc_up,
+       {_rolling_mean_sql('tp', 20, _BAR_OVER)}
+         - 2 * {_rolling_mean_sql('tr', 10, _BAR_OVER)} AS kc_dn
+FROM tpc
+"""
+
+
+QUERIES = {
+    "atr_wilder": (q_atr_wilder, _ATR_SQL),
+    "williams_r": (q_williams_r, _WILLIAMS_SQL),
+    "cci": (q_cci, _CCI_SQL),
+    "mfi": (q_mfi, _MFI_SQL),
+    "cmf": (q_cmf, _CMF_SQL),
+    "keltner_channels": (q_keltner, _KELTNER_SQL),
+}

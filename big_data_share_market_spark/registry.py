@@ -87,6 +87,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.scale",
                  "operators.sketches", "operators.packing",
                  "operators.indicators", "operators.ewm",
+                 "operators.channels",
                  "operators.resample",
                  "operators.patterns", "operators.transforms",
                  "operators.finance",
