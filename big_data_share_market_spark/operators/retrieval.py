@@ -344,8 +344,156 @@ SELECT doc_id, ttr, stop_ratio, score, score > 0.0 AS keep FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (unrolled greedy, pure relational algebra)
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off: score = _MMR_L * relevance - (1 - _MMR_L) * max
+#: similarity to the already-selected set.
+_MMR_L = 0.7
+#: Candidate pool depth per query and number of greedy picks.
+_MMR_C = 8
+_MMR_K = 3
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of dense-retrieval results —
+    the diversity-selection step of a training-data curation pipeline
+    (pick examples that are relevant but not near-duplicates of each
+    other). Queries are vec_ids 0-3; each retrieves its top-8 pool by
+    cosine, then greedy MMR picks 3: pick #1 maximizes rel, pick #r
+    maximizes 0.7*rel - 0.3*max(sim to picks 1..r-1), ties broken by
+    cand_id. The greedy loop is UNROLLED into K-1 join+argmax stages
+    of plain relational algebra — no kernel, no driver loop — which
+    both engines evaluate with the shared sequential-fold cosine, so
+    every score (and therefore every argmax) is bit-identical.
+
+    Scale: all iteration state is bounded by the pool (C=8 rows and
+    C² candidate-pair sims per query); the only unbounded relation is
+    the initial scan, scored against a 4-row broadcast. With millions
+    of queries the same plan holds — the per-query pools hash-shuffle
+    on q_id once and every later stage joins within that key."""
+    from .similarity import _with_cosine
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")))
+    pool = (emb.filter(F.col("vec_id") >= 4)
+            .select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("c_emb")))
+    scored = _with_cosine(pool.crossJoin(F.broadcast(q)), "q_emb", "c_emb") \
+        .withColumnRenamed("cosine", "rel")
+    wq = W.partitionBy("q_id").orderBy(
+        F.col("rel").desc_nulls_last(), "cand_id")
+    cand = (scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= _MMR_C)
+            .select("q_id", "cand_id", "rel", "c_emb"))
+    ca = cand.select("q_id", F.col("cand_id").alias("a_id"),
+                     F.col("c_emb").alias("a_emb"))
+    cb = cand.select("q_id", F.col("cand_id").alias("b_id"),
+                     F.col("c_emb").alias("b_emb"))
+    sims = (_with_cosine(
+        ca.join(cb, "q_id").filter(F.col("a_id") != F.col("b_id")),
+        "a_emb", "b_emb")
+        .select("q_id", "a_id", "b_id", F.col("cosine").alias("sim")))
+    cand = cand.select("q_id", "cand_id", "rel")
+
+    def top1(df: DataFrame, score, pick: int) -> DataFrame:
+        w = W.partitionBy("q_id").orderBy(
+            score.desc_nulls_last(), "cand_id")
+        return (df.withColumn("mmr_score", score)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("q_id", F.lit(pick).alias("pick"),
+                        "cand_id", "rel", "mmr_score"))
+
+    def drop_pick_attach_sim(df: DataFrame, sel: DataFrame) -> DataFrame:
+        """Remove the picked candidate from each query's pool and
+        attach its similarity to every survivor (per-key equi-joins of
+        C-bounded relations)."""
+        s = sel.select(F.col("q_id").alias("s_qid"),
+                       F.col("cand_id").alias("s_id"))
+        sm = sims.select(F.col("q_id").alias("m_qid"), "a_id", "b_id", "sim")
+        return (df.join(s, df["q_id"] == s["s_qid"])
+                .filter(F.col("cand_id") != F.col("s_id"))
+                .join(sm, (F.col("m_qid") == F.col("q_id"))
+                      & (F.col("a_id") == F.col("cand_id"))
+                      & (F.col("b_id") == F.col("s_id"))))
+
+    sel1 = top1(cand, F.lit(_MMR_L) * F.col("rel"), 1)
+    rem1 = (drop_pick_attach_sim(cand, sel1)
+            .select("q_id", "cand_id", "rel", F.col("sim").alias("ms")))
+    score2 = F.lit(_MMR_L) * F.col("rel") - F.lit(1 - _MMR_L) * F.col("ms")
+    sel2 = top1(rem1, score2, 2)
+    rem2 = (drop_pick_attach_sim(rem1, sel2)
+            .select("q_id", "cand_id", "rel",
+                    F.greatest("ms", "sim").alias("ms")))
+    sel3 = top1(rem2, score2, 3)
+    return sel1.unionByName(sel2).unionByName(sel3)
+
+
+def _mmr_sql() -> str:
+    from .similarity import _cosine_sql
+    rel = _cosine_sql("q.q_emb", "p.c_emb")
+    sim = _cosine_sql("a.c_emb", "b.c_emb")
+    lam, mu = _MMR_L, 1 - _MMR_L
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 4),
+pool AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings WHERE vec_id >= 4),
+scored AS (
+  SELECT q.q_id, p.cand_id, {rel} AS rel, p.c_emb
+  FROM pool p CROSS JOIN q),
+cand AS (
+  SELECT q_id, cand_id, rel, c_emb FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel DESC NULLS LAST, cand_id) AS rn
+    FROM scored) WHERE rn <= {_MMR_C}),
+sims AS (
+  SELECT a.q_id, a.cand_id AS a_id, b.cand_id AS b_id, {sim} AS sim
+  FROM cand a JOIN cand b
+    ON a.q_id = b.q_id AND a.cand_id <> b.cand_id),
+sel1 AS (
+  SELECT q_id, 1 AS pick, cand_id, rel, {lam} * rel AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel DESC NULLS LAST, cand_id) AS rn
+    FROM cand) WHERE rn = 1),
+rem1 AS (
+  SELECT c.q_id, c.cand_id, c.rel, s.sim AS ms
+  FROM cand c
+  JOIN sel1 ON c.q_id = sel1.q_id AND c.cand_id <> sel1.cand_id
+  JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.cand_id
+             AND s.b_id = sel1.cand_id),
+sel2 AS (
+  SELECT q_id, 2 AS pick, cand_id, rel,
+         {lam} * rel - {mu} * ms AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY {lam} * rel - {mu} * ms DESC NULLS LAST,
+                        cand_id) AS rn
+    FROM rem1) WHERE rn = 1),
+rem2 AS (
+  SELECT r.q_id, r.cand_id, r.rel, greatest(r.ms, s.sim) AS ms
+  FROM rem1 r
+  JOIN sel2 ON r.q_id = sel2.q_id AND r.cand_id <> sel2.cand_id
+  JOIN sims s ON s.q_id = r.q_id AND s.a_id = r.cand_id
+             AND s.b_id = sel2.cand_id),
+sel3 AS (
+  SELECT q_id, 3 AS pick, cand_id, rel,
+         {lam} * rel - {mu} * ms AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY {lam} * rel - {mu} * ms DESC NULLS LAST,
+                        cand_id) AS rn
+    FROM rem2) WHERE rn = 1)
+SELECT * FROM sel1
+UNION ALL SELECT * FROM sel2
+UNION ALL SELECT * FROM sel3
+"""
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "rrf_hybrid_topk": (q_rrf_hybrid_topk, _rrf_sql()),
     "quality_classifier": (q_quality_classifier, _QUALITY_CLASSIFIER_SQL),
+    "mmr_rerank": (q_mmr_rerank, _mmr_sql()),
 }

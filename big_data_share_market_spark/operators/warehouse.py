@@ -315,8 +315,69 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (OPTIMIZE-style bin packing)
+# ---------------------------------------------------------------------------
+
+#: Target output-bin size for the compaction plan, in bytes of
+#: document text. Deliberately small so the sf fixtures produce
+#: multi-bin plans per source.
+_BIN_TARGET = 4096
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic small-file compaction plan, the planning half of a
+    Delta/Iceberg-style OPTIMIZE: treat each document as a file in its
+    `source` partition (size = n_chars) and assign files to output
+    bins of ~_BIN_TARGET bytes by sorted-fill — order files largest
+    first, running-sum their sizes, and cut a new bin every time the
+    PRECEDING mass crosses a target boundary (bin = floor((cumsum -
+    size) / target)). Output is one row per planned compaction job:
+    file count, total bytes, and the doc-id range it covers.
+
+    Scale: the input here stands in for a file MANIFEST — metadata,
+    ~1 row per file, millions of rows at 100 TB, not the data itself.
+    The window partitions by `source` (the table partition being
+    compacted), so the global sort a naive planner would do never
+    happens; all arithmetic is integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select("source", "doc_id", F.col("n_chars").alias("bytes"))
+    w = (W.partitionBy("source")
+         .orderBy(F.col("bytes").desc(), "doc_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = F.sum("bytes").over(w)
+    binned = files.withColumn(
+        "bin_id", F.floor((cum - F.col("bytes")) / F.lit(_BIN_TARGET)))
+    return (binned.groupBy("source", "bin_id")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("bytes").alias("total_bytes"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+_COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT source, doc_id, n_chars AS bytes FROM documents),
+binned AS (
+  SELECT source, doc_id, bytes,
+         CAST(floor((SUM(bytes) OVER (PARTITION BY source
+                        ORDER BY bytes DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) - bytes)
+                    / {_BIN_TARGET}) AS BIGINT) AS bin_id
+  FROM files)
+SELECT source, bin_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM binned
+GROUP BY source, bin_id
+"""
+
+
 QUERIES = {
     "cdc_apply": (q_cdc_apply, _CDC_APPLY_SQL),
+    "compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
     "scd2_order_priority": (q_scd2_order_priority, _SCD2_SQL),
     "scd2_snapshot": (q_scd2_snapshot, _SCD2_SNAPSHOT_SQL),
     "gdpr_erasure": (q_gdpr_erasure, _gdpr_sql()),

@@ -38,6 +38,8 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             "ann_pq_topk",
             # broadcast k-row codebook crossJoin, the Lloyd-step shape
             "kmeans_lloyd_step", "kmeans_train",
+            # broadcast 4-row query set scored against the pool scan
+            "mmr_rerank",
             # same broadcast-codebook assignment stage (SemDeDup)
             "semantic_dedup",
             "embedding_neardup", "range_trading_strategy",
