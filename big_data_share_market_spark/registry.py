@@ -36,10 +36,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: dpp_join_prune, tfidf_cosine_pairs, cms_token_counts,
 #: edit_distance_neardup, variant_props_stats, holt_forecast,
 #: holt_winters, forecast_anomalies, stream_holt_per_key, cdc_apply,
-#: contract_check_lineitem. Front-load those sixteen next rotation;
-#: the remaining 34 slots can re-verify this round's perf-touched
-#: queries (bm25_topk, rrf_hybrid_topk, quality_classifier,
-#: partition_pruned_agg, and the staged dedup family).
+#: contract_check_lineitem — plus the late-r4 wave: forecast_backtest,
+#: click_attribution, atr_wilder, williams_r, cci, mfi, cmf,
+#: keltner_channels, compaction_plan, mmr_rerank, stream_atr_per_key.
+#: Front-load those ~27 next rotation; the remaining slots can
+#: re-verify this round's perf-touched queries (bm25_topk,
+#: rrf_hybrid_topk, quality_classifier, partition_pruned_agg, and the
+#: staged dedup family).
 _FIRST_50 = (
     # --- never driver-verified (35) ---
     # changed this round: scalar-row output / pruned verify / oracle fix

@@ -551,8 +551,37 @@ FROM h
 """
 
 
+def q_stream_atr_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder ATR(14) over tick ranges as a LIVE operator — the
+    streaming sibling of operators/channels.q_atr_wilder (which runs
+    on hourly bars; on raw ticks the true range reduces to
+    |close - prev close|). Per-key (prev, acc) state in the
+    checkpoint; oracle = the batch lag + NULL-skipping ewm fold."""
+    from .state import atr_per_key
+
+    sdf = events_stream(spark, sf_dir)
+    out = run_available_now(atr_per_key(sdf), spark, output_mode="append")
+    return out.select(
+        "user_id", "event_id", "ts", "close",
+        F.nanvl("tr", F.lit(None).cast("double")).alias("tr"),
+        F.nanvl("atr_14", F.lit(None).cast("double")).alias("atr_14"))
+
+
+_STREAM_ATR_SQL = f"""
+WITH d AS (
+  SELECT user_id, event_id, ts, value AS close,
+         abs(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS tr
+  FROM events)
+SELECT user_id, event_id, ts, close, tr,
+       {_ewm_sql('tr', '1.0/14.0', _ORACLE_KEY_WINDOW)} AS atr_14
+FROM d
+"""
+
+
 QUERIES = {
     "stream_holt_per_key": (q_stream_holt_per_key, _stream_holt_sql()),
+    "stream_atr_per_key": (q_stream_atr_per_key, _STREAM_ATR_SQL),
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_ingest_dedup_gate": (q_stream_ingest_dedup_gate,
                                  _STREAM_INGEST_DEDUP_SQL),

@@ -169,6 +169,79 @@ def ema_per_key(sdf: DataFrame,
     )
 
 
+ATR_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                  "close DOUBLE, tr DOUBLE, atr_14 DOUBLE")
+ATR_STATE_DDL = "prev DOUBLE, acc DOUBLE, started BOOLEAN"
+
+
+def _atr_fn(alpha: float):
+    """Checkpointed Wilder ATR over tick ranges: tr = |x - prev x|
+    (NULL on each key's first tick, exactly `abs(value - lag(value))`),
+    smoothed by the shared NULL-skipping ewm recurrence — same op
+    order as operators/channels.q_atr_wilder's kernel, so the streamed
+    trajectory is bit-identical to the batch closed form."""
+    import math
+
+    import numpy as np
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            prev, acc, started = state.get
+            prev = math.nan if prev is None else prev
+        else:
+            prev, acc, started = math.nan, math.nan, False
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((prev, acc, started))
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out_tr = np.empty(len(vals), dtype="float64")
+        out_atr = np.empty(len(vals), dtype="float64")
+        for i, x in enumerate(vals):
+            tr = abs(x - prev)  # nan if either side nan, like lag()
+            prev = x
+            out_tr[i] = tr
+            if math.isnan(tr):
+                out_atr[i] = acc if started else math.nan
+            elif not started:
+                acc, started = tr, True
+                out_atr[i] = acc
+            else:
+                acc = acc + alpha * (tr - acc)
+                out_atr[i] = acc
+        state.update((prev, acc, started))
+        yield pd.DataFrame({
+            "user_id": user_id,
+            "event_id": pdf["event_id"].astype("int64"),
+            "ts": pdf["ts"],
+            "close": vals,
+            "tr": out_tr,
+            "atr_14": out_atr,
+        })
+
+    return fn
+
+
+def atr_per_key(sdf: DataFrame, alpha: float = 1.0 / 14.0) -> DataFrame:
+    """Streaming Wilder ATR(14) per user_id — live volatility per
+    symbol. State is O(n_keys × 2 doubles); one hash shuffle on the
+    key per micro-batch, like the EMA/Holt kernels."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _atr_fn(alpha),
+            outputStructType=ATR_OUTPUT_DDL,
+            stateStructType=ATR_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 #: Output mirrors the batch Holt kernel's per-row trajectory
 #: (operators/ewm.q_holt_forecast computes the same recurrence).
 HOLT_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
