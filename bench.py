@@ -89,6 +89,12 @@ HEADLINE = [
     "cdc_apply",            # ordered I/U/D changelog last-writer-wins
     "contract_check_lineitem",  # single-pass data-contract gate
     "variant_props_stats",  # Spark-4 VARIANT schema-free extraction
+    "atr_wilder",           # TR windows + Wilder ewm kernel over bars
+    "cci",                  # frame-list MAD fold (quantized integer)
+    "mfi",                  # sign-split money flows, decimal means
+    "keltner_channels",     # window-pure channel bands
+    "compaction_plan",      # manifest bin packing (per-source cumsum)
+    "mmr_rerank",           # unrolled greedy diversity re-rank
 ]
 
 
@@ -126,7 +132,7 @@ def main() -> None:
     # steady-state per-query latency.
     stream_timings: dict[str, float] = {}
     for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
-                 "stream_ingest_dedup_gate"):
+                 "stream_ingest_dedup_gate", "stream_atr_per_key"):
         fn, _ = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -301,8 +301,118 @@ FROM tpc
 """
 
 
+# ---------------------------------------------------------------------------
+# Ichimoku cloud (9/26/52, displaced ±26)
+# ---------------------------------------------------------------------------
+
+def _midline(n: int):
+    f = bar_window().rowsBetween(-(n - 1), 0)
+    return F.when(
+        F.count("close").over(f) == n,
+        (F.max("high").over(f) + F.min("low").over(f)) / 2.0)
+
+
+def _midline_sql(n: int) -> str:
+    f = (f"OVER (PARTITION BY user_id ORDER BY bar_ts "
+         f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)")
+    return (f"CASE WHEN COUNT(close) {f} = {n} THEN "
+            f"(MAX(high) {f} + MIN(low) {f}) / 2.0 END")
+
+
+def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud: tenkan = 9-bar midline, kijun = 26-bar midline,
+    senkou A = (tenkan+kijun)/2 displaced 26 bars FORWARD (so each
+    output row carries the cloud value plotted AT it — lag 26), senkou
+    B = 52-bar midline displaced likewise, chikou = close displaced 26
+    bars BACK (lead 26). Midlines are NULL until their window fills
+    (pandas partial-window convention). All rolling extrema + lag/lead
+    over ONE per-key ordering — a single exchange, no joins."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    bars = (bars.withColumn("tenkan", _midline(9))
+            .withColumn("kijun", _midline(26))
+            .withColumn("senkou_b_raw", _midline(52)))
+    return (bars
+            .withColumn("senkou_a",
+                        F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, 26).over(w))
+            .withColumn("senkou_b", F.lag("senkou_b_raw", 26).over(w))
+            .withColumn("chikou", F.lead("close", 26).over(w))
+            .select("user_id", "bar_ts", "close", "tenkan", "kijun",
+                    "senkou_a", "senkou_b", "chikou"))
+
+
+_ICHIMOKU_SQL = f"""
+WITH {BARS_CTE},
+mids AS (
+  SELECT user_id, bar_ts, close,
+         {_midline_sql(9)} AS tenkan,
+         {_midline_sql(26)} AS kijun,
+         {_midline_sql(52)} AS senkou_b_raw
+  FROM bars)
+SELECT user_id, bar_ts, close, tenkan, kijun,
+       lag((tenkan + kijun) / 2.0, 26) OVER w AS senkou_a,
+       lag(senkou_b_raw, 26) OVER w AS senkou_b,
+       lead(close, 26) OVER w AS chikou
+FROM mids
+WINDOW w AS {_BAR_OVER}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classic floor-trader pivot points (daily, from previous day's OHLC)
+# ---------------------------------------------------------------------------
+
+def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily pivot levels from the PREVIOUS session: P = (H+L+C)/3,
+    R1 = 2P−L, S1 = 2P−H, R2 = P+(H−L), S2 = P−(H−L), all over
+    yesterday's daily OHLC (lag at day grain). Day bars aggregate
+    straight from the hourly bars (the incremental-rollup path); the
+    first session of each key has no levels (NULL lag)."""
+    bars = ohlc_bars(spark, sf_dir)
+    daily = (bars.groupBy("user_id",
+                          F.date_trunc("day", F.col("bar_ts")).alias("day_ts"))
+             .agg(F.max("high").alias("high"), F.min("low").alias("low"),
+                  F.max_by("close", F.col("bar_ts")).alias("close")))
+    w = W.partitionBy("user_id").orderBy("day_ts")
+    ph, pl, pc = (F.lag(c).over(w) for c in ("high", "low", "close"))
+    p = (ph + pl + pc) / 3.0
+    return (daily
+            .withColumn("pivot", p)
+            .withColumn("r1", 2.0 * p - pl)
+            .withColumn("s1", 2.0 * p - ph)
+            .withColumn("r2", p + (ph - pl))
+            .withColumn("s2", p - (ph - pl))
+            .select("user_id", "day_ts", "close",
+                    "pivot", "r1", "s1", "r2", "s2"))
+
+
+_PIVOT_SQL = f"""
+WITH {BARS_CTE},
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
+         MAX(high) AS high, MIN(low) AS low,
+         last(close ORDER BY bar_ts) AS close
+  FROM bars GROUP BY user_id, date_trunc('day', bar_ts)),
+lagged AS (
+  SELECT user_id, day_ts, close,
+         lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+         lag(close) OVER w AS pc
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day_ts))
+SELECT user_id, day_ts, close,
+       (ph + pl + pc) / 3.0 AS pivot,
+       2.0 * ((ph + pl + pc) / 3.0) - pl AS r1,
+       2.0 * ((ph + pl + pc) / 3.0) - ph AS s1,
+       (ph + pl + pc) / 3.0 + (ph - pl) AS r2,
+       (ph + pl + pc) / 3.0 - (ph - pl) AS s2
+FROM lagged
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
+    "ichimoku": (q_ichimoku, _ICHIMOKU_SQL),
+    "pivot_points": (q_pivot_points, _PIVOT_SQL),
     "williams_r": (q_williams_r, _WILLIAMS_SQL),
     "cci": (q_cci, _CCI_SQL),
     "mfi": (q_mfi, _MFI_SQL),

@@ -385,9 +385,18 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("cosine", "rel")
     wq = W.partitionBy("q_id").orderBy(
         F.col("rel").desc_nulls_last(), "cand_id")
+    # Persist the pooled candidates: every unrolled greedy stage joins
+    # against cand/sims, and without pinning each reference would
+    # re-execute the FULL pool scan + scoring subtree (measured 15
+    # re-scans of embeddings in the unpinned plan) — the one part of
+    # this query that is unbounded at 100 TB. Pinned state is C rows
+    # and C² sims per query. Same pattern as part_pagerank's
+    # persisted adjacency.
+    from pyspark import StorageLevel
     cand = (scored.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= _MMR_C)
-            .select("q_id", "cand_id", "rel", "c_emb"))
+            .select("q_id", "cand_id", "rel", "c_emb")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     ca = cand.select("q_id", F.col("cand_id").alias("a_id"),
                      F.col("c_emb").alias("a_emb"))
     cb = cand.select("q_id", F.col("cand_id").alias("b_id"),
@@ -395,7 +404,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = (_with_cosine(
         ca.join(cb, "q_id").filter(F.col("a_id") != F.col("b_id")),
         "a_emb", "b_emb")
-        .select("q_id", "a_id", "b_id", F.col("cosine").alias("sim")))
+        .select("q_id", "a_id", "b_id", F.col("cosine").alias("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     cand = cand.select("q_id", "cand_id", "rel")
 
     def top1(df: DataFrame, score, pick: int) -> DataFrame:
