@@ -38,15 +38,30 @@ bars AS (
 """
 
 
+#: Staged hourly-bar relation per (applicationId, sf_dir) — see
+#: staging.py for the lifecycle. ~20 indicator/pattern/finance
+#: queries consume the same bar aggregation; a production deployment
+#: materializes exactly this rollup once (it is 1/3600th of the event
+#: rows), and local persist() is its stand-in.
+_BARS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour OHLCV bars per key from the raw event stream.
+    """Tumbling 1-hour OHLCV bars per key from the raw event stream,
+    STAGED (computed once per session/fixture, persisted).
 
     open/close are ordered-first/last via min_by/max_by on the
     (ts, event_id) struct — one aggregation pass, no window shuffle.
     """
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BARS_CACHE.get(key)
+    if cached is not None:
+        return cached
     ev = load_table(spark, sf_dir, "events")
     order_key = F.struct(F.col("ts"), F.col("event_id"))
-    return (
+    bars = (
         ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bar_ts"))
         .agg(
             F.min_by("value", order_key).alias("open"),
@@ -55,7 +70,10 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", order_key).alias("close"),
             F.count("*").alias("volume"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _BARS_CACHE[key] = bars
+    return bars
 
 
 def bar_window():

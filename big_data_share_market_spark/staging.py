@@ -9,6 +9,7 @@ production pipeline materializes to a staging store:
   * dedup (MinHash/SimHash)   — signature stores
   * text.staged_tokens        — tokenized corpus
   * graph._co_adjacency       — co-purchase adjacency lists
+  * transforms.ohlc_bars      — hourly OHLCV bar rollup
 
 persist() is local-mode's equivalent of that store, but a long-lived
 session (a notebook, a query service) eventually wants the memory
@@ -28,9 +29,10 @@ from typing import Any
 
 
 def _cache_registries() -> list[tuple[str, dict]]:
-    from .operators import bpe, dedup, graph, similarity, text
+    from .operators import bpe, dedup, graph, similarity, text, transforms
 
     return [
+        ("transforms.bars", transforms._BARS_CACHE),
         ("dedup.shingles", dedup._SH_CACHE),
         ("dedup.shingle_df", dedup._DF_CACHE),
         ("dedup.minhash_sigs", dedup._MH_CACHE),

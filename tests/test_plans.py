@@ -336,7 +336,11 @@ def test_dedup_family_reads_staged_relations(spark):
                  "bm25_topk", "quality_classifier",
                  "tfidf_cosine_pairs", "segment_dedup_rebuild",
                  # graph family: staged adjacency lists
-                 "part_pagerank"):
+                 "part_pagerank",
+                 # bar family: staged hourly OHLCV rollup (~20
+                 # indicator/pattern/finance consumers)
+                 "adx", "atr_wilder", "keltner_channels", "obv",
+                 "vwap_daily", "ohlc_day_rollup"):
         fn, _ = _QUERIES[name]
         plan = explain_str(fn(spark, SF_DIR), "simple")
         assert "InMemoryRelation" in plan, (
