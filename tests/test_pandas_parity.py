@@ -180,3 +180,56 @@ def test_embedding_neardup_subset_of_brute_force(spark):
         f"AND {ab} / nullif(sqrt({aa}) * sqrt({bb}), 0.0) >= {_ND_THRESHOLD}"
     ).fetchall()
     assert got <= {(a, b) for a, b in all_pairs}
+
+
+def test_channel_indicators_match_pandas(spark):
+    """ATR-Wilder / CCI / MFI vs independent pandas formulations over
+    independently-built hourly bars — proves the Spark+oracle pair ≡
+    textbook semantics, not just Spark ≡ oracle. CCI compares at
+    rtol 1e-6 (the engine quantizes |tp−sma| to integer 1e-9 ticks so
+    the MAD fold is order-free; pandas sums raw doubles), MFI at
+    rtol 1e-8 (decimal-exact rolling sums vs pandas float sums)."""
+    import duckdb
+
+    from big_data_share_market_spark.operators.channels import (
+        q_atr_wilder, q_cci, q_mfi)
+    from .conftest import SF_DIR
+
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, ts, value FROM '{SF_DIR}/events.parquet' "
+        "ORDER BY user_id, ts, event_id").fetchdf()
+    ev["bar_ts"] = ev["ts"].dt.floor("h")
+    bars = (ev.groupby(["user_id", "bar_ts"], sort=True)
+            .agg(high=("value", "max"), low=("value", "min"),
+                 close=("value", "last"), volume=("value", "size"))
+            .reset_index())
+    refs = []
+    for uid, g in bars.groupby("user_id", sort=True):
+        g = g.sort_values("bar_ts").reset_index(drop=True)
+        prev_c = g["close"].shift()
+        tr = pd.concat([g["high"] - g["low"], (g["high"] - prev_c).abs(),
+                        (g["low"] - prev_c).abs()], axis=1).max(axis=1)
+        atr = tr.ewm(alpha=1 / 14, adjust=False).mean()
+        tp = (g["high"] + g["low"] + g["close"]) / 3
+        sma = tp.rolling(20).mean()
+        mad = tp.rolling(20).apply(
+            lambda w: np.abs(w - w.mean()).mean(), raw=True)
+        cci = (tp - sma) / (0.015 * mad)
+        pm = tp.gt(tp.shift()) * tp * g["volume"]
+        nm = tp.lt(tp.shift()) * tp * g["volume"]
+        mfi = 100 - 100 / (1 + pm.rolling(14).mean() / nm.rolling(14).mean())
+        refs.append(pd.DataFrame(
+            {"atr": atr, "cci": cci,
+             "mfi": mfi.replace([np.inf, -np.inf], np.nan)}))
+    ref = pd.concat(refs, ignore_index=True)
+
+    def fetch(q, col):
+        return (q(spark, SF_DIR).orderBy("user_id", "bar_ts")
+                .toPandas()[col].to_numpy(dtype="float64"))
+
+    np.testing.assert_allclose(fetch(q_atr_wilder, "atr_14"),
+                               ref["atr"].to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(fetch(q_cci, "cci_20"),
+                               ref["cci"].to_numpy(), rtol=1e-6)
+    np.testing.assert_allclose(fetch(q_mfi, "mfi_14"),
+                               ref["mfi"].to_numpy(), rtol=1e-8)
