@@ -95,6 +95,7 @@ HEADLINE = [
     "keltner_channels",     # window-pure channel bands
     "compaction_plan",      # manifest bin packing (per-source cumsum)
     "mmr_rerank",           # unrolled greedy diversity re-rank
+    "parabolic_sar",        # 4-field branching state-machine kernel
 ]
 
 

@@ -409,10 +409,155 @@ FROM lagged
 """
 
 
+# ---------------------------------------------------------------------------
+# Parabolic SAR (Wilder): 4-field branching state machine
+# ---------------------------------------------------------------------------
+
+def q_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's parabolic stop-and-reverse — the most state-heavy
+    indicator in the classical set: per key it carries (trend, sar,
+    ep, af) where every bar BRANCHES (reversal / new-extreme /
+    carry), af accelerates by 0.02 to a 0.2 cap, and the SAR clamps
+    against the previous two bars' extremes. No window algebra
+    expresses it; it runs in the same partition-wide Arrow-kernel
+    shape as the ewm family (one exchange, state carried across
+    batches, key-change reset). The DuckDB oracle replays the
+    identical recurrence as a recursive CTE — same IEEE ops in the
+    same order, so sar, trend, and every branch decision are
+    bit-identical.
+
+    Initialization (documented convention): the second bar seeds
+    trend = sign(close₁ ≥ close₀), sar = the prior bar's opposite
+    extreme, ep = this bar's own extreme, af = 0.02; the first bar
+    emits NULL."""
+    bars = ohlc_bars(spark, sf_dir)
+    staged = (bars.select("user_id", "bar_ts", "high", "low", "close")
+              .repartition("user_id")
+              .sortWithinPartitions("user_id", "bar_ts"))
+    schema = ("user_id bigint, bar_ts timestamp, close double, "
+              "sar double, trend int")
+
+    def kernel(batches):
+        import pandas as pd
+
+        key = None
+        st = None  # (i, trend, sar, ep, af, p1_low, p2_low, p1_high, p2_high, p1_close)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            highs = pdf["high"].to_numpy(dtype="float64")
+            lows = pdf["low"].to_numpy(dtype="float64")
+            closes = pdf["close"].to_numpy(dtype="float64")
+            out_sar: list[float | None] = []
+            out_trend: list[int | None] = []
+            for r in range(len(pdf)):
+                if keys[r] != key:
+                    key = keys[r]
+                    st = None
+                hi, lo, cl = highs[r], lows[r], closes[r]
+                if st is None:
+                    st = (1, None, None, None, None,
+                          lo, None, hi, None, cl)
+                    out_sar.append(None)
+                    out_trend.append(None)
+                    continue
+                (i, trend, sar, ep, af,
+                 p1_low, p2_low, p1_high, p2_high, p1_close) = st
+                if i == 1:
+                    trend = 1 if cl >= p1_close else -1
+                    sar = p1_low if trend == 1 else p1_high
+                    ep = hi if trend == 1 else lo
+                    af = 0.02
+                else:
+                    sar0 = sar + af * (ep - sar)
+                    if trend == 1:
+                        sar1 = min(sar0, p1_low, p2_low)
+                        rev = lo < sar1
+                    else:
+                        sar1 = max(sar0, p1_high, p2_high)
+                        rev = hi > sar1
+                    if rev:
+                        sar = ep
+                        ep = lo if trend == 1 else hi
+                        trend = -trend
+                        af = 0.02
+                    else:
+                        sar = sar1
+                        if trend == 1 and hi > ep:
+                            ep, af = hi, min(af + 0.02, 0.2)
+                        elif trend == -1 and lo < ep:
+                            ep, af = lo, min(af + 0.02, 0.2)
+                out_sar.append(sar)
+                out_trend.append(trend)
+                st = (i + 1, trend, sar, ep, af,
+                      lo, p1_low, hi, p1_high, cl)
+            yield pd.DataFrame({
+                "user_id": pdf["user_id"].astype("int64"),
+                "bar_ts": pdf["bar_ts"],
+                "close": closes,
+                "sar": pd.Series(out_sar, dtype="float64"),
+                "trend": pd.Series(out_trend, dtype="Int32"),
+            })
+
+    return staged.mapInPandas(kernel, schema=schema)
+
+
+_SAR_SQL = f"""
+WITH RECURSIVE {BARS_CTE},
+s AS (
+  SELECT user_id, bar_ts, high, low, close,
+         row_number() OVER w AS rn,
+         lag(low) OVER w AS p1_low, lag(low, 2) OVER w AS p2_low,
+         lag(high) OVER w AS p1_high, lag(high, 2) OVER w AS p2_high,
+         lag(close) OVER w AS p1_close
+  FROM bars
+  WINDOW w AS {_BAR_OVER}),
+r AS (
+  SELECT user_id, bar_ts, rn,
+         CASE WHEN close >= p1_close THEN 1 ELSE -1 END AS trend,
+         CASE WHEN close >= p1_close THEN p1_low ELSE p1_high END AS sar,
+         CASE WHEN close >= p1_close THEN high ELSE low END AS ep,
+         CAST(0.02 AS DOUBLE) AS af
+  FROM s WHERE rn = 2
+  UNION ALL
+  SELECT t.user_id, t.bar_ts, t.rn,
+         CASE WHEN t.rev THEN -t.trend ELSE t.trend END AS trend,
+         CASE WHEN t.rev THEN t.ep ELSE t.sar1 END AS sar,
+         CASE WHEN t.rev THEN
+                (CASE WHEN t.trend = 1 THEN t.low ELSE t.high END)
+              WHEN t.trend = 1 AND t.high > t.ep THEN t.high
+              WHEN t.trend = -1 AND t.low < t.ep THEN t.low
+              ELSE t.ep END AS ep,
+         CASE WHEN t.rev THEN CAST(0.02 AS DOUBLE)
+              WHEN (t.trend = 1 AND t.high > t.ep)
+                OR (t.trend = -1 AND t.low < t.ep)
+                THEN least(t.af + 0.02, 0.2)
+              ELSE t.af END AS af
+  FROM (
+    SELECT q.user_id, q.bar_ts, q.rn, q.high, q.low,
+           r.trend, r.ep, r.af,
+           CASE WHEN r.trend = 1
+                THEN least(r.sar + r.af * (r.ep - r.sar),
+                           q.p1_low, q.p2_low)
+                ELSE greatest(r.sar + r.af * (r.ep - r.sar),
+                              q.p1_high, q.p2_high) END AS sar1,
+           CASE WHEN r.trend = 1
+                THEN q.low < least(r.sar + r.af * (r.ep - r.sar),
+                                   q.p1_low, q.p2_low)
+                ELSE q.high > greatest(r.sar + r.af * (r.ep - r.sar),
+                                       q.p1_high, q.p2_high) END AS rev
+    FROM r JOIN s q ON q.user_id = r.user_id AND q.rn = r.rn + 1) t)
+SELECT b.user_id, b.bar_ts, b.close, r.sar, CAST(r.trend AS INTEGER) AS trend
+FROM s b LEFT JOIN r ON r.user_id = b.user_id AND r.rn = b.rn
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
     "ichimoku": (q_ichimoku, _ICHIMOKU_SQL),
     "pivot_points": (q_pivot_points, _PIVOT_SQL),
+    "parabolic_sar": (q_parabolic_sar, _SAR_SQL),
     "williams_r": (q_williams_r, _WILLIAMS_SQL),
     "cci": (q_cci, _CCI_SQL),
     "mfi": (q_mfi, _MFI_SQL),

@@ -38,7 +38,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: holt_winters, forecast_anomalies, stream_holt_per_key, cdc_apply,
 #: contract_check_lineitem — plus the late-r4 wave: forecast_backtest,
 #: click_attribution, atr_wilder, williams_r, cci, mfi, cmf,
-#: keltner_channels, compaction_plan, mmr_rerank, stream_atr_per_key.
+#: keltner_channels, ichimoku, pivot_points, parabolic_sar,
+#: compaction_plan, mmr_rerank, stream_atr_per_key.
 #: Front-load those ~27 next rotation; the remaining slots can
 #: re-verify this round's perf-touched queries (bm25_topk,
 #: rrf_hybrid_topk, quality_classifier, partition_pruned_agg, and the
