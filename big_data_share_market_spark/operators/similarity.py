@@ -1379,8 +1379,102 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Hard-negative mining (cross-label nearest neighbors)
+# ---------------------------------------------------------------------------
+
+#: Hard negatives kept per anchor.
+_HNM_K = 2
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 most-similar DIFFERENT-label vectors per anchor — the
+    hard-negative mining pass a contrastive-training pipeline runs to
+    upgrade random in-batch negatives. Candidates come from the same
+    3-table LSH bucket co-membership as `ann_batch_topk` (bounded by
+    the first-cap-sorted-ids truncation), labels filter BEFORE the
+    cosine so only cross-label pairs are ever scored, and a per-anchor
+    window rank keeps the 2 hardest. Recall < 1 by design (a hard
+    negative outside every shared bucket is missed — at mining scale
+    that is the accepted LSH trade); the oracle mirrors tables, cap,
+    label filter, and tiebreaks, so parity is exact.
+
+    Scale: bucket membership is map-side literal-weight projection,
+    pair expansion is capped per bucket, and the verify join touches
+    candidates only — AQE picks the join strategy (no broadcast
+    hints; the embeddings side is unbounded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = (_nd_buckets(emb)
+         .withColumn("rn", F.row_number().over(
+             W.partitionBy("tbl", "bucket").orderBy("vec_id")))
+         .filter(F.col("rn") <= _BUCKET_CAP))
+    a = r.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
+    b = r.select("tbl", "bucket", F.col("vec_id").alias("b_id"))
+    pairs = (a.join(b, ["tbl", "bucket"])
+             .filter(F.col("a_id") != F.col("b_id"))
+             .select("a_id", "b_id").dropDuplicates())
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").alias("a_emb"),
+                    F.col("label").alias("a_label"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("b_emb"),
+                    F.col("label").alias("b_label"))
+    scored = _with_cosine(
+        pairs.join(ea, "a_id").join(eb, "b_id")
+        .filter(F.col("a_label") != F.col("b_label")),
+        "a_emb", "b_emb")
+    ranked = scored.withColumn("rnk", F.row_number().over(
+        W.partitionBy("a_id").orderBy(
+            F.col("cosine").desc_nulls_last(), "b_id")))
+    return (ranked.filter(F.col("rnk") <= _HNM_K)
+            .select(F.col("a_id").alias("vec_id"),
+                    F.col("a_label").alias("label"),
+                    F.col("b_id").alias("neg_id"),
+                    F.col("b_label").alias("neg_label"),
+                    "cosine", F.col("rnk").alias("rank")))
+
+
+def _hnm_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, label,
+         {", ".join(f"{_bucket_sql('embedding', f't{t}.')} AS bucket_{t}"
+                    for t in range(_ND_TABLES))}
+  FROM embeddings),
+{", ".join(
+    f"r{t} AS (SELECT vec_id, bucket_{t} AS bucket, "
+    f"row_number() OVER (PARTITION BY bucket_{t} ORDER BY vec_id) AS rn "
+    f"FROM b)"
+    for t in range(_ND_TABLES))},
+cand AS (
+  SELECT DISTINCT a_id, b_id FROM (
+    {" UNION ALL ".join(
+        f"SELECT x.vec_id AS a_id, y.vec_id AS b_id "
+        f"FROM r{t} x JOIN r{t} y ON x.bucket = y.bucket "
+        f"AND x.vec_id <> y.vec_id "
+        f"WHERE x.rn <= {_BUCKET_CAP} AND y.rn <= {_BUCKET_CAP}"
+        for t in range(_ND_TABLES))})),
+scored AS (
+  SELECT a_id, ea.label AS a_label, b_id, eb.label AS b_label,
+         {_cosine_sql('ea.embedding', 'eb.embedding')} AS cosine
+  FROM cand
+  JOIN b ea ON ea.vec_id = a_id
+  JOIN b eb ON eb.vec_id = b_id
+  WHERE ea.label <> eb.label),
+ranked AS (
+  SELECT a_id, a_label, b_id, b_label, cosine,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cosine DESC NULLS LAST, b_id) AS rnk
+  FROM scored)
+SELECT a_id AS vec_id, a_label AS label, b_id AS neg_id,
+       b_label AS neg_label, cosine, rnk AS rank
+FROM ranked WHERE rnk <= {_HNM_K}
+"""
+
+
 QUERIES = {
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
+    "hard_negative_mining": (q_hard_negative_mining, _hnm_sql()),
     "sq8_topk": (q_sq8_topk, _SQ8_TOPK_SQL),
     # numpy kernel: no value oracle by design (pairwise vs sequential
     # float summation); invariant-tested against cosine_topk instead.

@@ -39,7 +39,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: contract_check_lineitem — plus the late-r4 wave: forecast_backtest,
 #: click_attribution, atr_wilder, williams_r, cci, mfi, cmf,
 #: keltner_channels, ichimoku, pivot_points, parabolic_sar,
-#: compaction_plan, mmr_rerank, stream_atr_per_key.
+#: compaction_plan, mmr_rerank, stream_atr_per_key,
+#: hard_negative_mining.
 #: Front-load those ~27 next rotation; the remaining slots can
 #: re-verify this round's perf-touched queries (bm25_topk,
 #: rrf_hybrid_topk, quality_classifier, partition_pruned_agg, and the
