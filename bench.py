@@ -96,6 +96,8 @@ HEADLINE = [
     "compaction_plan",      # manifest bin packing (per-source cumsum)
     "mmr_rerank",           # unrolled greedy diversity re-rank
     "parabolic_sar",        # 4-field branching state-machine kernel
+    "hard_negative_mining", # cross-label LSH candidate mining
+    "dashboard_snapshot",   # composed console refresh, one exchange
 ]
 
 

@@ -828,7 +828,104 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Dashboard snapshot: the reference console's per-refresh payload
+# ---------------------------------------------------------------------------
+
+def q_dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole dashboard refresh as ONE query: per
+    symbol, the latest tick decorated with the indicator suite the
+    Streamlit console shows side by side — BUY/SELL/HOLD signal (B2,
+    `flink_processor/flink_processor.py:105-109`), EMA 5/15 (E1),
+    SMA 20 (E2), RSI 14 (E3), and support/resistance (D1/E7), all
+    `streamlit_app/streamlit_app.py:165-204,346-347`. The reference
+    recomputes each of these eagerly per refresh over separate pandas
+    frames; here every indicator shares ONE hash exchange on the key —
+    the window stages reuse the partitioning, the ewm kernel runs over
+    the already-sorted layout, and the final latest-row filter is a
+    rank over the same key. Output: one row per symbol."""
+    from .indicators import _rolling_mean
+
+    s = _series(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    prev = F.lag("close").over(w)
+    s = (s.withColumn("prev_value", prev)
+         .withColumn("support", F.min("close").over(wk))
+         .withColumn("resistance", F.max("close").over(wk))
+         .withColumn("sma_20", _rolling_mean(F.col("close"), w, 20))
+         .withColumn("delta", F.col("close") - F.lag("close").over(w)))
+    gain = F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0.0))
+    loss = F.when(F.col("delta") < 0, -F.col("delta")).otherwise(F.lit(0.0))
+    s = (s.withColumn("gain_avg", _rolling_mean(gain, w, 14))
+         .withColumn("loss_avg", _rolling_mean(loss, w, 14)))
+    rs = F.col("gain_avg") / F.nullif(F.col("loss_avg"), F.lit(0.0))
+    s = s.withColumn(
+        "rsi_14", F.lit(100.0) - (F.lit(100.0) / (F.lit(1.0) + rs)))
+    # Latest-row rank is precomputed ASCENDING (rn == n_rows) so it
+    # rides the same exchange/sort as every other window — ranking
+    # after the kernel would force a second exchange, since
+    # mapInPandas erases the known output partitioning.
+    s = (s.withColumn("rn", F.row_number().over(w))
+         .withColumn("n_rows", F.count("*").over(wk)))
+    # Window stages left the layout hash(user_id)-partitioned and
+    # (ts, event_id)-sorted — the kernel adds no exchange.
+    s = _apply_ewm(s, ["ts", "event_id"],
+                   {"ema_5": ("close", 2.0 / (5.0 + 1.0)),
+                    "ema_15": ("close", 2.0 / (15.0 + 1.0))},
+                   assume_sorted=True)
+    return (s.filter(F.col("rn") == F.col("n_rows"))
+            .withColumn(
+                "signal",
+                F.when(F.col("prev_value").isNull(), "HOLD")
+                .when(F.col("close") > F.col("prev_value"), "BUY")
+                .when(F.col("close") < F.col("prev_value"), "SELL")
+                .otherwise("HOLD"))
+            .select("user_id", "ts", "close", "prev_value", "signal",
+                    "ema_5", "ema_15", "sma_20", "rsi_14",
+                    "support", "resistance"))
+
+
+def _dashboard_sql() -> str:
+    from .indicators import _rolling_mean_sql
+
+    kw = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    return f"""
+WITH d AS (
+  SELECT user_id, event_id, ts, value AS close,
+         lag(value) OVER w AS prev_value,
+         MIN(value) OVER wk AS support,
+         MAX(value) OVER wk AS resistance,
+         {_ewm_sql('value', '2.0/(5.0+1.0)', _ORACLE_KEY_WINDOW)} AS ema_5,
+         {_ewm_sql('value', '2.0/(15.0+1.0)', _ORACLE_KEY_WINDOW)} AS ema_15,
+         {_rolling_mean_sql('value', 20, kw)} AS sma_20,
+         value - lag(value) OVER w AS delta,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WINDOW w AS {kw}, wk AS (PARTITION BY user_id)),
+g AS (
+  SELECT *,
+         {_rolling_mean_sql("CASE WHEN delta > 0 THEN delta ELSE 0.0 END",
+                            14, kw)} AS gain_avg,
+         {_rolling_mean_sql("CASE WHEN delta < 0 THEN -delta ELSE 0.0 END",
+                            14, kw)} AS loss_avg
+  FROM d)
+SELECT user_id, ts, close, prev_value,
+       CASE WHEN prev_value IS NULL THEN 'HOLD'
+            WHEN close > prev_value THEN 'BUY'
+            WHEN close < prev_value THEN 'SELL'
+            ELSE 'HOLD' END AS signal,
+       ema_5, ema_15, sma_20,
+       100.0 - (100.0 / (1.0 + gain_avg / nullif(loss_avg, 0.0))) AS rsi_14,
+       support, resistance
+FROM g WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "dashboard_snapshot": (q_dashboard_snapshot, _dashboard_sql()),
     "holt_forecast": (q_holt_forecast, _holt_sql()),
     "holt_winters": (q_holt_winters, _holt_winters_sql()),
     "forecast_anomalies": (q_forecast_anomalies, _anomaly_sql()),

@@ -382,3 +382,13 @@ def test_snapshot_diff_single_pk_join(spark):
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert plan.count("SortMergeJoin") == 1, plan[:2000]
     assert "FullOuter" in plan, plan[:2000]
+
+
+def test_dashboard_snapshot_single_exchange(spark):
+    """The composed dashboard refresh (signal + EMA/SMA/RSI +
+    support/resistance + latest-row filter) must share ONE hash
+    exchange on the key — each indicator re-shuffling would multiply
+    the reference's per-refresh cost by the indicator count."""
+    fn, _ = _QUERIES["dashboard_snapshot"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
