@@ -553,11 +553,207 @@ FROM s b LEFT JOIN r ON r.user_id = b.user_id AND r.rn = b.rn
 """
 
 
+# ---------------------------------------------------------------------------
+# Supertrend (10, 3): recursive band clamp over Wilder ATR
+# ---------------------------------------------------------------------------
+
+def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supertrend(10, 3): basic bands = midpoint ± 3·ATR(10, Wilder),
+    then the band RATCHET — the final upper band only falls (unless
+    the previous close broke above it), the final lower band only
+    rises (unless broken below) — and the trend flips when close
+    crosses the active band. Like parabolic SAR this is a coupled
+    recursive state machine (atr, final_ub, final_lb, trend), run as
+    ONE partition-wide Arrow-kernel pass; the oracle replays the same
+    recurrence as a recursive CTE (ATR recursion folded into the same
+    state row), IEEE-identical.
+
+    Convention (documented): bar 1 seeds atr = high−low, bands from
+    it, trend = +1 iff close > final_ub else −1."""
+    bars = ohlc_bars(spark, sf_dir)
+    staged = (bars.select("user_id", "bar_ts", "high", "low", "close")
+              .repartition("user_id")
+              .sortWithinPartitions("user_id", "bar_ts"))
+    schema = ("user_id bigint, bar_ts timestamp, close double, "
+              "supertrend double, trend int")
+    alpha, mult = 1.0 / 10.0, 3.0
+
+    def kernel(batches):
+        import pandas as pd
+
+        key = None
+        st = None  # (atr, fub, flb, trend, prev_close)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            highs = pdf["high"].to_numpy(dtype="float64")
+            lows = pdf["low"].to_numpy(dtype="float64")
+            closes = pdf["close"].to_numpy(dtype="float64")
+            out_st: list[float] = []
+            out_tr: list[int] = []
+            for r in range(len(pdf)):
+                if keys[r] != key:
+                    key = keys[r]
+                    st = None
+                hi, lo, cl = highs[r], lows[r], closes[r]
+                if st is None:
+                    atr = hi - lo
+                    fub = (hi + lo) / 2.0 + mult * atr
+                    flb = (hi + lo) / 2.0 - mult * atr
+                    trend = 1 if cl > fub else -1
+                else:
+                    atr_p, fub_p, flb_p, trend_p, pc = st
+                    tr = max(hi - lo, abs(hi - pc), abs(lo - pc))
+                    atr = atr_p + alpha * (tr - atr_p)
+                    bub = (hi + lo) / 2.0 + mult * atr
+                    blb = (hi + lo) / 2.0 - mult * atr
+                    fub = bub if (bub < fub_p or pc > fub_p) else fub_p
+                    flb = blb if (blb > flb_p or pc < flb_p) else flb_p
+                    if trend_p == -1 and cl > fub:
+                        trend = 1
+                    elif trend_p == 1 and cl < flb:
+                        trend = -1
+                    else:
+                        trend = trend_p
+                out_st.append(flb if trend == 1 else fub)
+                out_tr.append(trend)
+                st = (atr, fub, flb, trend, cl)
+            yield pd.DataFrame({
+                "user_id": pdf["user_id"].astype("int64"),
+                "bar_ts": pdf["bar_ts"],
+                "close": closes,
+                "supertrend": pd.Series(out_st, dtype="float64"),
+                "trend": pd.Series(out_tr, dtype="int32"),
+            })
+
+    return staged.mapInPandas(kernel, schema=schema)
+
+
+_SUPERTREND_SQL = f"""
+WITH RECURSIVE {BARS_CTE},
+s AS (
+  SELECT user_id, bar_ts, high, low, close,
+         row_number() OVER w AS rn,
+         lag(close) OVER w AS p1_close
+  FROM bars
+  WINDOW w AS {_BAR_OVER}),
+r AS (
+  SELECT user_id, bar_ts, rn, close,
+         high - low AS atr,
+         (high + low) / 2.0 + 3.0 * (high - low) AS fub,
+         (high + low) / 2.0 - 3.0 * (high - low) AS flb,
+         CASE WHEN close > (high + low) / 2.0 + 3.0 * (high - low)
+              THEN 1 ELSE -1 END AS trend
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.bar_ts, t.rn, t.close, t.atr, t.fub, t.flb,
+         CASE WHEN t.trend_p = -1 AND t.close > t.fub THEN 1
+              WHEN t.trend_p = 1 AND t.close < t.flb THEN -1
+              ELSE t.trend_p END AS trend
+  FROM (
+    SELECT q.user_id, q.bar_ts, q.rn, q.close, r.trend AS trend_p,
+           u.atr,
+           CASE WHEN (q.high + q.low) / 2.0 + 3.0 * u.atr < r.fub
+                  OR q.p1_close > r.fub
+                THEN (q.high + q.low) / 2.0 + 3.0 * u.atr
+                ELSE r.fub END AS fub,
+           CASE WHEN (q.high + q.low) / 2.0 - 3.0 * u.atr > r.flb
+                  OR q.p1_close < r.flb
+                THEN (q.high + q.low) / 2.0 - 3.0 * u.atr
+                ELSE r.flb END AS flb
+    FROM r
+    JOIN s q ON q.user_id = r.user_id AND q.rn = r.rn + 1
+    CROSS JOIN LATERAL (SELECT r.atr + (1.0/10.0)
+             * (greatest(q.high - q.low, abs(q.high - q.p1_close),
+                         abs(q.low - q.p1_close)) - r.atr) AS atr) u) t)
+SELECT user_id, bar_ts, close,
+       CASE WHEN trend = 1 THEN flb ELSE fub END AS supertrend,
+       CAST(trend AS INTEGER) AS trend
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Donchian channels(20) and chandelier exit(22, 3)
+# ---------------------------------------------------------------------------
+
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channels(20): rolling 20-bar extremes of high/low and
+    their midpoint, NULL until the window fills — the turtle-trading
+    band pair, window-pure."""
+    bars = ohlc_bars(spark, sf_dir)
+    f20 = bar_window().rowsBetween(-19, 0)
+    full = F.count("close").over(f20) == 20
+    ub = F.when(full, F.max("high").over(f20))
+    lb = F.when(full, F.min("low").over(f20))
+    return (bars.withColumn("dc_up", ub).withColumn("dc_dn", lb)
+            .withColumn("dc_mid", (F.col("dc_up") + F.col("dc_dn")) / 2.0)
+            .select("user_id", "bar_ts", "close", "dc_up", "dc_dn", "dc_mid"))
+
+
+_DONCHIAN_SQL = f"""
+WITH {BARS_CTE}
+SELECT user_id, bar_ts, close,
+       CASE WHEN COUNT(close) OVER w20 = 20
+            THEN MAX(high) OVER w20 END AS dc_up,
+       CASE WHEN COUNT(close) OVER w20 = 20
+            THEN MIN(low) OVER w20 END AS dc_dn,
+       (CASE WHEN COUNT(close) OVER w20 = 20
+             THEN MAX(high) OVER w20 END
+        + CASE WHEN COUNT(close) OVER w20 = 20
+               THEN MIN(low) OVER w20 END) / 2.0 AS dc_mid
+FROM bars
+WINDOW w20 AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chandelier exit(22, 3): long stop = HH22 − 3·ATR(22, Wilder),
+    short stop = LL22 + 3·ATR(22) — trailing-stop levels hanging off
+    the rolling extremes; extrema are window-pure, the ATR recursion
+    rides the shared ewm kernel over the already-sorted layout."""
+    bars = _with_tr(ohlc_bars(spark, sf_dir))
+    bars = _apply_ewm(bars, ["bar_ts"], {"atr_22": ("tr", 1.0 / 22.0)},
+                      assume_sorted=True)
+    f22 = bar_window().rowsBetween(-21, 0)
+    full = F.count("close").over(f22) == 22
+    hh = F.when(full, F.max("high").over(f22))
+    ll = F.when(full, F.min("low").over(f22))
+    return (bars
+            .withColumn("long_exit", hh - 3.0 * F.col("atr_22"))
+            .withColumn("short_exit", ll + 3.0 * F.col("atr_22"))
+            .select("user_id", "bar_ts", "close",
+                    "long_exit", "short_exit"))
+
+
+_CHANDELIER_SQL = f"""
+WITH {BARS_CTE},
+{_TR_CTE},
+a AS (
+  SELECT user_id, bar_ts, high, low, close,
+         {_ewm_sql('tr', '1.0/22.0', _ORACLE_BAR_WINDOW)} AS atr_22
+  FROM trc)
+SELECT user_id, bar_ts, close,
+       CASE WHEN COUNT(close) OVER w22 = 22
+            THEN MAX(high) OVER w22 END - 3.0 * atr_22 AS long_exit,
+       CASE WHEN COUNT(close) OVER w22 = 22
+            THEN MIN(low) OVER w22 END + 3.0 * atr_22 AS short_exit
+FROM a
+WINDOW w22 AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
     "ichimoku": (q_ichimoku, _ICHIMOKU_SQL),
     "pivot_points": (q_pivot_points, _PIVOT_SQL),
     "parabolic_sar": (q_parabolic_sar, _SAR_SQL),
+    "supertrend": (q_supertrend, _SUPERTREND_SQL),
+    "donchian_channels": (q_donchian, _DONCHIAN_SQL),
+    "chandelier_exit": (q_chandelier_exit, _CHANDELIER_SQL),
     "williams_r": (q_williams_r, _WILLIAMS_SQL),
     "cci": (q_cci, _CCI_SQL),
     "mfi": (q_mfi, _MFI_SQL),
