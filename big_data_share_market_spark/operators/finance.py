@@ -343,7 +343,89 @@ ORDER BY user_id
 """
 
 
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume profile per key: hourly-bar volume aggregated into
+    integer price bins (floor(close)), with each key's point of
+    control (the max-volume bin, ties to the lower bin) flagged — the
+    market-profile histogram traders read against support/resistance.
+    One grouped agg over the staged bars + one per-key window rank;
+    integer volumes keep both engines hash-exact."""
+    bars = ohlc_bars(spark, sf_dir)
+    binned = (bars.groupBy("user_id",
+                           F.floor("close").alias("price_bin"))
+              .agg(F.sum("volume").alias("bin_volume"),
+                   F.count("*").alias("n_bars")))
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("bin_volume"), F.asc("price_bin"))
+    return (binned
+            .withColumn("is_poc", F.row_number().over(w) == 1)
+            .orderBy("user_id", "price_bin"))
+
+
+_VOLUME_PROFILE_SQL = f"""
+WITH {BARS_CTE},
+binned AS (
+  SELECT user_id, CAST(floor(close) AS BIGINT) AS price_bin,
+         CAST(SUM(volume) AS BIGINT) AS bin_volume,
+         COUNT(*) AS n_bars
+  FROM bars GROUP BY user_id, floor(close))
+SELECT user_id, price_bin, bin_volume, n_bars,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY bin_volume DESC, price_bin) = 1 AS is_poc
+FROM binned
+ORDER BY user_id, price_bin
+"""
+
+
+def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-under-water: per bar, how many consecutive bars the key
+    has spent below its running peak (0 at each new peak), plus each
+    key's worst spell. Gaps-and-islands via windows only: rn minus
+    the last peak-setting rn (cumulative MAX over a CASE) — no
+    self-join, one exchange over the staged bars."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+    bars = (bars.withColumn("rn", F.row_number().over(w))
+            .withColumn("peak", F.max("close").over(cum)))
+    peak_rn = F.max(
+        F.when(F.col("close") >= F.col("peak"), F.col("rn"))).over(cum)
+    bars = bars.withColumn("underwater_bars", F.col("rn") - peak_rn)
+    return (bars.groupBy("user_id")
+            .agg(F.max("underwater_bars").alias("max_underwater_bars"),
+                 F.avg(F.col("underwater_bars").cast("double"))
+                 .alias("avg_underwater_bars"),
+                 F.count("*").alias("n_bars"))
+            .orderBy("user_id"))
+
+
+_DRAWDOWN_DURATION_SQL = f"""
+WITH {BARS_CTE},
+r AS (
+  SELECT user_id, bar_ts, close,
+         row_number() OVER w AS rn,
+         MAX(close) OVER (PARTITION BY user_id ORDER BY bar_ts
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM bars
+  WINDOW w AS (PARTITION BY user_id ORDER BY bar_ts)),
+d AS (
+  SELECT user_id,
+         rn - MAX(CASE WHEN close >= peak THEN rn END)
+                OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS underwater_bars
+  FROM r)
+SELECT user_id,
+       MAX(underwater_bars) AS max_underwater_bars,
+       AVG(CAST(underwater_bars AS DOUBLE)) AS avg_underwater_bars,
+       COUNT(*) AS n_bars
+FROM d GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "volume_profile": (q_volume_profile, _VOLUME_PROFILE_SQL),
+    "drawdown_duration": (q_drawdown_duration, _DRAWDOWN_DURATION_SQL),
     "vwap_daily": (q_vwap_daily, _VWAP_SQL),
     "max_drawdown": (q_max_drawdown, _MAX_DRAWDOWN_SQL),
     "realized_volatility": (q_realized_volatility, _REALIZED_VOL_SQL),

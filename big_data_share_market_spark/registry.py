@@ -41,7 +41,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: keltner_channels, ichimoku, pivot_points, parabolic_sar,
 #: compaction_plan, mmr_rerank, stream_atr_per_key,
 #: hard_negative_mining, dashboard_snapshot, supertrend,
-#: donchian_channels, chandelier_exit.
+#: donchian_channels, chandelier_exit, volume_profile,
+#: drawdown_duration.
 #: Front-load those ~33 next rotation; the remaining slots can
 #: re-verify this round's perf-touched queries (bm25_topk,
 #: rrf_hybrid_topk, quality_classifier, partition_pruned_agg, and the
