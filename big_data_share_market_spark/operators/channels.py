@@ -746,8 +746,122 @@ WINDOW w22 AS (PARTITION BY user_id ORDER BY bar_ts
 """
 
 
+# ---------------------------------------------------------------------------
+# KAMA(10, 2, 30): adaptive-alpha recurrence
+# ---------------------------------------------------------------------------
+
+def q_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman adaptive moving average — the recurrence whose
+    smoothing coefficient VARIES per row: efficiency ratio ER =
+    |close − close₋₁₀| / Σ₁₀|Δclose| (0 on flat windows), smoothing
+    constant sc = (ER·(2/3 − 2/31) + 2/31)², then
+    kama := kama + sc·(close − kama), seeded with close at each key's
+    first full window. The fixed-alpha ewm kernel can't express this;
+    a dedicated partition-wide kernel carries (kama, started) while
+    sc arrives as a PRECOMPUTED column from the same decimal-exact
+    window stage the oracle uses (Σ|Δ| is floor-quantized to integer
+    1e-9 ticks so the denominator is an exact BIGINT on both
+    engines). Oracle = recursive CTE over the identical sc column."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    f10 = w.rowsBetween(-9, 0)
+    delta = F.col("close") - F.lag("close").over(w)
+    bars = bars.withColumn(
+        "absd_i", F.floor(F.abs(delta) * 1e9).cast("long"))
+    den = F.when(F.count("absd_i").over(f10) == 10,
+                 F.sum("absd_i").over(f10))
+    num = F.abs(F.col("close") - F.lag("close", 10).over(w))
+    er = F.coalesce(num * 1e9 / F.nullif(den.cast("double"), F.lit(0.0)),
+                    F.when(den.isNotNull(), F.lit(0.0)))
+    # Python float literals, NOT F.expr("2.0/...") — Spark SQL parses
+    # the literal 2.0 as DECIMAL(2,1), so the division would round to
+    # 6 digits while DuckDB evaluates the same text as DOUBLE.
+    fast, slow = 2.0 / (2.0 + 1.0), 2.0 / (30.0 + 1.0)
+    scb = er * F.lit(fast - slow) + F.lit(slow)
+    bars = bars.withColumn("sc", scb * scb)
+    staged = (bars.select("user_id", "bar_ts", "close", "sc")
+              .repartition("user_id")
+              .sortWithinPartitions("user_id", "bar_ts"))
+    schema = "user_id bigint, bar_ts timestamp, close double, kama double"
+
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        key = None
+        acc, started = math.nan, False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            closes = pdf["close"].to_numpy(dtype="float64")
+            scs = pdf["sc"].to_numpy(dtype="float64", na_value=math.nan)
+            out = []
+            for r in range(len(pdf)):
+                if keys[r] != key:
+                    key = keys[r]
+                    acc, started = math.nan, False
+                sc = scs[r]
+                if math.isnan(sc):
+                    out.append(acc if started else math.nan)
+                elif not started:
+                    acc, started = closes[r], True
+                    out.append(acc)
+                else:
+                    acc = acc + sc * (closes[r] - acc)
+                    out.append(acc)
+            yield pd.DataFrame({
+                "user_id": pdf["user_id"].astype("int64"),
+                "bar_ts": pdf["bar_ts"],
+                "close": closes,
+                "kama": pd.Series(out, dtype="float64"),
+            })
+
+    res = staged.mapInPandas(kernel, schema=schema)
+    return res.withColumn("kama", F.nanvl("kama", F.lit(None)))
+
+
+_KAMA_SQL = f"""
+WITH RECURSIVE {BARS_CTE},
+d AS (
+  SELECT user_id, bar_ts, close,
+         row_number() OVER w AS rn,
+         CAST(floor(abs(close - lag(close) OVER w) * 1e9) AS BIGINT)
+           AS absd_i,
+         abs(close - lag(close, 10) OVER w) AS num
+  FROM bars
+  WINDOW w AS {_BAR_OVER}),
+s AS (
+  SELECT user_id, bar_ts, close, rn,
+         CASE WHEN cnt = 10 THEN
+           COALESCE(num * 1e9 / nullif(CAST(den AS DOUBLE), 0.0), 0.0)
+         END AS er
+  FROM (
+    SELECT *, COUNT(absd_i) OVER w10 AS cnt, SUM(absd_i) OVER w10 AS den
+    FROM d
+    WINDOW w10 AS (PARTITION BY user_id ORDER BY bar_ts
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))),
+c AS (
+  SELECT user_id, bar_ts, close, rn,
+         (er * (2.0/(2.0+1.0) - 2.0/(30.0+1.0)) + 2.0/(30.0+1.0))
+         * (er * (2.0/(2.0+1.0) - 2.0/(30.0+1.0)) + 2.0/(30.0+1.0)) AS sc
+  FROM s),
+r AS (
+  SELECT user_id, bar_ts, rn, close AS kama
+  FROM c WHERE rn = 11
+  UNION ALL
+  SELECT q.user_id, q.bar_ts, q.rn,
+         r.kama + q.sc * (q.close - r.kama) AS kama
+  FROM r JOIN c q ON q.user_id = r.user_id AND q.rn = r.rn + 1)
+SELECT b.user_id, b.bar_ts, b.close, r.kama
+FROM c b LEFT JOIN r ON r.user_id = b.user_id AND r.rn = b.rn
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
+    "kama": (q_kama, _KAMA_SQL),
     "ichimoku": (q_ichimoku, _ICHIMOKU_SQL),
     "pivot_points": (q_pivot_points, _PIVOT_SQL),
     "parabolic_sar": (q_parabolic_sar, _SAR_SQL),
