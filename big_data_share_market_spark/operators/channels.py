@@ -859,9 +859,148 @@ FROM c b LEFT JOIN r ON r.user_id = b.user_id AND r.rn = b.rn
 """
 
 
+# ---------------------------------------------------------------------------
+# TRIX(15): triple-EMA momentum (one kernel pass, lag emitted in-kernel)
+# ---------------------------------------------------------------------------
+
+def q_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(15): 1-bar percent change of the TRIPLE ema(span 15) of
+    close. All three chained recurrences AND the lag ride ONE kernel
+    pass (the lag is emitted from the same sequential loop — taking
+    it as a Window after the kernel would force a second exchange,
+    the dashboard_snapshot lesson). Oracle = three chained
+    NULL-skipping list-fold CTEs + lag."""
+    bars = ohlc_bars(spark, sf_dir)
+    staged = (bars.select("user_id", "bar_ts", "close")
+              .repartition("user_id")
+              .sortWithinPartitions("user_id", "bar_ts"))
+    schema = ("user_id bigint, bar_ts timestamp, close double, "
+              "ema3 double, trix double")
+    alpha = 2.0 / (15.0 + 1.0)
+
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        key = None
+        a1 = a2 = a3 = math.nan
+        started = False
+        prev3 = math.nan
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            closes = pdf["close"].to_numpy(dtype="float64")
+            out3, outx = [], []
+            for r in range(len(pdf)):
+                if keys[r] != key:
+                    key = keys[r]
+                    a1 = a2 = a3 = math.nan
+                    started, prev3 = False, math.nan
+                x = closes[r]
+                if not started:
+                    a1 = a2 = a3 = x
+                    started = True
+                else:
+                    a1 = a1 + alpha * (x - a1)
+                    a2 = a2 + alpha * (a1 - a2)
+                    a3 = a3 + alpha * (a2 - a3)
+                out3.append(a3)
+                outx.append(100.0 * (a3 / prev3 - 1.0)
+                            if not math.isnan(prev3) and prev3 != 0.0
+                            else math.nan)
+                prev3 = a3
+            yield pd.DataFrame({
+                "user_id": pdf["user_id"].astype("int64"),
+                "bar_ts": pdf["bar_ts"],
+                "close": closes,
+                "ema3": pd.Series(out3, dtype="float64"),
+                "trix": pd.Series(outx, dtype="float64"),
+            })
+
+    res = staged.mapInPandas(kernel, schema=schema)
+    return (res.withColumn("ema3", F.nanvl("ema3", F.lit(None)))
+            .withColumn("trix", F.nanvl("trix", F.lit(None))))
+
+
+_TRIX_SQL = f"""
+WITH {BARS_CTE},
+e1 AS (
+  SELECT user_id, bar_ts, close,
+         {_ewm_sql('close', '2.0/(15.0+1.0)', _ORACLE_BAR_WINDOW)} AS ema1
+  FROM bars),
+e2 AS (
+  SELECT user_id, bar_ts, close,
+         {_ewm_sql('ema1', '2.0/(15.0+1.0)', _ORACLE_BAR_WINDOW)} AS ema2
+  FROM e1),
+e3 AS (
+  SELECT user_id, bar_ts, close,
+         {_ewm_sql('ema2', '2.0/(15.0+1.0)', _ORACLE_BAR_WINDOW)} AS ema3
+  FROM e2)
+SELECT user_id, bar_ts, close, ema3,
+       100.0 * (ema3 / nullif(lag(ema3) OVER w, 0.0) - 1.0) AS trix
+FROM e3
+WINDOW w AS {_BAR_OVER}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vortex indicator(14)
+# ---------------------------------------------------------------------------
+
+def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex(14): VI+ = Σ₁₄|high − prev low| / Σ₁₄TR and VI− =
+    Σ₁₄|low − prev high| / Σ₁₄TR, NULL until 14 movement bars exist.
+    Decimal-exact rolling sums; window-pure over the staged bars."""
+    bars = _with_tr(ohlc_bars(spark, sf_dir))
+    w = bar_window()
+    vmp = F.abs(F.col("high") - F.lag("low").over(w))
+    vmm = F.abs(F.col("low") - F.lag("high").over(w))
+    bars = bars.withColumn("vmp", vmp).withColumn("vmm", vmm)
+    f14 = w.rowsBetween(-13, 0)
+
+    def s14(col):
+        return F.when(F.count(col).over(f14) == 14,
+                      F.sum(col.cast(DEC)).over(f14).cast("double"))
+
+    tr14 = s14(F.col("tr"))
+    return (bars
+            .withColumn("vi_plus", s14(F.col("vmp"))
+                        / F.nullif(tr14, F.lit(0.0)))
+            .withColumn("vi_minus", s14(F.col("vmm"))
+                        / F.nullif(tr14, F.lit(0.0)))
+            .select("user_id", "bar_ts", "close", "vi_plus", "vi_minus"))
+
+
+def _s14_sql(expr: str) -> str:
+    f = ("OVER (PARTITION BY user_id ORDER BY bar_ts "
+         "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)")
+    return (f"CASE WHEN COUNT({expr}) {f} = 14 THEN "
+            f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) {f} AS DOUBLE) END")
+
+
+_VORTEX_SQL = f"""
+WITH {BARS_CTE},
+{_TR_CTE},
+m AS (
+  SELECT user_id, bar_ts, close, tr,
+         abs(high - lag(low) OVER w) AS vmp,
+         abs(low - lag(high) OVER w) AS vmm
+  FROM trc
+  WINDOW w AS {_BAR_OVER})
+SELECT user_id, bar_ts, close,
+       {_s14_sql('vmp')} / nullif({_s14_sql('tr')}, 0.0) AS vi_plus,
+       {_s14_sql('vmm')} / nullif({_s14_sql('tr')}, 0.0) AS vi_minus
+FROM m
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
     "kama": (q_kama, _KAMA_SQL),
+    "trix": (q_trix, _TRIX_SQL),
+    "vortex": (q_vortex, _VORTEX_SQL),
     "ichimoku": (q_ichimoku, _ICHIMOKU_SQL),
     "pivot_points": (q_pivot_points, _PIVOT_SQL),
     "parabolic_sar": (q_parabolic_sar, _SAR_SQL),
