@@ -233,3 +233,30 @@ def test_channel_indicators_match_pandas(spark):
                                ref["cci"].to_numpy(), rtol=1e-6)
     np.testing.assert_allclose(fetch(q_mfi, "mfi_14"),
                                ref["mfi"].to_numpy(), rtol=1e-8)
+
+
+def test_trix_matches_pandas(spark):
+    """TRIX(15) vs pandas ewm chained three times + pct_change over
+    independently-built hourly bars."""
+    import duckdb
+
+    from big_data_share_market_spark.operators.channels import q_trix
+    from .conftest import SF_DIR
+
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, ts, value FROM '{SF_DIR}/events.parquet' "
+        "ORDER BY user_id, ts, event_id").fetchdf()
+    ev["bar_ts"] = ev["ts"].dt.floor("h")
+    bars = (ev.groupby(["user_id", "bar_ts"], sort=True)
+            .agg(close=("value", "last")).reset_index())
+    refs = []
+    for uid, g in bars.groupby("user_id", sort=True):
+        c = g.sort_values("bar_ts")["close"].reset_index(drop=True)
+        e3 = (c.ewm(span=15, adjust=False).mean()
+              .ewm(span=15, adjust=False).mean()
+              .ewm(span=15, adjust=False).mean())
+        refs.append(100.0 * e3.pct_change())
+    ref = pd.concat(refs, ignore_index=True).to_numpy()
+    got = (q_trix(spark, SF_DIR).orderBy("user_id", "bar_ts")
+           .toPandas()["trix"].to_numpy(dtype="float64"))
+    np.testing.assert_allclose(got, ref, rtol=1e-7)
