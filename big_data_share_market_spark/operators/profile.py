@@ -260,7 +260,48 @@ _CONTRACT_SQL = (
 )
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit before a behavioral table is
+    shared or trained on: group events by the quasi-identifier tuple
+    (event_type, hour-of-day), then report the equivalence-class size
+    distribution as a log10 histogram — n_classes and n_rows per
+    size decade, the share of rows living in classes below k = 5,
+    and each decade's smallest class. Rows in small classes are the
+    linkage-attack surface; the histogram is what a privacy review
+    actually reads. Two grouped aggregations, the second over the
+    class relation (classes-sized, not rows-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    classes = (ev.groupBy("event_type", F.hour("ts").alias("qi_hour"))
+               .agg(F.count("*").alias("k")))
+    bucket = F.floor(F.log10(F.col("k").cast("double"))).cast("int")
+    return (classes
+            .groupBy(bucket.alias("k_decade"))
+            .agg(F.count("*").alias("n_classes"),
+                 F.sum("k").alias("n_rows"),
+                 F.min("k").alias("min_k"),
+                 F.sum(F.when(F.col("k") < 5, F.col("k"))
+                       .otherwise(F.lit(0))).alias("rows_below_k5"))
+            .orderBy("k_decade"))
+
+
+_K_ANON_SQL = """
+WITH classes AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS qi_hour, COUNT(*) AS k
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts))
+SELECT CAST(floor(log10(CAST(k AS DOUBLE))) AS INTEGER) AS k_decade,
+       COUNT(*) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       MIN(k) AS min_k,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         AS rows_below_k5
+FROM classes
+GROUP BY floor(log10(CAST(k AS DOUBLE)))
+ORDER BY k_decade
+"""
+
+
 QUERIES = {
+    "k_anonymity_audit": (q_k_anonymity_audit, _K_ANON_SQL),
     "contract_check_lineitem": (q_contract_check_lineitem, _CONTRACT_SQL),
     "dq_profile_lineitem": (q_dq_profile_lineitem, _DQ_PROFILE_SQL),
     "missing_bars": (q_missing_bars, _MISSING_BARS_SQL),
