@@ -996,11 +996,151 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Aroon(25): windowed argmax via struct-max (no nested window)
+# ---------------------------------------------------------------------------
+
+def q_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon(25): 100·(n − bars-since-extreme)/n for the rolling
+    25-bar highest high / lowest low. "Bars since" is a windowed
+    ARGMAX — expressed as max(struct(value, rn)).rn so ties resolve
+    to the most recent bar identically on both engines (lexicographic
+    struct comparison; the low side negates so its tie rule matches).
+    NULL until the window fills."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    bars = bars.withColumn("rn", F.row_number().over(w))
+    f25 = w.rowsBetween(-24, 0)
+    full = F.count("rn").over(f25) == 25
+    hh_rn = F.max(F.struct(F.col("high"), F.col("rn"))).over(f25)["rn"]
+    ll_rn = F.max(F.struct(-F.col("low"), F.col("rn"))).over(f25)["rn"]
+    up = F.when(full, 100.0 * (25.0 - (F.col("rn") - hh_rn)) / 25.0)
+    dn = F.when(full, 100.0 * (25.0 - (F.col("rn") - ll_rn)) / 25.0)
+    return (bars.withColumn("aroon_up", up).withColumn("aroon_down", dn)
+            .select("user_id", "bar_ts", "close", "aroon_up", "aroon_down"))
+
+
+_AROON_SQL = f"""
+WITH {BARS_CTE},
+r AS (
+  SELECT user_id, bar_ts, close, high, low,
+         row_number() OVER w AS rn
+  FROM bars
+  WINDOW w AS {_BAR_OVER})
+SELECT user_id, bar_ts, close,
+       CASE WHEN COUNT(rn) OVER w25 = 25 THEN
+         100.0 * (25.0 - (rn - (MAX({{'v': high, 'rn': rn}}) OVER w25).rn))
+           / 25.0 END AS aroon_up,
+       CASE WHEN COUNT(rn) OVER w25 = 25 THEN
+         100.0 * (25.0 - (rn - (MAX({{'v': -low, 'rn': rn}}) OVER w25).rn))
+           / 25.0 END AS aroon_down
+FROM r
+WINDOW w25 AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Force index(13), Elder ray(13), ease of movement(14)
+# ---------------------------------------------------------------------------
+
+def q_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force index(13): ewm(span 13) of (close − prev close)·volume —
+    price change weighted by participation; the raw first bar is NULL
+    and the kernel's NULL-skip carries the seed to the first real
+    change, matching the oracle fold."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    raw = (F.col("close") - F.lag("close").over(w)) * F.col("volume")
+    bars = bars.withColumn("fi_raw", raw)
+    bars = _apply_ewm(bars, ["bar_ts"],
+                      {"force_index": ("fi_raw", 2.0 / (13.0 + 1.0))},
+                      assume_sorted=True)
+    return bars.select("user_id", "bar_ts", "close", "fi_raw", "force_index")
+
+
+_FORCE_SQL = f"""
+WITH {BARS_CTE},
+r AS (
+  SELECT user_id, bar_ts, close,
+         (close - lag(close) OVER w) * volume AS fi_raw
+  FROM bars
+  WINDOW w AS {_BAR_OVER})
+SELECT user_id, bar_ts, close, fi_raw,
+       {_ewm_sql('fi_raw', '2.0/(13.0+1.0)', _ORACLE_BAR_WINDOW)}
+         AS force_index
+FROM r
+"""
+
+
+def q_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder ray(13): bull power = high − EMA13(close), bear power =
+    low − EMA13(close) — who controls the bar relative to consensus
+    value. One kernel pass + row-local arithmetic."""
+    bars = ohlc_bars(spark, sf_dir)
+    bars = _apply_ewm(bars, ["bar_ts"],
+                      {"ema_13": ("close", 2.0 / (13.0 + 1.0))},
+                      assume_sorted=False)
+    return (bars
+            .withColumn("bull_power", F.col("high") - F.col("ema_13"))
+            .withColumn("bear_power", F.col("low") - F.col("ema_13"))
+            .select("user_id", "bar_ts", "close", "ema_13",
+                    "bull_power", "bear_power"))
+
+
+_ELDER_SQL = f"""
+WITH {BARS_CTE},
+e AS (
+  SELECT user_id, bar_ts, close, high, low,
+         {_ewm_sql('close', '2.0/(13.0+1.0)', _ORACLE_BAR_WINDOW)} AS ema_13
+  FROM bars)
+SELECT user_id, bar_ts, close, ema_13,
+       high - ema_13 AS bull_power,
+       low - ema_13 AS bear_power
+FROM e
+"""
+
+
+def q_ease_of_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ease of movement(14): midpoint displacement over the volume
+    box ratio, 14-bar decimal-exact mean. Flat bars (high = low) have
+    NULL raw EMV and are skipped by the mean's NULL-aware count gate,
+    identically on both engines."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    mid = (F.col("high") + F.col("low")) / 2.0
+    dm = mid - F.lag(mid).over(w)
+    br = (F.col("volume") / 1e8) / F.nullif(
+        F.col("high") - F.col("low"), F.lit(0.0))
+    bars = bars.withColumn("emv_raw", dm / br)
+    return (bars.withColumn(
+        "emv_14", _rolling_mean(F.col("emv_raw"), w, 14))
+        .select("user_id", "bar_ts", "close", "emv_14"))
+
+
+_EOM_SQL = f"""
+WITH {BARS_CTE},
+r AS (
+  SELECT user_id, bar_ts, close,
+         ((high + low) / 2.0 - lag((high + low) / 2.0) OVER w)
+           / ((volume / 1e8) / nullif(high - low, 0.0)) AS emv_raw
+  FROM bars
+  WINDOW w AS {_BAR_OVER})
+SELECT user_id, bar_ts, close,
+       {_rolling_mean_sql('emv_raw', 14, _BAR_OVER)} AS emv_14
+FROM r
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
     "kama": (q_kama, _KAMA_SQL),
     "trix": (q_trix, _TRIX_SQL),
     "vortex": (q_vortex, _VORTEX_SQL),
+    "aroon": (q_aroon, _AROON_SQL),
+    "force_index": (q_force_index, _FORCE_SQL),
+    "elder_ray": (q_elder_ray, _ELDER_SQL),
+    "ease_of_movement": (q_ease_of_movement, _EOM_SQL),
     "ichimoku": (q_ichimoku, _ICHIMOKU_SQL),
     "pivot_points": (q_pivot_points, _PIVOT_SQL),
     "parabolic_sar": (q_parabolic_sar, _SAR_SQL),

@@ -42,7 +42,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: compaction_plan, mmr_rerank, stream_atr_per_key,
 #: hard_negative_mining, dashboard_snapshot, supertrend,
 #: donchian_channels, chandelier_exit, volume_profile,
-#: drawdown_duration, kama, trix, vortex, k_anonymity_audit.
+#: drawdown_duration, kama, trix, vortex, k_anonymity_audit,
+#: aroon, force_index, elder_ray, ease_of_movement.
 #: Front-load those ~33 next rotation; the remaining slots can
 #: re-verify this round's perf-touched queries (bm25_topk,
 #: rrf_hybrid_topk, quality_classifier, partition_pruned_agg, and the
