@@ -98,6 +98,10 @@ HEADLINE = [
     "parabolic_sar",        # 4-field branching state-machine kernel
     "hard_negative_mining", # cross-label LSH candidate mining
     "dashboard_snapshot",   # composed console refresh, one exchange
+    "supertrend",           # band-ratchet state machine kernel
+    "kama",                 # adaptive-alpha recurrence kernel
+    "volume_profile",       # price-bin histogram + point of control
+    "k_anonymity_audit",    # privacy equivalence-class histogram
 ]
 
 
