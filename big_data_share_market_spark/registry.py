@@ -43,7 +43,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: hard_negative_mining, dashboard_snapshot, supertrend,
 #: donchian_channels, chandelier_exit, volume_profile,
 #: drawdown_duration, kama, trix, vortex, k_anonymity_audit,
-#: aroon, force_index, elder_ray, ease_of_movement.
+#: aroon, force_index, elder_ray, ease_of_movement,
+#: stream_supertrend_per_key.
 #: Front-load those ~33 next rotation; the remaining slots can
 #: re-verify this round's perf-touched queries (bm25_topk,
 #: rrf_hybrid_topk, quality_classifier, partition_pruned_agg, and the

@@ -579,9 +579,59 @@ FROM d
 """
 
 
+def q_stream_supertrend_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supertrend band-ratchet state machine as a LIVE operator —
+    tick-level (high = low = close), checkpointed (atr, final bands,
+    trend, prev close) per key; oracle = the recursive CTE replaying
+    the identical recurrence over the batch table."""
+    from .state import supertrend_per_key
+
+    sdf = events_stream(spark, sf_dir)
+    return run_available_now(supertrend_per_key(sdf), spark,
+                             output_mode="append")
+
+
+def _stream_supertrend_sql() -> str:
+    return """
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS close,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS p1_close
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, event_id, ts, rn, close,
+         CAST(0.0 AS DOUBLE) AS atr,
+         close AS fub, close AS flb, -1 AS trend
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.event_id, t.ts, t.rn, t.close, t.atr, t.fub, t.flb,
+         CASE WHEN t.trend_p = -1 AND t.close > t.fub THEN 1
+              WHEN t.trend_p = 1 AND t.close < t.flb THEN -1
+              ELSE t.trend_p END AS trend
+  FROM (
+    SELECT q.user_id, q.event_id, q.ts, q.rn, q.close, r.trend AS trend_p,
+           u.atr,
+           CASE WHEN q.close + 3.0 * u.atr < r.fub OR q.p1_close > r.fub
+                THEN q.close + 3.0 * u.atr ELSE r.fub END AS fub,
+           CASE WHEN q.close - 3.0 * u.atr > r.flb OR q.p1_close < r.flb
+                THEN q.close - 3.0 * u.atr ELSE r.flb END AS flb
+    FROM r
+    JOIN s q ON q.user_id = r.user_id AND q.rn = r.rn + 1
+    CROSS JOIN LATERAL (SELECT r.atr + (1.0/10.0)
+             * (abs(q.close - q.p1_close) - r.atr) AS atr) u) t)
+SELECT user_id, event_id, ts, close,
+       CASE WHEN trend = 1 THEN flb ELSE fub END AS supertrend,
+       CAST(trend AS INTEGER) AS trend
+FROM r
+"""
+
+
 QUERIES = {
     "stream_holt_per_key": (q_stream_holt_per_key, _stream_holt_sql()),
     "stream_atr_per_key": (q_stream_atr_per_key, _STREAM_ATR_SQL),
+    "stream_supertrend_per_key": (q_stream_supertrend_per_key,
+                                  _stream_supertrend_sql()),
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_ingest_dedup_gate": (q_stream_ingest_dedup_gate,
                                  _STREAM_INGEST_DEDUP_SQL),

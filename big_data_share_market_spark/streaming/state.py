@@ -242,6 +242,86 @@ def atr_per_key(sdf: DataFrame, alpha: float = 1.0 / 14.0) -> DataFrame:
     )
 
 
+SUPERTREND_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                         "close DOUBLE, supertrend DOUBLE, trend INT")
+SUPERTREND_STATE_DDL = ("atr DOUBLE, fub DOUBLE, flb DOUBLE, trend INT, "
+                        "prev_close DOUBLE, started BOOLEAN")
+
+
+def _supertrend_fn(alpha: float, mult: float):
+    """Checkpointed tick-level supertrend: with high = low = close,
+    true range reduces to |close − prev close| and the first tick
+    seeds atr = 0 (bands collapse onto the price, trend −1) — the
+    same recurrence order as the batch bar kernel
+    (operators/channels.q_supertrend), so replay is bit-identical to
+    the recursive-CTE oracle."""
+    import math
+
+    import numpy as np
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            atr, fub, flb, trend, pc, started = state.get
+        else:
+            atr, fub, flb, trend, pc, started = (
+                math.nan, math.nan, math.nan, 0, math.nan, False)
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((atr, fub, flb, trend, pc, started))
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out_st = np.empty(len(vals), dtype="float64")
+        out_tr = np.empty(len(vals), dtype="int32")
+        for i, cl in enumerate(vals):
+            if not started:
+                atr, fub, flb, trend, started = 0.0, cl, cl, -1, True
+            else:
+                tr = abs(cl - pc)
+                atr = atr + alpha * (tr - atr)
+                bub = cl + mult * atr
+                blb = cl - mult * atr
+                fub = bub if (bub < fub or pc > fub) else fub
+                flb = blb if (blb > flb or pc < flb) else flb
+                if trend == -1 and cl > fub:
+                    trend = 1
+                elif trend == 1 and cl < flb:
+                    trend = -1
+            pc = cl
+            out_st[i] = flb if trend == 1 else fub
+            out_tr[i] = trend
+        state.update((atr, fub, flb, trend, pc, started))
+        yield pd.DataFrame({
+            "user_id": user_id,
+            "event_id": pdf["event_id"].astype("int64"),
+            "ts": pdf["ts"],
+            "close": vals,
+            "supertrend": out_st,
+            "trend": out_tr,
+        })
+
+    return fn
+
+
+def supertrend_per_key(sdf: DataFrame, alpha: float = 1.0 / 10.0,
+                       mult: float = 3.0) -> DataFrame:
+    """Streaming supertrend(10, 3) per user_id — the live band-ratchet
+    state machine; state is O(n_keys × 5 scalars)."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _supertrend_fn(alpha, mult),
+            outputStructType=SUPERTREND_OUTPUT_DDL,
+            stateStructType=SUPERTREND_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 #: Output mirrors the batch Holt kernel's per-row trajectory
 #: (operators/ewm.q_holt_forecast computes the same recurrence).
 HOLT_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
