@@ -45,10 +45,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: drawdown_duration, kama, trix, vortex, k_anonymity_audit,
 #: aroon, force_index, elder_ray, ease_of_movement,
 #: stream_supertrend_per_key.
-#: Front-load those ~33 next rotation; the remaining slots can
-#: re-verify this round's perf-touched queries (bm25_topk,
-#: rrf_hybrid_topk, quality_classifier, partition_pruned_agg, and the
-#: staged dedup family).
+#: That never-verified set is now ~46 — nearly a full window;
+#: front-load ALL of it next rotation (the remaining ~4 slots:
+#: lang_temperature_sample, domain_cap_sample, and two perf-touched
+#: re-verifications from the staged dedup family).
 _FIRST_50 = (
     # --- never driver-verified (35) ---
     # changed this round: scalar-row output / pruned verify / oracle fix
