@@ -328,7 +328,11 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both medians use percentile_disc — a member value, no
     interpolation — so Spark and DuckDB agree exactly on integer
-    lengths. Shape: two bytes-per-source aggregates (median, then MAD
+    lengths; both are cast to BIGINT on output (Spark's
+    percentile_disc returns DOUBLE, DuckDB's quantile_disc over a
+    BIGINT column returns BIGINT — a member value of an integer
+    column is integral, so the cast is lossless and aligns the
+    engines' output types). Shape: two bytes-per-source aggregates (median, then MAD
     of deviations) broadcast back onto the scan; the flag itself is
     row-local. No full-data shuffle at any point."""
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
@@ -347,7 +351,9 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_outlier",
                         F.coalesce(F.abs(F.col("robust_z")) > 3.0,
                                    F.lit(False)))
-            .select("doc_id", "source", "n_chars", "med", "mad",
+            .select("doc_id", "source", "n_chars",
+                    F.col("med").cast("long").alias("med"),
+                    F.col("mad").cast("long").alias("mad"),
                     "robust_z", "is_outlier"))
 
 
@@ -725,8 +731,10 @@ cl AS (
   FROM events e JOIN pct p USING (event_type))
 SELECT event_type, MIN(p05) AS p05, MIN(p95) AS p95,
        COUNT(*) AS n,
-       SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS n_clamped_low,
-       SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS n_clamped_high,
+       CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_low,
+       CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_high,
        {davg_sql('cl')} AS winsorized_mean
 FROM cl GROUP BY event_type ORDER BY event_type
 """

@@ -1085,7 +1085,7 @@ g AS (
 df AS (SELECT gh, COUNT(DISTINCT doc_id) AS gram_df FROM g GROUP BY gh)
 SELECT g.doc_id,
        COUNT(*) AS n_spans,
-       SUM(CASE WHEN df.gram_df > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+       CAST(SUM(CASE WHEN df.gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
        MAX(df.gram_df) AS max_gram_df,
        SUM(CASE WHEN df.gram_df > 1 THEN 1 ELSE 0 END)
          / CAST(COUNT(*) AS DOUBLE) AS dup_frac
@@ -1472,7 +1472,8 @@ seg AS (
   FROM t, UNNEST(range(0, CAST(ceil(len(w) / {_SEG_W}.0) AS INT))) AS u(i)),
 c AS (SELECT *, COUNT(*) OVER (PARTITION BY seg) AS n_occ FROM seg)
 SELECT doc_id, COUNT(*) AS n_segments,
-       SUM(CASE WHEN n_occ >= {_SEG_MAXOCC} THEN 1 ELSE 0 END) AS n_removed,
+       CAST(SUM(CASE WHEN n_occ >= {_SEG_MAXOCC} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
        array_to_string(
          list(seg ORDER BY seg_idx) FILTER (WHERE n_occ < {_SEG_MAXOCC}),
          ' ') AS rebuilt_text

@@ -421,15 +421,24 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda fold.)
 
     Scale shape: one hash exchange on the key + in-partition sort,
-    one Python pass over every row (same contract as _apply_ewm),
-    then a per-key last-row window on the layout the kernel
-    preserved — no second shuffle. Output is |keys| rows."""
+    one Python pass over every row (same contract as _apply_ewm).
+    The last-row rank (rn) and per-key count (n_obs) are computed
+    BEFORE the kernel on the same window layout (the
+    dashboard_snapshot pattern): mapInPandas erases known output
+    partitioning, so a post-kernel Window would force a second hash
+    exchange — pre-computing them keeps the whole query on ONE
+    exchange, and the post-kernel last-row pick is a row-local
+    rn = n_obs filter. Output is |keys| rows."""
     from pyspark.sql.window import Window
 
     s = (_series(spark, sf_dir)
          .filter(F.col("close").isNotNull()))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = (s.withColumn("rn", F.row_number().over(wo))
+              .withColumn("n_obs", F.count("*").over(
+                  Window.partitionBy("user_id"))))
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                          for f in s.schema.fields)
+                          for f in staged.schema.fields)
     schema = f"{in_schema}, holt_level double, holt_trend double"
     a, b_const = _HOLT_A, _HOLT_B
 
@@ -459,16 +468,9 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_b[i] = trend
             yield pdf.assign(holt_level=out_l, holt_trend=out_b)
 
-    staged = s.repartition("user_id").sortWithinPartitions(
-        "user_id", "ts", "event_id")
     fitted = staged.mapInPandas(kernel, schema=schema)
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id"))
     last = (fitted
-            .withColumn("rn_last", F.row_number().over(w))
-            .withColumn("n_obs", F.count("*").over(
-                Window.partitionBy("user_id")))
-            .filter(F.col("rn_last") == 1)
+            .filter(F.col("rn") == F.col("n_obs"))
             .select("user_id", "n_obs",
                     F.col("holt_level").alias("level"),
                     F.col("holt_trend").alias("trend")))
@@ -657,32 +659,25 @@ _ANOM_RHO = 0.1
 _ANOM_Z = 3.0
 
 
-def q_forecast_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-shaped anomaly detection: each observation is scored
-    against its own one-step-ahead Holt forecast — resid_t =
-    y_t − (l_{t−1} + b_{t−1}), normalized by the exponentially
-    weighted residual variance v (ρ = 0.1, seeded with the first
-    residual's square), flagged when |z| > 3. The standard
-    model-based change detector for metric streams: the forecast
-    absorbs trend, so flags mean "departed from recent behavior",
-    not "is large".
+def _anomaly_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared residual-scoring pass for forecast_anomalies and
+    forecast_backtest: the per-key rank (rn) and count (n_rows) are
+    computed BEFORE the Arrow kernel on the same window layout the
+    kernel needs anyway (mapInPandas erases known output
+    partitioning, so computing them after would cost a second hash
+    exchange — the dashboard_snapshot pattern). Output carries the
+    anomaly columns plus rn/n_rows for the backtest's row-local
+    eval-tail filter."""
+    from pyspark.sql.window import Window
 
-    Per-row output (y, resid, z, is_anomaly); warmup rows carry NULL
-    resid/z and is_anomaly = false. (The kernel writes NaN into the
-    pandas batch, which Arrow maps to SQL NULL on transfer — so the
-    oracle's sentinel is NULL here, while pure-SQL producers like
-    contract_check_lineitem must use NaN: double NULLs round-trip
-    consistently, it is only non-double NULLs inside pandas object
-    columns that diverge.)
-
-    Scale shape: identical to the Holt kernel — one key exchange,
-    one sequential Arrow pass carrying (l, b, v); the oracle's
-    recursive CTE executes the same ops in the same order, so z
-    scores are bit-identical."""
     s = (_series(spark, sf_dir)
          .filter(F.col("close").isNotNull()))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = (s.withColumn("rn", F.row_number().over(wo))
+              .withColumn("n_rows", F.count("*").over(
+                  Window.partitionBy("user_id"))))
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                          for f in s.schema.fields)
+                          for f in staged.schema.fields)
     schema = (f"{in_schema}, resid double, z double, "
               f"is_anomaly boolean")
     a, bc, rho, zcut = _HOLT_A, _HOLT_B, _ANOM_RHO, _ANOM_Z
@@ -723,9 +718,33 @@ def q_forecast_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_f[i] = (not math.isnan(z)) and abs(z) > zcut
             yield pdf.assign(resid=out_r, z=out_z, is_anomaly=out_f)
 
-    staged = s.repartition("user_id").sortWithinPartitions(
-        "user_id", "ts", "event_id")
     return staged.mapInPandas(kernel, schema=schema)
+
+
+def q_forecast_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped anomaly detection: each observation is scored
+    against its own one-step-ahead Holt forecast — resid_t =
+    y_t − (l_{t−1} + b_{t−1}), normalized by the exponentially
+    weighted residual variance v (ρ = 0.1, seeded with the first
+    residual's square), flagged when |z| > 3. The standard
+    model-based change detector for metric streams: the forecast
+    absorbs trend, so flags mean "departed from recent behavior",
+    not "is large".
+
+    Per-row output (y, resid, z, is_anomaly); warmup rows carry NULL
+    resid/z and is_anomaly = false. (The kernel writes NaN into the
+    pandas batch, which Arrow maps to SQL NULL on transfer — so the
+    oracle's sentinel is NULL here, while pure-SQL producers like
+    contract_check_lineitem must use NaN: double NULLs round-trip
+    consistently, it is only non-double NULLs inside pandas object
+    columns that diverge.)
+
+    Scale shape: identical to the Holt kernel — one key exchange,
+    one sequential Arrow pass carrying (l, b, v); the oracle's
+    recursive CTE executes the same ops in the same order, so z
+    scores are bit-identical (one exchange total; see
+    _anomaly_fitted for the pre-kernel rank trick)."""
+    return _anomaly_fitted(spark, sf_dir).drop("rn", "n_rows")
 
 
 def _anomaly_sql() -> str:
@@ -779,20 +798,17 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     model registry compares across candidate smoothing configs.
 
     Scale shape: the residual pass is the one-exchange sequential
-    kernel; the eval-tail selection is a per-key count window on the
-    layout the kernel preserved (no second shuffle); the error
+    kernel, and the eval-tail rank/count it needs are computed
+    BEFORE the kernel on that same window layout (_anomaly_fitted —
+    mapInPandas erases known output partitioning, so a post-kernel
+    Window would cost a second full-data exchange + sort; the tail
+    selection is now a row-local filter). The only post-kernel
+    exchange is the partial-aggregated per-key rollup. The error
     aggregate is decimal-exact (parallel double SUM order would
     diverge across engines — same discipline as dsum everywhere
     else). RMSE derives from the exact sum of squares, so both
     engines take sqrt of the identical double."""
-    from pyspark.sql.window import Window
-
-    scored = q_forecast_anomalies(spark, sf_dir)
-    w = Window.partitionBy("user_id")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tail = (scored
-            .withColumn("n_rows", F.count("*").over(w))
-            .withColumn("rn", F.row_number().over(wo))
+    tail = (_anomaly_fitted(spark, sf_dir)
             .filter((F.col("rn") > F.col("n_rows") * _BT_TRAIN_FRAC)
                     & F.col("resid").isNotNull()))
     abs_r = F.abs(F.col("resid"))

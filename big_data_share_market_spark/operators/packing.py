@@ -254,7 +254,8 @@ WITH s AS (
          len(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
            AS n_tokens
   FROM documents)
-SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens,
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM s GROUP BY shard ORDER BY shard
 """

@@ -242,8 +242,8 @@ budgets AS (
   FROM (SELECT DISTINCT source FROM documents)),
 c AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY bucket,
+                  doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t)
 SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
 FROM c JOIN budgets b USING (source)

@@ -1516,10 +1516,14 @@ scored AS (
   JOIN b eb ON eb.vec_id = b_id
   WHERE ea.label <> eb.label),
 ranked AS (
+  -- cosine IS NOT NULL: the Spark kernel (_bucket_cross_topk) drops
+  -- non-finite similarities (zero-norm embeddings); exclude them
+  -- here too so both engines emit the same row set when an anchor
+  -- has fewer than k finite cross-label neighbors.
   SELECT a_id, a_label, b_id, b_label, cosine,
          row_number() OVER (PARTITION BY a_id
-                            ORDER BY cosine DESC NULLS LAST, b_id) AS rnk
-  FROM scored)
+                            ORDER BY cosine DESC, b_id) AS rnk
+  FROM scored WHERE cosine IS NOT NULL)
 SELECT a_id AS vec_id, a_label AS label, b_id AS neg_id,
        b_label AS neg_label, cosine, rnk AS rank
 FROM ranked WHERE rnk <= {_HNM_K}

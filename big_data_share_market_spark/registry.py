@@ -13,78 +13,51 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: The driver's hard correctness gate checks the FIRST 50 registry
-#: entries. Rounds 1-3 drove 141 distinct queries green
-#: (CORRECTNESS_r01 ∪ r02 ∪ r03). This round front-loads the 35
-#: remaining never-driver-checked queries — the r3-added operator
-#: wave (semantic dedup, k-means, PQ/batch ANN, gopher/DSIR, BM25,
-#: sketches, format round-trips, streaming corpus accounting) plus
-#: label_centroids (r3 FAIL: array column broke the driver's value
-#: hasher; output is now scalar rows) — and fills the remaining 15
-#: slots with the round-4 continuation wave (bloom dedup, CDC diff,
-#: salted join, BPE, SQ8, zone-map audit, PSI, A/B z-test, RRF,
-#: GDPR, binary ingest, schema evolution, streaming ingest gate),
-#: which are also never-driver-checked. After this round the union
-#: covers the whole registry except lang_temperature_sample and
-#: domain_cap_sample (sampling-family siblings driver-green; next
-#: rotation) and the 4 rows-only sketch/numpy queries (no SQL oracle
-#: by design; the driver records rows-only checks for them here).
+#: entries. Rounds 1-4 drove 187 distinct queries green
+#: (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04). Round 5 window =
+#:   (a) the 7 round-4 hash FAILs, all one root cause now fixed
+#:       (DuckDB SUM(integer) → HUGEINT/decimal128 vs Spark int64;
+#:       oracles now CAST ... AS BIGINT, and length_outliers aligns
+#:       med/mad to BIGINT on both engines) — re-driven first for
+#:       green CORRECTNESS rows;
+#:   (b) 43 of the 46 never-driver-verified round-4 additions
+#:       (channel/trend indicator wave, Holt/forecast family, CDC,
+#:       pagerank, OLS, MMR, hard-negative mining, compaction,
+#:       attribution, k-anonymity, VARIANT props, the 3 stream state
+#:       machines, and the deferred sampling pair). The two latent
+#:       HUGEINT bugs in this set (segment_dedup_rebuild.n_removed,
+#:       variant_props_stats.sum_k) are fixed pre-contact.
+#: Three row-local indicator siblings are deferred to round 6 for
+#: lack of slots: force_index, elder_ray, ease_of_movement — the
+#: lowest-risk defers available; they share the staged-hourly-bars
+#: path and arithmetic shape with atr_wilder/cci/mfi/cmf, which ARE
+#: in-window, and all three are strict-type oracle-green locally.
 #:
-#: ROUND-5 ROTATION NOTE: after this round's driver run, the
-#: never-driver-verified set is exactly the round-4 continuation
-#: additions — lang_temperature_sample, domain_cap_sample (deferred
-#: from r4), segment_dedup_rebuild, part_pagerank, ols_price_model,
-#: dpp_join_prune, tfidf_cosine_pairs, cms_token_counts,
-#: edit_distance_neardup, variant_props_stats, holt_forecast,
-#: holt_winters, forecast_anomalies, stream_holt_per_key, cdc_apply,
-#: contract_check_lineitem — plus the late-r4 wave: forecast_backtest,
-#: click_attribution, atr_wilder, williams_r, cci, mfi, cmf,
-#: keltner_channels, ichimoku, pivot_points, parabolic_sar,
-#: compaction_plan, mmr_rerank, stream_atr_per_key,
-#: hard_negative_mining, dashboard_snapshot, supertrend,
-#: donchian_channels, chandelier_exit, volume_profile,
-#: drawdown_duration, kama, trix, vortex, k_anonymity_audit,
-#: aroon, force_index, elder_ray, ease_of_movement,
-#: stream_supertrend_per_key.
-#: That never-verified set is now ~46 — nearly a full window;
-#: front-load ALL of it next rotation (the remaining ~4 slots:
-#: lang_temperature_sample, domain_cap_sample, and two perf-touched
-#: re-verifications from the staged dedup family).
+#: ROUND-6 ROTATION NOTE: after this round's driver run the
+#: never-driver-verified set is exactly {force_index, elder_ray,
+#: ease_of_movement} + whatever round 5 adds. Front-load those three,
+#: then spend the free slots on re-verifying perf-touched queries.
 _FIRST_50 = (
-    # --- never driver-verified (35) ---
-    # changed this round: scalar-row output / pruned verify / oracle fix
-    "label_centroids", "containment_neardup", "ann_batch_topk",
-    "csv_roundtrip",
-    # sketches (rows-only by design: HLL/KLL have no DuckDB twin)
-    "approx_distinct_users", "approx_value_quantiles",
-    "hll_merge_consistency", "cosine_topk_numpy",
-    # dedup long tail
-    "incremental_dedup", "dedup_keep_longest", "dup_ngram_spans",
-    "neardup_split_leakage", "minhash_est_quality", "semantic_dedup",
-    # ANN / clustering long tail
-    "ann_pq_topk", "kmeans_lloyd_step", "kmeans_train",
-    "lsh_bucket_health",
-    # corpus / quality long tail
-    "vocab_coverage", "gopher_filters", "dsir_weights",
-    "length_outliers", "eval_ngram_contamination", "bm25_topk",
-    "quality_classifier", "curriculum_stages", "token_budget_mixture",
-    "heavy_hitters",
-    # multimodal / sharding / formats
-    "media_phash_dedup", "shard_manifest", "orc_roundtrip_agg",
-    # plan-shape siblings rotated out earlier
-    "candle_color", "custkeys_except",
-    # streaming corpus accounting
-    "stream_corpus_token_totals", "stream_quality_gate",
-    # --- round-4 continuation wave (15, also never driver-checked;
-    # the re-verification picks they displaced were all driver-green
-    # in r1/r2 and unchanged since, so every slot now buys new
-    # coverage; lang_temperature_sample and domain_cap_sample wait
-    # for the next rotation — their sampling-family siblings are
-    # driver-green) ---
-    "bloom_incremental_dedup", "snapshot_diff", "salted_skew_join",
-    "normalized_dedup", "winsorized_stats", "sq8_topk", "bpe_encode",
-    "file_zonemap_audit", "psi_drift", "ab_test_ztest",
-    "rrf_hybrid_topk", "gdpr_erasure", "binaryfile_ingest",
-    "schema_evolution_read", "stream_ingest_dedup_gate",
+    # --- (a) round-4 FAILs, HUGEINT/typing root cause fixed ---
+    "dup_ngram_spans", "length_outliers", "token_budget_mixture",
+    "shard_manifest", "stream_corpus_token_totals",
+    "stream_quality_gate", "winsorized_stats",
+    # --- (b) never driver-verified: r4 continuation wave ---
+    "lang_temperature_sample", "domain_cap_sample",
+    "segment_dedup_rebuild", "part_pagerank", "ols_price_model",
+    "dpp_join_prune", "tfidf_cosine_pairs", "cms_token_counts",
+    "edit_distance_neardup", "variant_props_stats",
+    "holt_forecast", "holt_winters", "forecast_anomalies",
+    "stream_holt_per_key", "cdc_apply", "contract_check_lineitem",
+    # --- (b) never driver-verified: late-r4 wave ---
+    "forecast_backtest", "click_attribution", "atr_wilder",
+    "williams_r", "cci", "mfi", "cmf", "keltner_channels",
+    "ichimoku", "pivot_points", "parabolic_sar", "compaction_plan",
+    "mmr_rerank", "stream_atr_per_key", "hard_negative_mining",
+    "dashboard_snapshot", "supertrend", "donchian_channels",
+    "chandelier_exit", "volume_profile", "drawdown_duration",
+    "kama", "trix", "vortex", "k_anonymity_audit", "aroon",
+    "stream_supertrend_per_key",
 )
 
 

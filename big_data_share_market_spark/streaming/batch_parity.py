@@ -402,7 +402,8 @@ def q_stream_corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_TOKENS_SQL = """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS total_tokens
+       CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+')))
+            AS BIGINT) AS total_tokens
 FROM documents GROUP BY source
 """
 
@@ -457,7 +458,8 @@ WITH t AS (
          string_split_regex(trim(lower(text)), '\\s+') AS toks
   FROM documents)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN {score} > 0.0 THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN {score} > 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
 FROM t GROUP BY source
 """
 
@@ -598,6 +600,7 @@ WITH RECURSIVE s AS (
          row_number() OVER w AS rn,
          lag(value) OVER w AS p1_close
   FROM events
+  WHERE value IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 r AS (
   SELECT user_id, event_id, ts, rn, close,

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: Output: the buffered rows, ranked 1 = newest (matches the batch
@@ -308,9 +309,16 @@ def _supertrend_fn(alpha: float, mult: float):
 def supertrend_per_key(sdf: DataFrame, alpha: float = 1.0 / 10.0,
                        mult: float = 3.0) -> DataFrame:
     """Streaming supertrend(10, 3) per user_id — the live band-ratchet
-    state machine; state is O(n_keys × 5 scalars)."""
+    state machine; state is O(n_keys × 5 scalars).
+
+    NULL ticks are dropped BEFORE the stateful kernel: a NULL close
+    would become NaN inside the recurrence and permanently poison the
+    checkpointed (atr, bands) state; the recursive-CTE oracle
+    (_stream_supertrend_sql) filters value IS NOT NULL to match, so
+    stream and oracle row sets stay identical even on NULL ticks."""
     return (
         sdf.select("user_id", "event_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _supertrend_fn(alpha, mult),
@@ -378,9 +386,16 @@ def _holt_fn(a: float, b_const: float):
 def holt_per_key(sdf: DataFrame, a: float = 0.2,
                  b_const: float = 0.1) -> DataFrame:
     """Streaming Holt level+trend per user_id with checkpointed
-    coupled state (lvl, trend, started) — O(n_keys × 2 doubles)."""
+    coupled state (lvl, trend, started) — O(n_keys × 2 doubles).
+
+    NULL values are dropped BEFORE the stateful kernel: a NULL would
+    become NaN and permanently poison the checkpointed (level, trend)
+    pair, while the oracle (_stream_holt_sql) and the batch sibling
+    q_holt_forecast both filter WHERE value IS NOT NULL — the filter
+    keeps stream/batch/oracle row sets identical."""
     return (
         sdf.select("user_id", "event_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _holt_fn(a, b_const),

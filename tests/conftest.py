@@ -5,6 +5,7 @@ values, columns sorted by name)."""
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -37,12 +38,26 @@ def ddb():
 
 
 def _norm_cell(v):
+    """Canonicalize a cell to (type-class, value) the way the driver's
+    type-aware value hasher sees it: integer WIDTHS are interchangeable
+    (int8..int64 all arrive as Python int), but int vs float vs Decimal
+    vs bool are DISTINCT classes — ``Decimal(5) == 5`` must NOT pass,
+    because DuckDB's HUGEINT (decimal128) output hashes differently
+    from Spark's int64 (the r4 driver-failure class)."""
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        if v == 0.0:
+            return ("float", 0.0)  # normalize -0.0
+        return ("float", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     return v
 
 

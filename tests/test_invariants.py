@@ -506,8 +506,39 @@ def test_compaction_plan_partitions_manifest(spark):
         ids = sorted(b.bin_id for b in bins)
         assert ids == list(range(len(ids))), f"{source}: bins not contiguous"
         assert sum(b.n_files for b in bins) == counts[source]
-        # Every non-final bin holds at least target bytes minus one
-        # file (a bin closes only once its mass crosses a boundary).
-        for b in bins:
-            if b.bin_id != ids[-1]:
-                assert b.total_bytes >= 1  # non-empty by construction
+        # The sorted-fill rule bin = floor(preceding_mass / target)
+        # forces the cumulative mass BEFORE each bin's first file into
+        # [bin_id*target, (bin_id+1)*target) — i.e. every bin opens
+        # exactly when the running sum enters its target window, so
+        # each non-final bin closes only on a boundary crossing.
+        preceding = 0
+        for b in sorted(bins, key=lambda x: x.bin_id):
+            assert (b.bin_id * _BIN_TARGET <= preceding
+                    < (b.bin_id + 1) * _BIN_TARGET), (
+                f"{source} bin {b.bin_id}: preceding mass {preceding} "
+                f"outside its target window")
+            preceding += b.total_bytes
+
+
+def test_oracle_arrow_schemas_have_no_decimal(ddb):
+    """Driver-hasher type surface: DuckDB widens SUM(integer) to
+    HUGEINT, which Arrow renders as decimal128(38,0) — and the
+    grading driver's type-aware value hasher treats that as a
+    DIFFERENT value from Spark's int64 even when the numbers are
+    equal (all 7 round-4 hash failures were exactly this). Every
+    oracle must therefore CAST integer sums back to BIGINT; this
+    sweep pins the whole surface so the class can never ship again.
+    (int32/int8 are fine — Python-side both engines yield int, and
+    the r1–r4 driver runs hashed them equal; arrays/structs are
+    already banned by test_registry_outputs_are_driver_hashable.)"""
+    offenders = {}
+    for name, (_fn, sql) in _QUERIES.items():
+        if not sql:
+            continue
+        schema = ddb.execute(sql).fetch_arrow_table().schema
+        bad = [f"{f.name}:{f.type}" for f in schema
+               if "decimal" in str(f.type)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles emitting decimal (HUGEINT) columns: {offenders}")

@@ -392,3 +392,28 @@ def test_dashboard_snapshot_single_exchange(spark):
     fn, _ = _QUERIES["dashboard_snapshot"]
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert plan.count("hashpartitioning(") == 1, plan[:2000]
+
+
+def test_holt_forecast_single_fulldata_exchange(spark):
+    """holt_forecast computes the last-row rank BEFORE the Arrow
+    kernel (mapInPandas erases known output partitioning, so a
+    post-kernel Window would re-shuffle the full fitted series):
+    exactly one hash exchange total — the only other exchange is the
+    |keys|-row rangepartitioning for the final orderBy."""
+    fn, _ = _QUERIES["holt_forecast"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
+    assert plan.count("MapInPandas") == 1
+
+
+def test_forecast_backtest_tail_filter_precedes_kernel(spark):
+    """forecast_backtest's eval-tail rank/count come from the shared
+    pre-kernel window pass (_anomaly_fitted): one full-data hash
+    exchange feeding the kernel, one partial-aggregated per-key
+    rollup exchange after it — never a second full-data Window."""
+    fn, _ = _QUERIES["forecast_backtest"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("hashpartitioning(") == 2, plan[:2000]
+    # the rollup must be partial-aggregated (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("MapInPandas") == 1
