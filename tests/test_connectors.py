@@ -250,3 +250,40 @@ def test_kafka_builders_configured(spark):
         # against silently building a no-op sink.
         kafka_stream_writer(df, "broker:9092", "quotes",
                             key_col="user_id", checkpoint="/tmp/x").start()
+
+
+def test_stream_state_machines_survive_null_ticks(spark, tmp_path):
+    """A NULL events.value must not poison checkpointed stream state:
+    the Holt and supertrend kernels drop NULL ticks BEFORE
+    applyInPandasWithState (a NULL becomes NaN inside the recurrence
+    and corrupts (level, trend) / (atr, bands) forever), and their
+    oracles filter value IS NOT NULL identically. The driver fixtures
+    contain zero NULLs, so this builds a fixture that does."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_share_market_spark.registry import all_queries
+
+    from .conftest import assert_parity
+
+    src = pq.read_table(f"{SF_DIR}/events.parquet")
+    # Null out every 7th value (deterministic, hits every key).
+    vals = src.column("value").to_pylist()
+    vals = [None if i % 7 == 3 else v for i, v in enumerate(vals)]
+    cols = {name: src.column(name) for name in src.column_names}
+    cols["value"] = pa.array(vals, type=pa.float64())
+    fixture_dir = tmp_path / "nullticks"
+    fixture_dir.mkdir()
+    pq.write_table(pa.table(cols), str(fixture_dir / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{fixture_dir}/events.parquet'")
+    q = all_queries()
+    for name in ("stream_holt_per_key", "stream_supertrend_per_key"):
+        fn, sql = q[name]
+        df = fn(spark, str(fixture_dir))
+        assert df.count() > 0
+        assert_parity(df, con, sql, name=f"{name}[null-ticks]")
+    con.close()
