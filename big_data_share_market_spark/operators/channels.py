@@ -1132,6 +1132,112 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# ROC(12) — rate of change
+# ---------------------------------------------------------------------------
+
+def q_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC(12) = 100·(close/close₁₂ − 1), the plain momentum
+    percentage (standard published indicator; completes the
+    stochastic/Williams momentum family on the same hourly-bar
+    surface). NULL until 12 prior bars exist; NULL on a zero lag
+    close (nullif — non-ANSI division contract shared with RSI).
+    Row-local after the bar window's lag — no math that could
+    diverge across engines."""
+    bars = ohlc_bars(spark, sf_dir)
+    lag12 = F.lag("close", 12).over(bar_window())
+    roc = F.lit(100.0) * (F.col("close") / F.nullif(lag12, F.lit(0.0))
+                          - F.lit(1.0))
+    return (bars.withColumn("roc_12", roc)
+            .select("user_id", "bar_ts", "close", "roc_12"))
+
+
+_ROC_SQL = f"""
+WITH {BARS_CTE}
+SELECT user_id, bar_ts, close,
+       100.0 * (close / nullif(lag(close, 12) OVER {_BAR_OVER}, 0.0)
+                - 1.0) AS roc_12
+FROM bars
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ultimate Oscillator (7, 14, 28)
+# ---------------------------------------------------------------------------
+
+def _rolling_dec_sum(col, n: int):
+    """Rolling n-bar sum through the decimal-exact quantization (the
+    _rolling_mean discipline): window SUM order differs between
+    Spark's running accumulation and DuckDB's segment-tree sums, so
+    doubles would drift — DECIMAL(25,6) terms make the sum
+    order-free. NULL until the frame holds n non-null terms."""
+    frame = bar_window().rowsBetween(-(n - 1), 0)
+    return F.when(F.count(col).over(frame) == n,
+                  F.sum(col.cast(DEC)).over(frame).cast("double"))
+
+
+def _rolling_dec_sum_sql(expr: str, n: int) -> str:
+    frame = (f"OVER (PARTITION BY user_id ORDER BY bar_ts "
+             f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)")
+    return (f"CASE WHEN COUNT({expr}) {frame} = {n} THEN "
+            f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) {frame} AS DOUBLE)"
+            f" END")
+
+
+def q_ultimate_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ultimate Oscillator (Williams 1976, public formula): buying
+    pressure BP = close − min(low, prev_close), true range
+    TR = max(high, prev_close) − min(low, prev_close);
+    UO = 100·(4·avg₇ + 2·avg₁₄ + avg₂₈)/7 with
+    avgₙ = ΣBPₙ/ΣTRₙ. First bar has no prev_close → NULL BP/TR, so
+    every rolling sum starts counting at bar 2 and UO is NULL until
+    28 complete terms exist (full-window contract shared with SMA).
+
+    Exactness: the three BP/TR sum pairs go through the
+    decimal-exact rolling sum; the weighted blend and division are
+    identical double expressions on both engines; ΣTR = 0 → NULL
+    via nullif. Plan: the shared bar exchange, then pure window
+    stages — no extra shuffle."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    pc = F.lag("close").over(w)
+    bars = (bars
+            .withColumn("bp", F.col("close") - F.least(F.col("low"), pc))
+            .withColumn("tr_uo",
+                        F.greatest(F.col("high"), pc)
+                        - F.least(F.col("low"), pc)))
+    avg = {}
+    for n in (7, 14, 28):
+        avg[n] = (_rolling_dec_sum(F.col("bp"), n)
+                  / F.nullif(_rolling_dec_sum(F.col("tr_uo"), n),
+                             F.lit(0.0)))
+    uo = (F.lit(100.0)
+          * (F.lit(4.0) * avg[7] + F.lit(2.0) * avg[14] + avg[28])
+          / F.lit(7.0))
+    return (bars.withColumn("uo", uo)
+            .select("user_id", "bar_ts", "close", "uo"))
+
+
+def _uo_sql() -> str:
+    def avg(n: int) -> str:
+        return (f"({_rolling_dec_sum_sql('bp', n)})"
+                f" / nullif(({_rolling_dec_sum_sql('tr_uo', n)}), 0.0)")
+    return f"""
+WITH {BARS_CTE},
+uop AS (
+  SELECT user_id, bar_ts, high, low, close,
+         close - least(low, lag(close) OVER w) AS bp,
+         greatest(high, lag(close) OVER w)
+           - least(low, lag(close) OVER w) AS tr_uo
+  FROM bars
+  WINDOW w AS {_BAR_OVER})
+SELECT user_id, bar_ts, close,
+       100.0 * (4.0 * {avg(7)} + 2.0 * {avg(14)} + {avg(28)})
+         / 7.0 AS uo
+FROM uop
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
     "kama": (q_kama, _KAMA_SQL),
@@ -1152,4 +1258,6 @@ QUERIES = {
     "mfi": (q_mfi, _MFI_SQL),
     "cmf": (q_cmf, _CMF_SQL),
     "keltner_channels": (q_keltner, _KELTNER_SQL),
+    "roc": (q_roc, _ROC_SQL),
+    "ultimate_oscillator": (q_ultimate_oscillator, _uo_sql()),
 }

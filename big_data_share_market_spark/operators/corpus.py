@@ -740,6 +740,87 @@ FROM cl GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram novelty (incremental-ingest freshness of each document)
+# ---------------------------------------------------------------------------
+
+#: Gram width for the novelty signal (narrower than dup_ngram_spans'
+#: 8: novelty asks "have we seen this phrase at all", duplication
+#: asks "is this span a copy" — shorter grams saturate earlier, which
+#: is the point of a freshness metric).
+_NOV_N = 5
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty at ingest order: for every word-
+    5-gram position, was that gram FIRST seen in an earlier document
+    (min doc_id over the corpus < this doc_id)? Emits per doc the
+    gram count, the count already seen, and novelty_frac = fraction
+    of positions that are corpus-new. This is the curve data
+    curation teams watch as a crawl matures — novelty decaying
+    toward 0 means additional ingest is re-buying the same text
+    (cf. the duplication-growth analyses in the public
+    CCNet/RefinedWeb pipeline papers); dup_ngram_spans answers
+    "is this doc a copy", novelty answers "is this doc NEW".
+
+    Scale shape — same two-bounded-shuffle layout as dup_ngram_spans
+    and no self-join: stage 1 shuffles gram rows on the gram hash
+    where a window MIN computes the first-occurrence doc; stage 2
+    re-aggregates on doc_id. A hot stop-phrase gram costs O(k) rows
+    in one partition, never O(k²); linear in corpus grams at any
+    scale, and the ingest-order semantics need no global sort —
+    MIN(doc_id) is order-free."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= _NOV_N)
+    grams = (
+        fan_out(spark, docs)
+        .withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .select(
+            "doc_id",
+            F.posexplode_outer(F.expr(
+                f"CASE WHEN size(w) < {_NOV_N} THEN array() ELSE "
+                f"transform(sequence(0, size(w) - {_NOV_N}), "
+                f"i -> md5(concat_ws(' ', slice(w, i + 1, {_NOV_N})))) END"
+            )).alias("pos", "gh"))
+    )
+    wg = Window.partitionBy("gh")
+    first = grams.withColumn("first_doc", F.min("doc_id").over(wg))
+    return (
+        first.groupBy("doc_id").agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long"))
+            .alias("n_seen"))
+        .withColumn("novelty_frac",
+                    (F.col("n_grams") - F.col("n_seen"))
+                    / F.col("n_grams").cast("double"))
+        .select("doc_id", "n_grams", "n_seen", "novelty_frac")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(w, i + 1, i + {_NOV_N}), ' ')) AS gh
+  FROM (SELECT doc_id, w,
+               unnest(range(0, len(w) - {_NOV_N - 1})) AS i
+        FROM toks WHERE len(w) >= {_NOV_N})),
+fo AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN fo.first_doc < g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen,
+       (COUNT(*) - SUM(CASE WHEN fo.first_doc < g.doc_id THEN 1 ELSE 0 END))
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM g JOIN fo USING (gh)
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
     "winsorized_stats": (q_winsorized_stats, _WINSORIZED_SQL),
@@ -753,4 +834,5 @@ QUERIES = {
                                   _CONTAMINATION_SQL),
     "source_quality_stats": (q_source_quality_stats, _SOURCE_QUALITY_SQL),
     "length_histogram": (q_length_histogram, _LENGTH_HISTOGRAM_SQL),
+    "ngram_novelty": (q_ngram_novelty, _NOVELTY_SQL),
 }

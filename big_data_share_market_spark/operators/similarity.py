@@ -1530,7 +1530,154 @@ FROM ranked WHERE rnk <= {_HNM_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding whitening stats (per-dimension mean/variance)
+# ---------------------------------------------------------------------------
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and population variance over the whole
+    embedding corpus — the statistics every whitening / ABTT-style
+    post-processing step (Mu & Viswanath 2018, public paper) computes
+    before centering or scaling vectors, and the first QA table an
+    embedding pipeline prints (a dead dimension has var ≈ 0; a
+    mis-scaled encoder shows in the per-dim spread).
+
+    Exactness: the 64 SUM(x) / SUM(x²) pairs go through the
+    decimal-exact quantization (the label_centroids discipline) so
+    both engines sum order-free; mean/var derive from identical
+    double expressions. Scale shape: ONE global aggregate — 129
+    partial cells per task, no explode of the corpus (the per-dim
+    explode runs on the single aggregated row, like kmeans) — a
+    10⁹-vector corpus costs one scan + one 129-value reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = [F.col("embedding").getItem(i).cast("double") for i in range(_DIM)]
+    agg = fan_out(spark, emb).agg(
+        F.count("*").alias("n_vecs"),
+        *[F.sum(x[i].cast("decimal(25,6)")).alias(f"s{i}")
+          for i in range(_DIM)],
+        *[F.sum((x[i] * x[i]).cast("decimal(25,6)")).alias(f"q{i}")
+          for i in range(_DIM)])
+    mean = [F.col(f"s{i}").cast("double") / F.col("n_vecs")
+            for i in range(_DIM)]
+    var = [F.col(f"q{i}").cast("double") / F.col("n_vecs")
+           - mean[i] * mean[i] for i in range(_DIM)]
+    return (agg.select(
+        "n_vecs",
+        F.posexplode(F.arrays_zip(
+            F.array(*mean).alias("m"), F.array(*var).alias("v")))
+        .alias("dim", "mv"))
+        .select(F.col("dim").cast("long").alias("dim"),
+                F.col("mv.m").alias("mean_x"),
+                F.col("mv.v").alias("var_x"), "n_vecs")
+        .orderBy("dim"))
+
+
+_DIM_STATS_SQL = f"""
+WITH cells AS (
+  SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i) u),
+per_dim AS (
+  SELECT dim,
+         COUNT(*) AS n_vecs,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sq
+  FROM cells GROUP BY dim)
+SELECT dim,
+       sx / n_vecs AS mean_x,
+       sq / n_vecs - (sx / n_vecs) * (sx / n_vecs) AS var_x,
+       n_vecs
+FROM per_dim ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction via distributed power iteration
+# ---------------------------------------------------------------------------
+
+#: Fixed power-iteration count (like kmeans_train's bounded Lloyd
+#: loop: the oracle-checkable unit is N exact steps, not "until
+#: converged").
+_PCA_ITERS = 3
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant direction of the embedding corpus by _PCA_ITERS exact
+    power-iteration steps on the (uncentered) Gram operator — the
+    all-but-the-top component removal / dominant-direction diagnostic
+    of Mu & Viswanath 2018 (public) runs exactly this: v ← Xᵀ(Xv),
+    rescaled each step. Deterministic start v₀ = 1/8 per dim (1/√64,
+    exactly representable). Rescaling uses the ∞-norm (v ← w/max|wⱼ|)
+    instead of L2: MAX(ABS(·)) is order-free and bit-exact across
+    engines, while an L2 norm would sum 64 unquantized squares in
+    engine-dependent order. Output: 64 (dim, v_x) rows plus
+    lambda_inf, the final growth factor max|wⱼ| (the ∞-norm
+    eigenvalue estimate).
+
+    Exactness: per step, sᵢ = x·v is the shared sequential _DOT fold;
+    wⱼ = Σᵢ sᵢ·xᵢⱼ goes through decimal-exact sums, so w, the max,
+    and the rescaled v are IDENTICAL doubles in both engines — the
+    next step's literals start from the same bits. Scale shape: each
+    step is one corpus scan + one 64-cell reduce; the 64-double
+    carrier vector round-trips through the driver (bounded, like the
+    PQ codebook), never the data. At 10⁹ vectors: _PCA_ITERS scans,
+    zero shuffles beyond the aggregate reduces."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    v = [0.125] * _DIM
+    lam = None
+    for _ in range(_PCA_ITERS):
+        varr = F.array(*[F.lit(float(c)) for c in v])
+        s = F.expr(_DOT.format(a="embedding", b="varr"))
+        scored = emb.withColumn("varr", varr).withColumn("s", s)
+        row = scored.agg(
+            *[F.sum((F.col("s")
+                     * F.col("embedding").getItem(j).cast("double"))
+                    .cast("decimal(25,6)")).alias(f"w{j}")
+              for j in range(_DIM)]
+        ).select(*[F.col(f"w{j}").cast("double").alias(f"w{j}")
+                   for j in range(_DIM)]).collect()[0]
+        w = [row[f"w{j}"] for j in range(_DIM)]
+        lam = max(abs(c) for c in w)
+        v = [c / lam for c in w]
+    out = spark.createDataFrame(
+        [(j, v[j], lam) for j in range(_DIM)],
+        "dim bigint, v_x double, lambda_inf double")
+    return out.orderBy("dim")
+
+
+def _pca_sql() -> str:
+    dot_v = ("list_reduce(list_transform(range(1, len(embedding) + 1), "
+             "i -> CAST(embedding[i] AS DOUBLE) * vl[i]), "
+             "(acc, v) -> acc + v)")
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+v0l AS (SELECT list_transform(range(0, {_DIM}), i -> 0.125) AS vl)"""
+    prev = "v0l"
+    for t in range(1, _PCA_ITERS + 1):
+        sql += f""",
+s{t} AS (
+  SELECT vec_id, embedding, {dot_v} AS s FROM e, {prev}),
+w{t} AS (
+  SELECT u.i - 1 AS dim,
+         CAST(SUM(CAST(s * CAST(embedding[u.i] AS DOUBLE)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS w
+  FROM s{t}, (SELECT unnest(range(1, {_DIM} + 1)) AS i) u
+  GROUP BY u.i),
+m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
+v{t} AS (SELECT dim, w / m AS v FROM w{t}, m{t}),
+v{t}l AS (SELECT list(v ORDER BY dim) AS vl FROM v{t})"""
+        prev = f"v{t}l"
+    last = _PCA_ITERS
+    sql += f"""
+SELECT v.dim, v.v AS v_x, m.m AS lambda_inf
+FROM v{last} v, m{last} m
+ORDER BY v.dim
+"""
+    return sql
+
+
 QUERIES = {
+    "embedding_dim_stats": (q_embedding_dim_stats, _DIM_STATS_SQL),
+    "pca_power_iteration": (q_pca_power_iteration, _pca_sql()),
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "hard_negative_mining": (q_hard_negative_mining, _hnm_sql()),
     "sq8_topk": (q_sq8_topk, _SQ8_TOPK_SQL),
