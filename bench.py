@@ -102,6 +102,10 @@ HEADLINE = [
     "kama",                 # adaptive-alpha recurrence kernel
     "volume_profile",       # price-bin histogram + point of control
     "k_anonymity_audit",    # privacy equivalence-class histogram
+    "ngram_novelty",        # first-occurrence gram window + doc agg
+    "ultimate_oscillator",  # triple-horizon decimal rolling sums
+    "embedding_dim_stats",  # 129-cell global whitening aggregate
+    "pca_power_iteration",  # 3 scan+reduce power-iteration steps
 ]
 
 

