@@ -542,3 +542,83 @@ def test_oracle_arrow_schemas_have_no_decimal(ddb):
             offenders[name] = bad
     assert not offenders, (
         f"oracles emitting decimal (HUGEINT) columns: {offenders}")
+
+
+def test_pca_matches_numpy_trajectory(spark):
+    """Independent semantic check for pca_power_iteration (the oracle
+    MIRRORS the engine's recurrence, so a formula mistake would pass
+    parity): replay the same 3 ∞-norm-rescaled power steps in plain
+    numpy float math and require the trajectory to agree within the
+    accumulated decimal-quantization tolerance (each wⱼ sums ~500
+    1e-6-quantized terms). Also pin the power-iteration law that
+    holds regardless of eigengap: the Rayleigh quotient of v is
+    non-decreasing across steps. (The fixture's Gram spectrum is
+    nearly flat — top eigenvalues 14.4, 13.5, 12.9 — so eigenvector
+    ALIGNMENT after 3 steps is not a valid assertion here; the
+    operator's contract is N exact steps, like kmeans_train.)"""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = (all_queries()["pca_power_iteration"][0](spark, SF_DIR)
+            .orderBy("dim").collect())
+    v_spark = np.array([r.v_x for r in rows])
+    lam = rows[0].lambda_inf
+    assert lam > 0
+    X = np.array(pq.read_table(f"{SF_DIR}/embeddings.parquet")
+                 .column("embedding").to_pylist(), dtype=np.float64)
+    gram = X.T @ X
+    v = np.full(64, 0.125)
+    rq_prev = None
+    for _ in range(3):
+        w = X.T @ (X @ v)
+        v = w / np.max(np.abs(w))
+        rq = (v @ gram @ v) / (v @ v)
+        assert rq_prev is None or rq >= rq_prev - 1e-9
+        rq_prev = rq
+    assert np.max(np.abs(v_spark - v)) < 5e-3, (
+        f"spark/numpy trajectory divergence {np.max(np.abs(v_spark - v))}")
+
+
+def test_dim_stats_match_numpy(spark):
+    """embedding_dim_stats vs plain numpy mean/var (population) —
+    within the 1e-6 decimal-quantization tolerance per sum term."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = (all_queries()["embedding_dim_stats"][0](spark, SF_DIR)
+            .orderBy("dim").collect())
+    X = np.array(pq.read_table(f"{SF_DIR}/embeddings.parquet")
+                 .column("embedding").to_pylist(), dtype=np.float64)
+    mean = X.mean(axis=0)
+    var = X.var(axis=0)
+    for r in rows:
+        assert abs(r.mean_x - mean[r.dim]) < 1e-5
+        assert abs(r.var_x - var[r.dim]) < 1e-5
+        assert r.n_vecs == X.shape[0]
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark):
+    """Structural truths of ingest-order novelty: fractions in [0,1],
+    n_seen <= n_grams, and the lowest doc_id in the corpus (nothing
+    precedes it) is 100% novel."""
+    rows = all_queries()["ngram_novelty"][0](spark, SF_DIR).collect()
+    assert rows
+    first = min(r.doc_id for r in rows)
+    for r in rows:
+        assert 0 <= r.n_seen <= r.n_grams
+        assert 0.0 <= r.novelty_frac <= 1.0
+        if r.doc_id == first:
+            assert r.novelty_frac == 1.0 and r.n_seen == 0
+
+
+def test_ultimate_oscillator_bounds(spark):
+    """UO is a weighted blend of BP/TR ratios with BP <= TR by
+    construction (close <= max(high, prev_close) and
+    close >= ... - wait, BP >= 0 since close >= min(low, prev_close)
+    on real bars), so every non-null value lies in [0, 100]; warmup
+    rows (< 28 complete terms) are NULL."""
+    rows = all_queries()["ultimate_oscillator"][0](spark, SF_DIR).collect()
+    non_null = [r.uo for r in rows if r.uo is not None]
+    assert non_null
+    for v in non_null:
+        assert 0.0 <= v <= 100.0
