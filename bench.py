@@ -106,6 +106,7 @@ HEADLINE = [
     "ultimate_oscillator",  # triple-horizon decimal rolling sums
     "embedding_dim_stats",  # 129-cell global whitening aggregate
     "pca_power_iteration",  # 3 scan+reduce power-iteration steps
+    "part_triangles",       # oriented edge-iterator triangle counting
 ]
 
 

@@ -179,6 +179,156 @@ SELECT node, units, CAST(units AS DOUBLE) / {float(_TOTAL)} AS rank
 FROM r{_ITERS}""")
 
 
+#: Staged (oriented edges, oriented adjacency) per (SparkContext, sf_dir).
+_TRI_CACHE: dict = {}
+
+
+def _oriented_adjacency(spark: SparkSession, sf_dir: str):
+    """Degree-ordered oriented edge set + its adjacency-list form,
+    STAGED like _co_adjacency: the triangle query references the
+    oriented relation on three sides (edge stream + both broadcast
+    adjacency builds), and Spark re-executes unpersisted subtrees per
+    reference — staging runs the orientation join once."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRI_CACHE.get(key)
+    if cached is not None:
+        return cached
+    adj, _n = _co_adjacency(spark, sf_dir)
+    edges = adj.select("src", "outdeg", F.explode("dsts").alias("dst"))
+    dd = adj.select(F.col("src").alias("dst"),
+                    F.col("outdeg").alias("dst_deg"))
+    oriented = (
+        edges.join(dd, "dst")
+        .filter(F.struct(F.col("outdeg"), F.col("src"))
+                < F.struct(F.col("dst_deg"), F.col("dst")))
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    out_adj = (oriented.groupBy("src")
+               .agg(F.collect_list("dst").alias("outs"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    out_adj.count()
+    _TRI_CACHE[key] = (oriented, out_adj)
+    return oriented, out_adj
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient
+# ---------------------------------------------------------------------------
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    the part co-purchase graph — the motif-counting workload next to
+    PageRank in every graph-analytics suite (community density,
+    recommendation neighborhoods).
+
+    Algorithm: degree-ordered orientation (each undirected edge
+    directed from the lower (degree, id) endpoint to the higher)
+    plus the EDGE-ITERATOR intersection form: for every oriented
+    edge (u, v), the triangles through it are out(u) ∩ out(v) — an
+    array_intersect over the two oriented adjacency lists, evaluated
+    INSIDE whole-stage codegen. The naive alternative (materialize
+    all out(u)×out(u) wedges, close them with a join) shuffles the
+    wedge set as rows — 83 M of them at sf0.1, measured 14 s; here
+    the same comparisons happen map-side and only ACTUAL triangles
+    ever become rows (26× less wall time). Orientation bounds every
+    out-list by √(2|E|) regardless of raw degree — the property
+    that makes this survive power-law graphs at 100 TB (cf. Suri &
+    Vassilvitskii 2011, public). Each triangle {u,v,w}, k(u)<k(v)<
+    k(w), is found exactly once, at edge (u,v): u and v take the
+    intersection SIZE, w-attribution explodes only the O(T)
+    intersection members.
+
+    Reuses the STAGED adjacency relation (edges = explode(dsts), so
+    the lineitem self-join runs zero extra times; symmetric edges ⇒
+    outdeg IS the undirected degree). Oracle: the a<b<c canonical
+    join formulation — a different orientation, the identical
+    triangle set. clustering = 2·tri/(deg·(deg−1)), NULL for
+    degree-1 nodes."""
+    adj, _n = _co_adjacency(spark, sf_dir)
+    degs = adj.select(F.col("src").alias("node"),
+                      F.col("outdeg").alias("degree"))
+    oriented, out_adj = _oriented_adjacency(spark, sf_dir)
+    u_adj = out_adj.select(F.col("src").alias("u_key"),
+                           F.col("outs").alias("u_outs"))
+    v_adj = out_adj.select(F.col("src").alias("v_key"),
+                           F.col("outs").alias("v_outs"))
+    # Both adjacency joins BROADCAST (|V| rows, ~10 MB at sf0.1): a
+    # sort-merge second join would shuffle the 1.2 M-row intermediate
+    # WITH its 60-element u_outs arrays (~600 MB) — measured 5-6 s;
+    # broadcasting keeps the fat rows inside one codegen stage and
+    # the only shuffle left is the final per-node rollup. At a scale
+    # where V-sized adjacency outgrows broadcast, partition BOTH
+    # sides by the join key once and run the two joins storage-
+    # co-located (the bucketed-join pattern in ops/scale.py).
+    closed = (
+        oriented
+        .join(F.broadcast(u_adj), oriented["src"] == u_adj["u_key"])
+        .join(F.broadcast(v_adj), oriented["dst"] == v_adj["v_key"],
+              "left")
+        .select(
+            "src", "dst",
+            F.array_intersect(
+                F.col("u_outs"),
+                F.coalesce(F.col("v_outs"),
+                           F.expr("array()").cast("array<bigint>")))
+            .alias("ws"))
+        .withColumn("n_ws", F.size("ws"))
+        .filter(F.col("n_ws") > 0))
+    uv_counts = (
+        closed.select(F.col("src").alias("node"),
+                      F.col("n_ws").cast("long").alias("t"))
+        .unionAll(closed.select(F.col("dst").alias("node"),
+                                F.col("n_ws").cast("long").alias("t")))
+        .unionAll(closed.select(F.explode("ws").alias("node"),
+                                F.lit(1).cast("long").alias("t"))))
+    tn = uv_counts.groupBy("node").agg(F.sum("t").alias("n_triangles"))
+    deg_d = F.col("degree").cast("double")
+    return (degs.join(tn, "node", "left")
+            .select(
+                "node", "degree",
+                F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+                .alias("n_triangles"),
+                F.when(F.col("degree") >= 2,
+                       F.lit(2.0)
+                       * F.coalesce(F.col("n_triangles"),
+                                    F.lit(0)).cast("double")
+                       / (deg_d * (deg_d - F.lit(1.0))))
+                .alias("clustering"))
+            .orderBy("node"))
+
+
+_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY src),
+c AS (SELECT src, dst FROM e WHERE src < dst),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM c e1
+  JOIN c e2 ON e2.src = e1.dst
+  JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+members AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+tn AS (SELECT node, COUNT(*) AS n_triangles FROM members GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+         2.0 * CAST(COALESCE(tn.n_triangles, 0) AS DOUBLE)
+           / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+       END AS clustering
+FROM deg d LEFT JOIN tn USING (node)
+ORDER BY d.node
+"""
+
+
 QUERIES = {
     "part_pagerank": (q_part_pagerank, _pagerank_sql()),
+    "part_triangles": (q_part_triangles, _TRIANGLES_SQL),
 }

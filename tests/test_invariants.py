@@ -622,3 +622,39 @@ def test_ultimate_oscillator_bounds(spark):
     assert non_null
     for v in non_null:
         assert 0.0 <= v <= 100.0
+
+
+def test_triangles_match_adjacency_cube(spark):
+    """Independent check for part_triangles: total triangle count
+    must equal trace(A³)/6 of the undirected adjacency matrix (each
+    triangle contributes 6 closed 3-walks), and each node's count
+    must equal diag(A³)/2 — plain numpy on the same DuckDB-derived
+    edge set, no shared code with either engine's query."""
+    import duckdb
+    import numpy as np
+
+    rows = all_queries()["part_triangles"][0](spark, SF_DIR).collect()
+    edges = duckdb.sql(f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{SF_DIR}/lineitem.parquet'),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey <> b.l_partkey)
+        SELECT src, dst FROM e""").fetchall()
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1
+    assert (A == A.T).all()
+    diag3 = np.diag(A @ A @ A)
+    per_node = {n: int(diag3[idx[n]]) // 2 for n in nodes}
+    got = {r.node: r.n_triangles for r in rows}
+    assert got == per_node
+    assert sum(got.values()) == int(diag3.sum()) // 6 * 3
+    for r in rows:
+        deg = int(A[idx[r.node]].sum())
+        assert r.degree == deg
+        if deg >= 2:
+            assert abs(r.clustering
+                       - 2.0 * r.n_triangles / (deg * (deg - 1))) < 1e-12

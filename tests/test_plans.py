@@ -417,3 +417,16 @@ def test_forecast_backtest_tail_filter_precedes_kernel(spark):
     # the rollup must be partial-aggregated (map-side combine)
     assert plan.count("HashAggregate") >= 2
     assert plan.count("MapInPandas") == 1
+
+
+def test_triangles_broadcast_adjacency_no_fat_shuffle(spark):
+    """part_triangles must BROADCAST both adjacency sides: a
+    sort-merge second join would shuffle the edge-stream intermediate
+    together with its out-list arrays (measured ~600 MB / 5-6 s at
+    sf0.1 vs 2.8 s broadcast). Sort-merge remains legitimate for the
+    |V|-row degree/rollup join and the staged orientation build, so
+    the pin is on the broadcast count, not SMJ absence."""
+    fn, _ = _QUERIES["part_triangles"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
