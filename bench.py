@@ -107,6 +107,8 @@ HEADLINE = [
     "embedding_dim_stats",  # 129-cell global whitening aggregate
     "pca_power_iteration",  # 3 scan+reduce power-iteration steps
     "part_triangles",       # oriented edge-iterator triangle counting
+    "event_transitions",    # per-user lag + matrix rollup
+    "source_token_entropy", # histogram + sequential ln fold
 ]
 
 

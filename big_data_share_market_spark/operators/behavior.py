@@ -303,9 +303,59 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov view of user flows)
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event stream:
+    for every consecutive (event, next event) pair in (ts, event_id)
+    order, the pair count and the row-normalized transition
+    probability — the Markov-chain view product analytics builds for
+    flow diagrams and next-action models (funnel_conversion fixes the
+    path; this measures ALL observed paths).
+
+    Exactness: counts are integers; p divides two engine-identical
+    integers as DOUBLE. Scale shape: one hash exchange on user_id for
+    the lag, map-side-combined groupBy on (from, to) — the matrix is
+    |types|² rows, the per-from totals ride a bytes-sized window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "event_type", "ts", "event_id")
+             .withColumn("to_type", F.lead("event_type").over(w))
+             .filter(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy(F.col("event_type").alias("from_type"),
+                            "to_type")
+              .agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("p", F.col("n").cast("double")
+                        / F.sum("n").over(tot).cast("double"))
+            .select("from_type", "to_type", "n", "p")
+            .orderBy("from_type", "to_type"))
+
+
+_TRANSITIONS_SQL = """
+WITH d AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT event_type AS from_type, to_type, COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+FROM d WHERE to_type IS NOT NULL
+GROUP BY event_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "click_attribution": (q_click_attribution, _ATTRIBUTION_SQL),
     "funnel_conversion": (q_funnel_conversion, _FUNNEL_SQL),
     "cohort_retention": (q_cohort_retention, _COHORT_SQL),
     "ab_test_ztest": (q_ab_test_ztest, _AB_ZTEST_SQL),
+    "event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
 }

@@ -821,6 +821,67 @@ GROUP BY g.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source token entropy (corpus diversity)
+# ---------------------------------------------------------------------------
+
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    corpus-diversity number mixture designers watch next to the raw
+    counts (a low-entropy source is template/boilerplate-heavy and
+    buys fewer effective tokens than its size suggests; cf. the
+    diversity analyses in the public Gopher/Dolma corpus reports).
+
+    Exactness: p = c/N divides engine-identical integers; the
+    −p·ln p contributions fold SEQUENTIALLY in word order (the
+    psi_drift discipline — float addition is not associative and a
+    parallel SUM would drift), rounded 1e-6 for the JVM-vs-libm ln
+    ulp. Scale shape: explode → map-side-combined (source, word)
+    histogram (near-unique key, no skew); the fold runs over each
+    source's vocab list, vocab-sized, never corpus-sized."""
+    words = (fan_out(spark, _docs(spark, sf_dir))
+             .select("source", F.explode(_toks()).alias("w")))
+    pw = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    from pyspark.sql.window import Window
+    ws = Window.partitionBy("source")
+    pw = (pw.withColumn("n_tokens", F.sum("c").over(ws))
+          .withColumn("vocab_size", F.count("*").over(ws)))
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    contrib = (-p * F.log(p)).alias("contrib")
+    per_word = pw.select("source", "w", "n_tokens", "vocab_size", contrib)
+    return (per_word.groupBy("source")
+            .agg(F.max("n_tokens").alias("n_tokens"),
+                 F.max("vocab_size").alias("vocab_size"),
+                 F.round(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("w", "contrib"))),
+                     F.lit(0.0),
+                     lambda acc, s: acc + s["contrib"]), 6)
+                 .alias("entropy"))
+            .orderBy("source"))
+
+
+_ENTROPY_SQL = f"""
+WITH words AS (
+  SELECT source, unnest({_TOKS_SQL}) AS w FROM documents),
+pw AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS vocab_size
+        FROM pw GROUP BY source),
+contribs AS (
+  SELECT p.source, p.w,
+         -(CAST(p.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+           * ln(CAST(p.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) AS contrib
+  FROM pw p JOIN tot t USING (source))
+SELECT t.source, t.n_tokens, t.vocab_size,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(c.contrib ORDER BY c.w)),
+                         (acc, x) -> acc + x), 6) AS entropy
+FROM tot t JOIN contribs c USING (source)
+GROUP BY t.source, t.n_tokens, t.vocab_size
+ORDER BY t.source
+"""
+
+
 QUERIES = {
     "repetition_score": (q_repetition_score, _REPETITION_SQL),
     "winsorized_stats": (q_winsorized_stats, _WINSORIZED_SQL),
@@ -835,4 +896,5 @@ QUERIES = {
     "source_quality_stats": (q_source_quality_stats, _SOURCE_QUALITY_SQL),
     "length_histogram": (q_length_histogram, _LENGTH_HISTOGRAM_SQL),
     "ngram_novelty": (q_ngram_novelty, _NOVELTY_SQL),
+    "source_token_entropy": (q_source_token_entropy, _ENTROPY_SQL),
 }

@@ -658,3 +658,46 @@ def test_triangles_match_adjacency_cube(spark):
         if deg >= 2:
             assert abs(r.clustering
                        - 2.0 * r.n_triangles / (deg * (deg - 1))) < 1e-12
+
+
+def test_transition_rows_are_distributions(spark):
+    """Each from_type's transition probabilities sum to 1 (within
+    float round-off) and every count is positive."""
+    rows = all_queries()["event_transitions"][0](spark, SF_DIR).collect()
+    assert rows
+    per_from = {}
+    for r in rows:
+        assert r.n > 0 and 0.0 < r.p <= 1.0
+        per_from.setdefault(r.from_type, 0.0)
+        per_from[r.from_type] += r.p
+    for ft, s in per_from.items():
+        assert abs(s - 1.0) < 1e-9, (ft, s)
+
+
+def test_entropy_bounded_by_log_vocab(spark):
+    """0 <= H <= ln(vocab_size) — the Shannon bounds — and a
+    numpy recomputation from raw counts agrees within the 1e-6
+    rounding the operator applies."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    rows = all_queries()["source_token_entropy"][0](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy <= math.log(r.vocab_size) + 1e-9
+    counts = duckdb.sql(f"""
+        SELECT source, COUNT(*) AS c FROM (
+          SELECT source, unnest(string_split(regexp_replace(lower(text),
+            '\\s+', ' ', 'g'), ' ')) AS w
+          FROM '{SF_DIR}/documents.parquet')
+        GROUP BY source, w""").fetchall()
+    per_src = {}
+    for s, c in counts:
+        per_src.setdefault(s, []).append(c)
+    for r in rows:
+        c = np.array(per_src[r.source], dtype=np.float64)
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum())
+        assert abs(r.entropy - h) < 1e-4, (r.source, r.entropy, h)
