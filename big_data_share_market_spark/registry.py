@@ -34,9 +34,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: in-window, and all three are strict-type oracle-green locally.
 #:
 #: ROUND-6 ROTATION NOTE: after this round's driver run the
-#: never-driver-verified set is exactly {force_index, elder_ray,
-#: ease_of_movement} + whatever round 5 adds. Front-load those three,
-#: then spend the free slots on re-verifying perf-touched queries.
+#: never-driver-verified set is exactly the 3 deferred indicator
+#: siblings {force_index, elder_ray, ease_of_movement} plus the 8
+#: round-5 additions {roc, ultimate_oscillator, ngram_novelty,
+#: embedding_dim_stats, pca_power_iteration, part_triangles,
+#: event_transitions, source_token_entropy} — 11 queries. Front-load
+#: all 11, then spend the ~39 free slots re-verifying perf-touched
+#: queries (the similarity explode rewrite touched
+#: embedding_dim_stats/pca only; holt_forecast/forecast_backtest/
+#: forecast_anomalies were restructured this round and deserve a
+#: re-check even though they are in the r5 window).
 _FIRST_50 = (
     # --- (a) round-4 FAILs, HUGEINT/typing root cause fixed ---
     "dup_ngram_spans", "length_outliers", "token_budget_mixture",
