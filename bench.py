@@ -109,6 +109,7 @@ HEADLINE = [
     "part_triangles",       # oriented edge-iterator triangle counting
     "event_transitions",    # per-user lag + matrix rollup
     "source_token_entropy", # histogram + sequential ln fold
+    "var_cvar",             # tail-risk quantile + exact tail mean
 ]
 
 

@@ -423,6 +423,68 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Historical VaR / CVaR (expected shortfall)
+# ---------------------------------------------------------------------------
+
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key historical 95% Value-at-Risk and CVaR (expected
+    shortfall) over the hourly return series — the tail-risk pair
+    every risk desk reports next to realized volatility (Basel-style
+    historical simulation, public method): VaR = −(5th-percentile
+    return), CVaR = −(mean of returns at or below that quantile).
+
+    Exactness: the quantile runs on the QUANTIZED integer returns
+    (ret_i = floor(ret·1e9)) via percentile_disc — a member value,
+    exact in both engines (Spark's percentile_disc emits DOUBLE, so
+    it is cast back to BIGINT: the length_outliers discipline); the
+    tail mean divides two exact integers (tail sums of |ret_i| ≤
+    5e12 over ~1e3 rows stay far inside int64). Rescaling to the
+    return scale happens once, identically, at the end.
+
+    Scale shape: two bytes-per-key aggregates (quantile, then tail
+    moments) with the quantile broadcast back onto the bar-sized
+    series — the length_outliers layout; nothing event-sized
+    shuffles twice."""
+    rets = _rets(spark, sf_dir)
+    q = rets.groupBy("user_id").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY ret_i)")
+        .cast("long").alias("q_i"),
+        F.count("*").alias("n"))
+    tail = (rets.join(F.broadcast(q), "user_id")
+            .filter(F.col("ret_i") <= F.col("q_i"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_tail"),
+                 F.sum("ret_i").alias("s_tail")))
+    return (q.join(tail, "user_id")
+            .select(
+                "user_id", "n", "n_tail",
+                (-(F.col("q_i").cast("double") / F.lit(float(_Q))))
+                .alias("var_95"),
+                (-(F.col("s_tail").cast("double")
+                   / F.col("n_tail") / F.lit(float(_Q))))
+                .alias("cvar_95"))
+            .orderBy("user_id"))
+
+
+_VAR_CVAR_SQL = f"""
+WITH {_RETS_CTE.strip()},
+q AS (
+  SELECT user_id, quantile_disc(ret_i, 0.05) AS q_i, COUNT(*) AS n
+  FROM rets GROUP BY user_id),
+t AS (
+  SELECT r.user_id, COUNT(*) AS n_tail,
+         CAST(SUM(r.ret_i) AS BIGINT) AS s_tail
+  FROM rets r JOIN q USING (user_id)
+  WHERE r.ret_i <= q.q_i GROUP BY r.user_id)
+SELECT q.user_id, q.n, t.n_tail,
+       -(CAST(q.q_i AS DOUBLE) / {float(_Q)}) AS var_95,
+       -(CAST(t.s_tail AS DOUBLE) / t.n_tail / {float(_Q)}) AS cvar_95
+FROM q JOIN t USING (user_id)
+ORDER BY q.user_id
+"""
+
+
 QUERIES = {
     "volume_profile": (q_volume_profile, _VOLUME_PROFILE_SQL),
     "drawdown_duration": (q_drawdown_duration, _DRAWDOWN_DURATION_SQL),
@@ -431,4 +493,5 @@ QUERIES = {
     "realized_volatility": (q_realized_volatility, _REALIZED_VOL_SQL),
     "beta_vs_market": (q_beta_vs_market, _BETA_SQL),
     "corr_pairs": (q_corr_pairs, _CORR_PAIRS_SQL),
+    "var_cvar": (q_var_cvar, _VAR_CVAR_SQL),
 }

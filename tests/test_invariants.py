@@ -701,3 +701,31 @@ def test_entropy_bounded_by_log_vocab(spark):
         p = c / c.sum()
         h = float(-(p * np.log(p)).sum())
         assert abs(r.entropy - h) < 1e-4, (r.source, r.entropy, h)
+
+
+def test_var_cvar_ordering(spark):
+    """Tail-risk structure: CVaR >= VaR (the tail mean is at least as
+    extreme as its boundary quantile), the tail holds ~5% of
+    observations (>= 1 and <= 10% given discrete quantiles on ~1e3
+    rows), and a numpy recomputation from raw quantized returns
+    agrees exactly."""
+    import numpy as np
+
+    rows = all_queries()["var_cvar"][0](spark, SF_DIR).collect()
+    assert rows
+    from big_data_share_market_spark.operators.finance import _Q, _rets
+    rr = _rets(spark, SF_DIR).select("user_id", "ret_i").collect()
+    per_key = {}
+    for r in rr:
+        per_key.setdefault(r.user_id, []).append(r.ret_i)
+    for r in rows:
+        assert r.cvar_95 >= r.var_95 - 1e-12
+        assert 1 <= r.n_tail <= max(1, r.n * 0.10)
+        x = np.sort(np.array(per_key[r.user_id], dtype=np.int64))
+        # percentile_disc(0.05): smallest member with cume_dist >= 0.05
+        import math
+        q = x[math.ceil(0.05 * len(x)) - 1]
+        tail = x[x <= q]
+        assert abs(r.var_95 - (-(float(q) / _Q))) < 1e-15
+        assert abs(r.cvar_95
+                   - (-(float(tail.sum()) / len(tail) / _Q))) < 1e-12
