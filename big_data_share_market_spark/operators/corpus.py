@@ -769,7 +769,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates on doc_id. A hot stop-phrase gram costs O(k) rows
     in one partition, never O(k²); linear in corpus grams at any
     scale, and the ingest-order semantics need no global sort —
-    MIN(doc_id) is order-free."""
+    MIN(doc_id) is order-free. Gram keys are the repo's 60-bit md5
+    fingerprint (doc_fingerprint's fp64 idiom), not the 32-char hex
+    string: both bounded shuffles move 8-byte longs instead of ~40-
+    byte strings (a collision merges the same two grams in BOTH
+    engines, so parity is unaffected; at 150 M grams the birthday
+    odds of even one 60-bit collision are ~1%)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -782,7 +787,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode_outer(F.expr(
                 f"CASE WHEN size(w) < {_NOV_N} THEN array() ELSE "
                 f"transform(sequence(0, size(w) - {_NOV_N}), "
-                f"i -> md5(concat_ws(' ', slice(w, i + 1, {_NOV_N})))) END"
+                f"i -> CAST(conv(substring(md5(concat_ws(' ', "
+                f"slice(w, i + 1, {_NOV_N}))), 1, 15), 16, 10) AS BIGINT)) "
+                f"END"
             )).alias("pos", "gh"))
     )
     wg = Window.partitionBy("gh")
@@ -805,7 +812,9 @@ WITH toks AS (
   FROM documents),
 g AS (
   SELECT doc_id,
-         md5(array_to_string(list_slice(w, i + 1, i + {_NOV_N}), ' ')) AS gh
+         CAST(('0x' || substring(md5(
+           array_to_string(list_slice(w, i + 1, i + {_NOV_N}), ' ')),
+           1, 15)) AS BIGINT) AS gh
   FROM (SELECT doc_id, w,
                unnest(range(0, len(w) - {_NOV_N - 1})) AS i
         FROM toks WHERE len(w) >= {_NOV_N})),
