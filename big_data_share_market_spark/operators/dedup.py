@@ -1041,7 +1041,10 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hot stop-phrase gram costs O(k) rows, never the O(k²) a
     pair-join would emit). Stage 2 re-aggregates on doc_id. Two
     bounded data shuffles past the fan-out repartition, linear in
-    corpus grams, at any scale."""
+    corpus grams, at any scale. Gram keys are the 60-bit fp64
+    fingerprint (8-byte longs through both shuffles, not 32-char md5
+    hex — the ngram_novelty lesson: 3.7× at sf10); a collision
+    merges the same grams in both engines, parity unaffected."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= _SPAN_N)
     grams = (
@@ -1052,7 +1055,9 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode_outer(F.expr(
                 f"CASE WHEN size(w) < {_SPAN_N} THEN array() ELSE "
                 f"transform(sequence(0, size(w) - {_SPAN_N}), "
-                f"i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_N})))) END"
+                f"i -> CAST(conv(substring(md5(concat_ws(' ', "
+                f"slice(w, i + 1, {_SPAN_N}))), 1, 15), 16, 10) AS BIGINT)) "
+                f"END"
             )).alias("pos", "gh"))
     )
     from pyspark.sql.window import Window
@@ -1078,7 +1083,9 @@ WITH toks AS (
   FROM documents),
 g AS (
   SELECT doc_id,
-         md5(array_to_string(list_slice(w, i + 1, i + {_SPAN_N}), ' ')) AS gh
+         CAST(('0x' || substring(md5(
+           array_to_string(list_slice(w, i + 1, i + {_SPAN_N}), ' ')),
+           1, 15)) AS BIGINT) AS gh
   FROM (SELECT doc_id, w,
                unnest(range(0, len(w) - {_SPAN_N - 1})) AS i
         FROM toks WHERE len(w) >= {_SPAN_N})),
