@@ -110,6 +110,7 @@ HEADLINE = [
     "event_transitions",    # per-user lag + matrix rollup
     "source_token_entropy", # histogram + sequential ln fold
     "var_cvar",             # tail-risk quantile + exact tail mean
+    "bq_topk",              # 1-bit hamming pre-rank + exact re-rank
 ]
 
 

@@ -1678,12 +1678,102 @@ ORDER BY v.dim
     return sql
 
 
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization retrieval: Hamming pre-rank + exact re-rank
+# ---------------------------------------------------------------------------
+
+#: Hamming-candidate pool fed to the exact re-rank.
+_BQ_POOL = 32
+
+
+def _bq_codes():
+    """Sign-bit packing of the 64-dim embedding into TWO 32-bit
+    halves (code_lo = dims 0-31, code_hi = dims 32-63). Two halves,
+    not one 64-bit word, on purpose: bit 63 would make the packed
+    value negative, and BIGINT shift/overflow semantics at the sign
+    bit differ between engines — 32 bits per word keeps every
+    intermediate positive and arithmetic identical."""
+    def half(lo: int) -> str:
+        return (f"aggregate(sequence({lo}, {lo + 31}), 0L, (acc, i) -> "
+                f"acc + IF(embedding[i] > 0, shiftleft(1L, i - {lo}), 0L))")
+    return F.expr(half(0)).alias("code_lo"), F.expr(half(32)).alias("code_hi")
+
+
+def _bq_codes_sql(prefix: str) -> str:
+    def half(lo: int) -> str:
+        return (f"list_reduce(list_transform(range({lo + 1}, {lo + 33}), "
+                f"i -> CASE WHEN {prefix}embedding[i] > 0 "
+                f"THEN (CAST(1 AS BIGINT) << (i - {lo + 1})) "
+                f"ELSE CAST(0 AS BIGINT) END), (acc, v) -> acc + v)")
+    return half(0), half(32)
+
+
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval (the 1-bit/RaBitQ-style scale
+    path modern vector stores ship next to SQ8/PQ): every embedding
+    collapses to its 64 SIGN BITS — a 32× compression — packed into
+    two 32-bit integer words; candidates are pre-ranked by Hamming
+    distance to the query's code (bit_count of XOR, pure integer,
+    bit-identical across engines), the top-_BQ_POOL pool is re-ranked
+    by EXACT cosine (the shared sequential fold), top-10 out.
+
+    Scale shape: the code table is 16 bytes/vector — a 10⁹-vector
+    index fits in 16 GB and scans at memory bandwidth; the Hamming
+    pass is codegen integer ops + TakeOrdered (no global sort), and
+    the expensive float fold touches only _BQ_POOL rows. Recall is
+    pinned against the exact scan in test_invariants (like sq8).
+
+    Exactness: Hamming and the pool cut are integers with a vec_id
+    tiebreak; the re-rank cosine is the engine-shared fold — every
+    stage deterministic, full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = _bq_codes()
+    coded = emb.select("vec_id", "label", "embedding", lo, hi)
+    query = (coded.filter(F.col("vec_id") == 0)
+             .select(F.col("embedding").alias("q_emb"),
+                     F.col("code_lo").alias("q_lo"),
+                     F.col("code_hi").alias("q_hi")))
+    ham = (F.bit_count(F.col("code_lo").bitwiseXOR(F.col("q_lo")))
+           + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("q_hi"))))
+    pool = (coded.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(query))
+            .withColumn("hamming", ham.cast("int"))
+            .orderBy(F.asc("hamming"), F.asc("vec_id"))
+            .limit(_BQ_POOL))
+    return (_with_cosine(pool, "embedding", "q_emb")
+            .select("vec_id", "label", "hamming", "cosine")
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(10))
+
+
+def _bq_sql() -> str:
+    lo, hi = _bq_codes_sql("e.")
+    qlo, qhi = _bq_codes_sql("q.")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pool AS (
+  SELECT e.vec_id, e.label, e.embedding, q.embedding AS q_emb,
+         CAST(bit_count(xor({lo}, {qlo}))
+              + bit_count(xor({hi}, {qhi})) AS INTEGER) AS hamming
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY hamming ASC, e.vec_id ASC
+  LIMIT {_BQ_POOL})
+SELECT vec_id, label, hamming,
+       {_cosine_sql('embedding', 'q_emb')} AS cosine
+FROM pool
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "embedding_dim_stats": (q_embedding_dim_stats, _DIM_STATS_SQL),
     "pca_power_iteration": (q_pca_power_iteration, _pca_sql()),
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "hard_negative_mining": (q_hard_negative_mining, _hnm_sql()),
     "sq8_topk": (q_sq8_topk, _SQ8_TOPK_SQL),
+    "bq_topk": (q_bq_topk, _bq_sql()),
     # numpy kernel: no value oracle by design (pairwise vs sequential
     # float summation); invariant-tested against cosine_topk instead.
     "cosine_topk_numpy": (q_cosine_topk_numpy, None),

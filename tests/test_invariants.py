@@ -729,3 +729,24 @@ def test_var_cvar_ordering(spark):
         assert abs(r.var_95 - (-(float(q) / _Q))) < 1e-15
         assert abs(r.cvar_95
                    - (-(float(tail.sum()) / len(tail) / _Q))) < 1e-12
+
+
+def test_bq_topk_recall_vs_exact(spark):
+    """1-bit quantization keeps only sign structure (32× compression);
+    the invariant is pool recall: the Hamming-pool re-rank's top-10
+    must recover a usable share of the exact top-10 (>= 5/10 on the
+    fixture — far above the ~10/500 random baseline), its cosines are
+    EXACT (the re-rank computes them full-precision, so every
+    overlapping id carries the identical score), and Hamming is in
+    [0, 64]."""
+    q = all_queries()
+    exact = q["cosine_topk"][0](spark, SF_DIR).collect()
+    bq = q["bq_topk"][0](spark, SF_DIR).collect()
+    assert len(bq) == len(exact) > 0
+    overlap = {r.vec_id for r in bq} & {r.vec_id for r in exact}
+    assert len(overlap) >= 5, f"BQ recall@10 too low: {len(overlap)}/10"
+    exact_by_id = {r.vec_id: r.cosine for r in exact}
+    for r in bq:
+        assert 0 <= r.hamming <= 64
+        if r.vec_id in exact_by_id:
+            assert r.cosine == exact_by_id[r.vec_id]
