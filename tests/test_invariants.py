@@ -750,3 +750,15 @@ def test_bq_topk_recall_vs_exact(spark):
         assert 0 <= r.hamming <= 64
         if r.vec_id in exact_by_id:
             assert r.cosine == exact_by_id[r.vec_id]
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py is the driver's per-round perf gate; a HEADLINE name
+    that fell out of the registry would crash the whole bench run
+    (BENCH_r03 recorded rc=1 for an import-time cousin of this).
+    Also require every round-5+ addition to be bench-visible."""
+    import bench
+    merged = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in merged]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
