@@ -38,9 +38,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: siblings {force_index, elder_ray, ease_of_movement} plus the 8
 #: round-5 additions {roc, ultimate_oscillator, ngram_novelty,
 #: embedding_dim_stats, pca_power_iteration, part_triangles,
-#: event_transitions, source_token_entropy, var_cvar, bq_topk} —
-#: 13 queries. Front-load all 13, then spend the free slots
-#: re-verifying perf-touched
+#: event_transitions, source_token_entropy, var_cvar, bq_topk,
+#: stream_event_transitions} — 14 queries. Front-load all 14, then
+#: spend the free slots re-verifying perf-touched
 #: queries (the similarity explode rewrite touched
 #: embedding_dim_stats/pca only; holt_forecast/forecast_backtest/
 #: forecast_anomalies were restructured this round and deserve a

@@ -630,11 +630,46 @@ FROM r
 """
 
 
+
+def q_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix as a LIVE pipeline: the stateful
+    kernel emits each consecutive (from, to) pair exactly once (one
+    string of state per key, pairs straddling micro-batch boundaries
+    included), the landed pair stream rolls up into the matrix on the
+    serving side — the ingest-then-aggregate split every streaming
+    flow dashboard uses. Oracle = the batch lead() formulation
+    (operators/behavior.q_event_transitions), so replay must
+    reproduce the batch matrix exactly."""
+    from ..operators.behavior import _TRANSITIONS_SQL  # noqa: F401
+    from .state import transitions_per_key
+
+    sdf = events_stream(spark, sf_dir)
+    pairs = run_available_now(transitions_per_key(sdf), spark,
+                              output_mode="append")
+    from pyspark.sql.window import Window
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("p", F.col("n").cast("double")
+                        / F.sum("n").over(tot).cast("double"))
+            .select("from_type", "to_type", "n", "p")
+            .orderBy("from_type", "to_type"))
+
+
+
+def _stream_transitions_sql() -> str:
+    from ..operators.behavior import _TRANSITIONS_SQL
+    return _TRANSITIONS_SQL
+
+
 QUERIES = {
     "stream_holt_per_key": (q_stream_holt_per_key, _stream_holt_sql()),
     "stream_atr_per_key": (q_stream_atr_per_key, _STREAM_ATR_SQL),
     "stream_supertrend_per_key": (q_stream_supertrend_per_key,
                                   _stream_supertrend_sql()),
+    "stream_event_transitions": (q_stream_event_transitions,
+                                 _stream_transitions_sql()),
     "stream_ohlc_bars": (q_stream_ohlc_bars, _STREAM_BARS_SQL),
     "stream_ingest_dedup_gate": (q_stream_ingest_dedup_gate,
                                  _STREAM_INGEST_DEDUP_SQL),

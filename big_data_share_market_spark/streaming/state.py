@@ -330,6 +330,64 @@ def supertrend_per_key(sdf: DataFrame, alpha: float = 1.0 / 10.0,
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Event-type transition pairs (live Markov-matrix feed)
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_OUTPUT_DDL = "user_id BIGINT, from_type STRING, to_type STRING"
+TRANSITIONS_STATE_DDL = "last_type STRING"
+
+
+def _transition_fn():
+    """Per-key consecutive (event, next event) pair emitter: the only
+    state is the key's LAST event type, carried across micro-batches
+    so the pair straddling a batch boundary is emitted exactly once —
+    the streaming twin of the batch lead() in
+    operators/behavior.q_event_transitions."""
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((last,))
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        frm: list = []
+        to: list = []
+        for t in pdf["event_type"].tolist():
+            if last is not None:
+                frm.append(last)
+                to.append(t)
+            last = t
+        state.update((last,))
+        if frm:
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "from_type": frm,
+                "to_type": to,
+            })
+
+    return fn
+
+
+def transitions_per_key(sdf: DataFrame) -> DataFrame:
+    """Streaming per-key transition pair stream; state is ONE string
+    per key — the cheapest possible stateful operator."""
+    return (
+        sdf.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_fn(),
+            outputStructType=TRANSITIONS_OUTPUT_DDL,
+            stateStructType=TRANSITIONS_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
 #: Output mirrors the batch Holt kernel's per-row trajectory
 #: (operators/ewm.q_holt_forecast computes the same recurrence).
 HOLT_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
