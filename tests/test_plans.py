@@ -28,6 +28,9 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # broadcast 1-row query vector onto the quantized scan
             "sq8_topk",
+            # broadcast 1-row query (code words + embedding) onto the
+            # packed-code scan, then the 32-row exact re-rank
+            "bq_topk",
             # broadcast 1-row BM25 stats + 1-row query vector
             "rrf_hybrid_topk",
             # 1-row x 1-row crossJoin of the two variant scalars
