@@ -111,6 +111,7 @@ HEADLINE = [
     "source_token_entropy", # histogram + sequential ln fold
     "var_cvar",             # tail-risk quantile + exact tail mean
     "bq_topk",              # 1-bit hamming pre-rank + exact re-rank
+    "return_autocorr",      # lag-1 Pearson from exact integer moments
 ]
 
 

@@ -485,6 +485,80 @@ ORDER BY q.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Lag-1 return autocorrelation (momentum vs mean-reversion screen)
+# ---------------------------------------------------------------------------
+
+def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lag-1 autocorrelation of hourly returns — the
+    standard momentum/mean-reversion screen (positive: trending;
+    negative: mean-reverting; the first diagnostic run before
+    fitting any AR model). Pearson correlation of (ret_t, ret_{t-1})
+    over each key's series, computed from EXACT integer moments of
+    the quantized returns (the beta_vs_market machinery — pair
+    products of ret_i ≤ 5e12 sit far inside DECIMAL(38,0)), with the
+    corr expression written as the SAME double text in both engines.
+    The oracle's HUGEINT moments convert to double THROUGH VARCHAR
+    (the realized_volatility trick): moments near 2e21 exceed 2^53,
+    and DuckDB's direct HUGEINT→DOUBLE cast rounds differently from
+    the JVM's decimal→double (observed 1-ulp corr drift on one key);
+    the decimal string parse is correctly rounded in both engines.
+
+    Scale shape: the lag is one window on the already bar-sized
+    series (same layout the returns lag used — no extra exchange
+    class), then a single map-side-combined per-key moment
+    aggregate. NULL when fewer than 3 pairs or a zero-variance leg."""
+    rets = _rets(spark, sf_dir)
+    lag_i = F.lag("ret_i").over(bar_window())
+    pairs = (rets.withColumn("prev_i", lag_i)
+             .filter(F.col("prev_i").isNotNull()))
+    out = (pairs.groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                _s(F.col("ret_i")).alias("sx"),
+                _s(F.col("prev_i")).alias("sy"),
+                _sq(F.col("ret_i"), F.col("prev_i")).alias("sxy"),
+                _sq(F.col("ret_i"), F.col("ret_i")).alias("sxx"),
+                _sq(F.col("prev_i"), F.col("prev_i")).alias("syy")))
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return (out.select(
+                "user_id", "n",
+                F.when((n >= 3) & (vx > 0) & (vy > 0),
+                       cov / F.sqrt(vx * vy)).alias("autocorr_1"))
+            .orderBy("user_id"))
+
+
+_AUTOCORR_SQL = f"""
+WITH {_RETS_CTE.strip()},
+p AS (
+  SELECT user_id, ret_i,
+         lag(ret_i) OVER (PARTITION BY user_id ORDER BY bar_ts) AS prev_i
+  FROM rets
+  QUALIFY prev_i IS NOT NULL),
+mo AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(prev_i AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * prev_i) AS VARCHAR)
+              AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * ret_i) AS VARCHAR)
+              AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(prev_i AS HUGEINT) * prev_i) AS VARCHAR)
+              AS DOUBLE) AS syy
+  FROM p GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN n >= 3 AND (sxx - sx * sx / n) > 0
+                 AND (syy - sy * sy / n) > 0 THEN
+         (sxy - sx * sy / n)
+           / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+       END AS autocorr_1
+FROM mo
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "volume_profile": (q_volume_profile, _VOLUME_PROFILE_SQL),
     "drawdown_duration": (q_drawdown_duration, _DRAWDOWN_DURATION_SQL),
@@ -494,4 +568,5 @@ QUERIES = {
     "beta_vs_market": (q_beta_vs_market, _BETA_SQL),
     "corr_pairs": (q_corr_pairs, _CORR_PAIRS_SQL),
     "var_cvar": (q_var_cvar, _VAR_CVAR_SQL),
+    "return_autocorr": (q_return_autocorr, _AUTOCORR_SQL),
 }

@@ -39,7 +39,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: round-5 additions {roc, ultimate_oscillator, ngram_novelty,
 #: embedding_dim_stats, pca_power_iteration, part_triangles,
 #: event_transitions, source_token_entropy, var_cvar, bq_topk,
-#: stream_event_transitions} — 14 queries. Front-load all 14, then
+#: stream_event_transitions, return_autocorr} — 15 queries.
+#: Front-load all 15, then
 #: spend the free slots re-verifying perf-touched
 #: queries (the similarity explode rewrite touched
 #: embedding_dim_stats/pca only; holt_forecast/forecast_backtest/
