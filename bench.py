@@ -112,6 +112,7 @@ HEADLINE = [
     "var_cvar",             # tail-risk quantile + exact tail mean
     "bq_topk",              # 1-bit hamming pre-rank + exact re-rank
     "return_autocorr",      # lag-1 Pearson from exact integer moments
+    "cc_alternating",       # O(log n) star-contraction components
 ]
 
 
@@ -149,7 +150,8 @@ def main() -> None:
     # steady-state per-query latency.
     stream_timings: dict[str, float] = {}
     for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
-                 "stream_ingest_dedup_gate", "stream_atr_per_key"):
+                 "stream_ingest_dedup_gate", "stream_atr_per_key",
+                 "stream_bq_topk"):
         fn, _ = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -157,7 +159,18 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(json.dumps({
+
+    # The driver captures only the LAST 2000 bytes of stdout; the full
+    # ~85-query dict no longer fits (BENCH_r05.json recorded
+    # "parsed": null with the line's head cut off). Emit ONE compact
+    # line guaranteed to fit: the 15 BASELINE-anchored core queries
+    # (signal_case .. adx) + the 20 slowest of the rest — the numbers
+    # that grade the round — and write the complete per-query detail
+    # to BENCH_DETAIL.json next to this script.
+    core = HEADLINE[:15]
+    rest = sorted((n for n in timings if n not in core),
+                  key=lambda n: -timings[n])[:20]
+    full = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -165,7 +178,18 @@ def main() -> None:
         "stream_suite_seconds": round(sum(stream_timings.values()), 3),
         "stream_queries": stream_timings,
         "sf": sf,
-    }))
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    compact = dict(full)
+    compact["queries"] = {n: timings[n] for n in core + rest}
+    compact["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"bench line {len(line)}B overflows driver tail"
+    print(line)
 
 
 if __name__ == "__main__":

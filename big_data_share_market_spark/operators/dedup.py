@@ -956,6 +956,96 @@ FROM reach GROUP BY node ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Alternating large-star/small-star connected components (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+def cc_alternating_edges(
+        edges: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
+    """Connected components by the Alternating algorithm of Kiveris,
+    Lattanzi, Mirrokni, Rastogi & Vassilvitskii 2014 ("Connected
+    Components in MapReduce and Beyond", public) — the O(log n)-round
+    replacement for min-label propagation, whose round count is the
+    component DIAMETER (a 10⁶-doc chain-shaped dup cluster would need
+    10⁶ propagation rounds; this needs ~20).
+
+    Input: undirected edge relation (src, dst), any orientation,
+    self-loops ignored. Returns (labels, n_rounds) where labels is
+    (node, lbl) for every endpoint and lbl is the component minimum.
+
+    One round = large-star then small-star, each ONE groupBy + ONE
+    join on the current edge set:
+    * large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+      v > u — run over the SYMMETRIZED edge view, so every edge is
+      emitted by its smaller endpoint's group and output edges always
+      point strictly downhill (big, small).
+    * small-star(u) on the downhill set: m = min(Γ(u)); emit (u, m)
+      and (v, m) for v ∈ Γ(u) \\ {m} — re-parents u's whole neighbor
+      list onto its best-known root.
+    At the fixpoint the edge set is a forest of STARS rooted at each
+    component's minimum; labels read straight off the edges.
+
+    Scale shape: per round, two map-side-combined groupBys + two
+    equi-joins over an edge set that never exceeds the input size
+    (star-contraction monotonically shrinks it); `localCheckpoint`
+    truncates lineage so plan depth stays O(1) per round instead of
+    O(rounds); the driver reads one boolean (did the edge set
+    change), never data. No collect, no diameter dependence — the
+    round count is what survives a 10¹²-edge graph."""
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select(F.greatest("src", "dst").alias("u"),
+                 F.least("src", "dst").alias("v"))
+         .distinct().localCheckpoint())
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # large-star over the symmetrized view
+        nbrs = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m")))
+        ls = (nbrs.filter(F.col("v") > F.col("u"))
+              .join(mins, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .distinct())
+        # small-star over the downhill set (all v < u by construction)
+        ss_mins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (ls.join(ss_mins, "u")
+                 .filter(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionAll(ss_mins.select(
+                     F.col("u"), F.col("m").alias("v")))
+                 .distinct().localCheckpoint())
+        changed = (new_e.join(e, ["u", "v"], "left_anti")
+                   .limit(1).count())
+        same_size = new_e.count() == e.count()
+        e = new_e
+        if changed == 0 and same_size:
+            break
+    labels = (e.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+              .unionAll(e.select(F.col("v").alias("node"),
+                                 F.col("v").alias("lbl")))
+              .distinct())
+    return labels, rounds
+
+
+def q_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster labels over the verified MinHash near-dup graph —
+    semantically identical to q_dedup_components (node → component
+    minimum) but computed by alternating star contraction instead of
+    min-label propagation, so the round count is O(log n) in the
+    largest cluster size instead of O(diameter). Oracle: the same
+    recursive min-reachable-id CTE (the label set is algorithm-
+    independent). tests/test_dedup.py pins the round count on a
+    64-node chain at ≤ 8 (propagation needs 63)."""
+    pairs = minhash_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels, _rounds = cc_alternating_edges(pairs)
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("lbl").alias("component_id"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # Near-dup split leakage (eval-contamination the exact-match check
 # misses)
 # ---------------------------------------------------------------------------
@@ -1581,6 +1671,7 @@ QUERIES = {
     "dup_ngram_spans": (q_dup_ngram_spans, _DUP_SPANS_SQL),
     "neardup_split_leakage": (q_neardup_split_leakage, _split_leakage_sql()),
     "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
+    "cc_alternating": (q_cc_alternating, _COMPONENTS_SQL),
     "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, _NGRAM_CAPPED_SQL),

@@ -262,18 +262,21 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where V-sized adjacency outgrows broadcast, partition BOTH
     # sides by the join key once and run the two joins storage-
     # co-located (the bucketed-join pattern in ops/scale.py).
+    # Candidate pruning before the intersection (r6): a triangle at
+    # edge (u, v) needs w ∈ out(u) ∩ out(v), so (a) u must have ≥ 2
+    # out-neighbors (v and w), (b) v must have ≥ 1 — the v-side join
+    # is INNER, dropping sink-dst edges outright instead of carrying
+    # them to an empty intersection (the former left join + coalesce
+    # produced ws = [] for them and filtered afterwards; same rows
+    # survive, less intersection CPU).
     closed = (
         oriented
-        .join(F.broadcast(u_adj), oriented["src"] == u_adj["u_key"])
-        .join(F.broadcast(v_adj), oriented["dst"] == v_adj["v_key"],
-              "left")
+        .join(F.broadcast(u_adj.filter(F.size("u_outs") >= 2)),
+              oriented["src"] == u_adj["u_key"])
+        .join(F.broadcast(v_adj), oriented["dst"] == v_adj["v_key"])
         .select(
             "src", "dst",
-            F.array_intersect(
-                F.col("u_outs"),
-                F.coalesce(F.col("v_outs"),
-                           F.expr("array()").cast("array<bigint>")))
-            .alias("ws"))
+            F.array_intersect("u_outs", "v_outs").alias("ws"))
         .withColumn("n_ws", F.size("ws"))
         .filter(F.col("n_ws") > 0))
     uv_counts = (

@@ -1576,11 +1576,16 @@ WITH cells AS (
   SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
   FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i) u),
 per_dim AS (
+  -- COUNT(x) + WHERE x IS NOT NULL: count exactly the cells Spark's
+  -- posexplode_outer + isNotNull filter keeps, so NULL elements or
+  -- ragged (<{_DIM}-dim) vectors cannot diverge n_vecs/mean/var
+  -- across engines (the range() cross join fabricates a row for
+  -- every position regardless of array length).
   SELECT dim,
-         COUNT(*) AS n_vecs,
+         COUNT(x) AS n_vecs,
          CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sq
-  FROM cells GROUP BY dim)
+  FROM cells WHERE x IS NOT NULL GROUP BY dim)
 SELECT dim,
        sx / n_vecs AS mean_x,
        sq / n_vecs - (sx / n_vecs) * (sx / n_vecs) AS var_x,

@@ -13,60 +13,49 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: The driver's hard correctness gate checks the FIRST 50 registry
-#: entries. Rounds 1-4 drove 187 distinct queries green
-#: (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04). Round 5 window =
-#:   (a) the 7 round-4 hash FAILs, all one root cause now fixed
-#:       (DuckDB SUM(integer) → HUGEINT/decimal128 vs Spark int64;
-#:       oracles now CAST ... AS BIGINT, and length_outliers aligns
-#:       med/mad to BIGINT on both engines) — re-driven first for
-#:       green CORRECTNESS rows;
-#:   (b) 43 of the 46 never-driver-verified round-4 additions
-#:       (channel/trend indicator wave, Holt/forecast family, CDC,
-#:       pagerank, OLS, MMR, hard-negative mining, compaction,
-#:       attribution, k-anonymity, VARIANT props, the 3 stream state
-#:       machines, and the deferred sampling pair). The two latent
-#:       HUGEINT bugs in this set (segment_dedup_rebuild.n_removed,
-#:       variant_props_stats.sum_k) are fixed pre-contact.
-#: Three row-local indicator siblings are deferred to round 6 for
-#: lack of slots: force_index, elder_ray, ease_of_movement — the
-#: lowest-risk defers available; they share the staged-hourly-bars
-#: path and arithmetic shape with atr_wilder/cci/mfi/cmf, which ARE
-#: in-window, and all three are strict-type oracle-green locally.
-#:
-#: ROUND-6 ROTATION NOTE: after this round's driver run the
-#: never-driver-verified set is exactly the 3 deferred indicator
-#: siblings {force_index, elder_ray, ease_of_movement} plus the 8
-#: round-5 additions {roc, ultimate_oscillator, ngram_novelty,
-#: embedding_dim_stats, pca_power_iteration, part_triangles,
-#: event_transitions, source_token_entropy, var_cvar, bq_topk,
-#: stream_event_transitions, return_autocorr} — 15 queries.
-#: Front-load all 15, then
-#: spend the free slots re-verifying perf-touched
-#: queries (the similarity explode rewrite touched
-#: embedding_dim_stats/pca only; holt_forecast/forecast_backtest/
-#: forecast_anomalies were restructured this round and deserve a
-#: re-check even though they are in the r5 window).
+#: entries. Rounds 1-5 drove 234 distinct queries green
+#: (CORRECTNESS_r01 ∪ ... ∪ r05; the r5 window itself was 50/50).
+#: Round 6 window =
+#:   (a) the 15 never-driver-verified queries — the 12 round-5
+#:       additions {roc, ultimate_oscillator, ngram_novelty,
+#:       embedding_dim_stats, pca_power_iteration, part_triangles,
+#:       event_transitions, source_token_entropy, var_cvar, bq_topk,
+#:       stream_event_transitions, return_autocorr} plus the 3
+#:       indicator siblings deferred from r5 {force_index, elder_ray,
+#:       ease_of_movement}. After this window every oracle-backed
+#:       registry query has been in a driver window at least once;
+#:   (b) the round-6 additions (alternating-algorithm connected
+#:       components, streaming BQ top-k serving, and siblings);
+#:   (c) re-verification of the r5 bench-drift cluster
+#:       (embedding_neardup, cosine_topk, quality_score, bpe_encode,
+#:       dashboard_snapshot) and the r5-restructured forecast family
+#:       (holt_forecast, forecast_backtest, forecast_anomalies) —
+#:       plan-adjacent code was touched in r5/r6 perf work, so a
+#:       fresh green row re-anchors them.
+#: Remaining slots rotate long-unverified r1/r2 queries (oldest
+#: driver contact first) so no green row goes stale.
 _FIRST_50 = (
-    # --- (a) round-4 FAILs, HUGEINT/typing root cause fixed ---
-    "dup_ngram_spans", "length_outliers", "token_budget_mixture",
-    "shard_manifest", "stream_corpus_token_totals",
-    "stream_quality_gate", "winsorized_stats",
-    # --- (b) never driver-verified: r4 continuation wave ---
-    "lang_temperature_sample", "domain_cap_sample",
-    "segment_dedup_rebuild", "part_pagerank", "ols_price_model",
-    "dpp_join_prune", "tfidf_cosine_pairs", "cms_token_counts",
-    "edit_distance_neardup", "variant_props_stats",
-    "holt_forecast", "holt_winters", "forecast_anomalies",
-    "stream_holt_per_key", "cdc_apply", "contract_check_lineitem",
-    # --- (b) never driver-verified: late-r4 wave ---
-    "forecast_backtest", "click_attribution", "atr_wilder",
-    "williams_r", "cci", "mfi", "cmf", "keltner_channels",
-    "ichimoku", "pivot_points", "parabolic_sar", "compaction_plan",
-    "mmr_rerank", "stream_atr_per_key", "hard_negative_mining",
-    "dashboard_snapshot", "supertrend", "donchian_channels",
-    "chandelier_exit", "volume_profile", "drawdown_duration",
-    "kama", "trix", "vortex", "k_anonymity_audit", "aroon",
-    "stream_supertrend_per_key",
+    # --- (a) never driver-verified: r5 additions ---
+    "roc", "ultimate_oscillator", "ngram_novelty",
+    "embedding_dim_stats", "pca_power_iteration", "part_triangles",
+    "event_transitions", "source_token_entropy", "var_cvar",
+    "bq_topk", "stream_event_transitions", "return_autocorr",
+    # --- (a) never driver-verified: r5-deferred indicator siblings ---
+    "force_index", "elder_ray", "ease_of_movement",
+    # --- (b) round-6 additions ---
+    "cc_alternating", "stream_bq_topk",
+    # --- (c) r5 bench-drift cluster + restructured forecast family ---
+    "embedding_neardup", "cosine_topk", "quality_score", "bpe_encode",
+    "dashboard_snapshot", "holt_forecast", "forecast_backtest",
+    "forecast_anomalies",
+    # --- rotation: oldest driver contact (r1/r2) first ---
+    "last_per_key", "top_orders", "dedup_upsert", "exact_dedup",
+    "signal_case", "heikin_ashi", "renko", "raindrop",
+    "ema", "sma", "rsi", "tsi", "macd", "adx",
+    "minhash_lsh_dedup", "simhash_pairs", "ngram_jaccard_dedup",
+    "pricing_summary", "shipping_priority", "large_volume_orders",
+    "asof_last_signup", "range_join_pairs", "flatten_nested",
+    "json_envelope_roundtrip", "eval_ngram_contamination",
 )
 
 

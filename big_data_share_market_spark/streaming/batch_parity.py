@@ -513,6 +513,149 @@ WHERE d.doc_id % 10 >= 8 AND b.fp IS NULL
 """
 
 
+#: Query-event selector for the streaming ANN serving slice: vec_ids
+#: divisible by 97 arrive as retrieval queries (6 at sf0.01, 21 at
+#: sf0.1) against the full corpus as the index.
+_BQ_QUERY_MOD = 97
+
+#: Scratch-dir ring for q_stream_bq_topk results (same lifecycle
+#: contract as _UPSERT_RUNS: last N generations stay readable).
+_BQ_RUNS: dict[str, list[str]] = {}
+
+
+def _emb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embeddings` replayed as a file stream (symlinked staging dir,
+    the `_docs_stream` pattern) — arriving retrieval queries."""
+    import os
+    src_dir = "/tmp/bdsm_stream_emb" + sf_dir.replace("/", "_")
+    link = f"{src_dir}/embeddings-0.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/embeddings.parquet", link)
+    return (spark.readStream
+            .schema("vec_id long, embedding array<float>, label int")
+            .format("parquet").load(src_dir))
+
+
+def q_stream_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN SERVING: retrieval query vectors arrive on a
+    stream and each micro-batch is answered against the binary-
+    quantization index of the full embedding corpus — the deployed
+    form of operators/similarity.q_bq_topk, and the retrieval-serving
+    shape a training-data pipeline actually runs (index built batch,
+    queries served micro-batch).
+
+    Per micro-batch (foreachBatch, where full batch semantics — the
+    per-query rank windows a pure streaming plan cannot express — are
+    legal): the arriving queries BROADCAST against the 16-byte/vector
+    static code index, candidates pre-rank by integer Hamming
+    distance (top-_BQ_POOL pool per query via one rank window), and
+    only the pool pays the exact-cosine re-rank; top-10 per query
+    append to the results table. At 10⁹ index vectors the scan is
+    memory-bandwidth-bound integer XOR/POPCNT per arriving query —
+    the serving cost model every 1-bit vector store advertises.
+
+    Streaming semantics under test: foreachBatch scoring against a
+    static broadcast relation, append-only results, arbitrary
+    micro-batch splits (per-query results are batch-size-invariant
+    because scoring touches only the static index). Oracle = the
+    batch per-query window formulation."""
+    import atexit
+    import shutil
+    import uuid
+    from pyspark.sql import Window
+    from ..operators.similarity import (_BQ_POOL, _bq_codes, _with_cosine)
+    from ..tables import load_table
+
+    lo, hi = _bq_codes()
+    index = (load_table(spark, sf_dir, "embeddings")
+             .select(F.col("vec_id"), F.col("label"),
+                     F.col("embedding").alias("cand_emb"), lo, hi))
+    out_dir = ("/tmp/bdsm_bq_serve"
+               + sf_dir.replace("/", "_").replace(".", "_")
+               + "_" + uuid.uuid4().hex[:8])
+    with _UPSERT_LOCK:
+        ring = _BQ_RUNS.setdefault(sf_dir, [])
+        ring.append(out_dir)
+        for old in ring[:-_UPSERT_RING]:
+            shutil.rmtree(old, ignore_errors=True)
+        del ring[:-_UPSERT_RING]
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+    ham = (F.bit_count(F.col("code_lo").bitwiseXOR(F.col("q_lo")))
+           + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("q_hi"))))
+    pool_w = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
+                                                F.asc("vec_id"))
+    rerank_w = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                                  F.asc("vec_id"))
+
+    def serve(batch_df: DataFrame, _batch_id: int) -> None:
+        qs = (batch_df.select("vec_id", "embedding", lo, hi)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.col("code_lo").alias("q_lo"),
+                      F.col("code_hi").alias("q_hi")))
+        pool = (index.crossJoin(F.broadcast(qs))
+                .filter(F.col("vec_id") != F.col("q_id"))
+                .withColumn("hamming", ham.cast("int"))
+                .withColumn("rn", F.row_number().over(pool_w))
+                .filter(F.col("rn") <= _BQ_POOL))
+        top = (_with_cosine(pool, "cand_emb", "q_emb")
+               .withColumn("rk", F.row_number().over(rerank_w))
+               .filter(F.col("rk") <= 10)
+               .select("q_id", "vec_id", "label", "hamming", "cosine"))
+        top.write.mode("append").parquet(f"{out_dir}/results")
+
+    queries = _emb_stream(spark, sf_dir).filter(
+        F.col("vec_id") % _BQ_QUERY_MOD == 0)
+    q = (queries.writeStream
+         .foreachBatch(serve)
+         .option("checkpointLocation", f"{out_dir}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{out_dir}/results")
+            .orderBy("q_id", F.desc("cosine"), "vec_id"))
+
+
+def _stream_bq_sql() -> str:
+    from ..operators.similarity import (_BQ_POOL, _bq_codes_sql,
+                                        _cosine_sql)
+    lo, hi = _bq_codes_sql("c.")
+    qlo, qhi = _bq_codes_sql("q.")
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS q_id, embedding
+  FROM embeddings WHERE vec_id % {_BQ_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, c.vec_id, c.label, c.embedding AS cand_emb,
+         q.embedding AS q_emb,
+         CAST(bit_count(xor({lo}, {qlo}))
+              + bit_count(xor({hi}, {qhi}))
+              AS INTEGER) AS hamming
+  FROM embeddings c CROSS JOIN qs q
+  WHERE c.vec_id <> q.q_id),
+pool AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY hamming ASC, vec_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= {_BQ_POOL}),
+rer AS (
+  SELECT q_id, vec_id, label, hamming,
+         {_cosine_sql('cand_emb', 'q_emb')} AS cosine
+  FROM pool)
+SELECT q_id, vec_id, label, hamming, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM rer)
+WHERE rk <= 10
+ORDER BY q_id, cosine DESC, vec_id
+"""
+
+
 def q_stream_holt_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Holt linear-trend fit as a LIVE operator: per-key coupled
     (level, trend) state in the checkpoint, updated once per event —
@@ -691,4 +834,5 @@ QUERIES = {
                                    _STREAM_TOKENS_SQL),
     "stream_quality_gate": (q_stream_quality_gate,
                             _stream_quality_gate_sql()),
+    "stream_bq_topk": (q_stream_bq_topk, _stream_bq_sql()),
 }

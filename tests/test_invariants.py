@@ -612,11 +612,12 @@ def test_ngram_novelty_bounds_and_first_doc(spark):
 
 
 def test_ultimate_oscillator_bounds(spark):
-    """UO is a weighted blend of BP/TR ratios with BP <= TR by
-    construction (close <= max(high, prev_close) and
-    close >= ... - wait, BP >= 0 since close >= min(low, prev_close)
-    on real bars), so every non-null value lies in [0, 100]; warmup
-    rows (< 28 complete terms) are NULL."""
+    """UO is a weighted blend of BP/TR ratios with 0 <= BP <= TR by
+    construction: min(low, prev_close) <= close <= max(high,
+    prev_close) gives BP = close - min(low, prev_close) in
+    [0, max(high, prev_close) - min(low, prev_close)] = [0, TR], so
+    each ratio is in [0, 1] and UO in [0, 100]; warmup rows (< 28
+    complete terms) are NULL."""
     rows = all_queries()["ultimate_oscillator"][0](spark, SF_DIR).collect()
     non_null = [r.uo for r in rows if r.uo is not None]
     assert non_null
@@ -762,3 +763,33 @@ def test_bench_headline_names_all_registered():
     missing = [n for n in bench.HEADLINE if n not in merged]
     assert not missing, f"HEADLINE names not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_cc_alternating_chain_logarithmic_rounds(spark):
+    """The point of the alternating algorithm: on a 64-node CHAIN
+    (diameter 63 — the worst case for min-label propagation, which
+    needs 63 label-join rounds to drag node 0's id to the far end),
+    star contraction must converge in O(log n) rounds. Pin <= 8
+    (log2(64) = 6 plus slack for the final no-change round) and check
+    every node labels to the chain minimum."""
+    from big_data_share_market_spark.operators.dedup import (
+        cc_alternating_edges)
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    labels, rounds = cc_alternating_edges(edges)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 8, f"expected O(log n) rounds, got {rounds}"
+
+
+def test_cc_alternating_matches_dedup_components(spark):
+    """Same component labeling as the propagation algorithm on the
+    real near-dup graph (both reduce to node -> component minimum);
+    the two queries share one oracle, so this also cross-checks the
+    Spark sides against each other without DuckDB."""
+    q = all_queries()
+    a = sorted(map(tuple, q["cc_alternating"][0](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q["dedup_components"][0](spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
