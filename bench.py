@@ -113,6 +113,13 @@ HEADLINE = [
     "bq_topk",              # 1-bit hamming pre-rank + exact re-rank
     "return_autocorr",      # lag-1 Pearson from exact integer moments
     "cc_alternating",       # O(log n) star-contraction components
+    "part_kcore",           # bounded-round k-core peeling / onion layers
+    "sma_crossover_backtest",  # vectorized strategy PnL over bars
+    "kalman_level",         # adaptive-gain local-level filter kernel
+    "lang_confusion",       # lang-ID confusion matrix QA rollup
+    "l_diversity_audit",    # sensitive-value diversity per QI class
+    "incremental_agg_merge",  # mergeable-state MV maintenance
+    "priority_sample",      # u/w weighted top-k sample, no global sort
 ]
 
 

@@ -996,6 +996,7 @@ def cc_alternating_edges(
                  F.least("src", "dst").alias("v"))
          .distinct().localCheckpoint())
     rounds = 0
+    prev_stats = None
     while rounds < max_rounds:
         rounds += 1
         # large-star over the symmetrized view
@@ -1015,12 +1016,22 @@ def cc_alternating_edges(
                  .unionAll(ss_mins.select(
                      F.col("u"), F.col("m").alias("v")))
                  .distinct().localCheckpoint())
-        changed = (new_e.join(e, ["u", "v"], "left_anti")
-                   .limit(1).count())
-        same_size = new_e.count() == e.count()
+        # Convergence probe in ONE driver-side scalar read per round:
+        # (count, order-free hash checksum) of the edge set. Only when
+        # the pair repeats — which for distinct sets means "almost
+        # surely unchanged" — pay the exact anti-join verify, so the
+        # steady-state loop costs 2 jobs/round (checkpoint + agg)
+        # instead of 4 (the checksum never falsely BREAKS the loop;
+        # the verify guards the 2⁻⁶⁴ collision).
+        n, h = new_e.agg(
+            F.count("*"), F.sum(F.xxhash64("u", "v"))).first()
+        if (n, h) == prev_stats:
+            if (new_e.join(e, ["u", "v"], "left_anti")
+                    .limit(1).count()) == 0:
+                e = new_e
+                break
+        prev_stats = (n, h)
         e = new_e
-        if changed == 0 and same_size:
-            break
     labels = (e.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
               .unionAll(e.select(F.col("v").alias("node"),
                                  F.col("v").alias("lbl")))
@@ -1035,7 +1046,7 @@ def q_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation, so the round count is O(log n) in the
     largest cluster size instead of O(diameter). Oracle: the same
     recursive min-reachable-id CTE (the label set is algorithm-
-    independent). tests/test_dedup.py pins the round count on a
+    independent). tests/test_invariants.py pins the round count on a
     64-node chain at ≤ 8 (propagation needs 63)."""
     pairs = minhash_pairs(spark, sf_dir).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst"))

@@ -940,8 +940,124 @@ FROM g WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Kalman local-level filter (coupled state + variance recurrence)
+# ---------------------------------------------------------------------------
+
+#: Process / observation noise for the local-level model. Q/R = 0.01
+#: gives a steady-state gain ≈ 0.095 — a smoother that trusts history
+#: ~10× more than each new tick.
+_KAL_Q = 0.01
+_KAL_R = 1.0
+
+
+def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman filter for the local-level model per key (Kalman 1960 /
+    Durbin & Koopman, public): the adaptive-gain generalization of
+    the EMA — the smoothing weight is not a constant α but the
+    running posterior variance: ``P⁻ = P + Q; K = P⁻/(P⁻ + R);
+    l ← l + K(y − l); P ← (1−K)P⁻``, init l₁ = y₁, P₁ = 1. Early
+    observations get large gains (uncertain state), converging to the
+    steady-state gain — exactly why trading systems use it over a
+    fixed-α EMA after gaps. Output: one row per key with the final
+    (level, p_var, gain) — level is also the one-step-ahead forecast
+    of the local-level model.
+
+    Kernel + oracle follow the q_holt_forecast discipline to the
+    letter: a coupled two-state (l, P) recurrence in one
+    partition-wide Arrow pass with the last-row rank precomputed on
+    the same window layout (one exchange total), mirrored by a
+    per-key recursive CTE executing the IDENTICAL operation order —
+    sequential doubles, bit-exact on both engines."""
+    from pyspark.sql.window import Window
+
+    s = (_series(spark, sf_dir)
+         .filter(F.col("close").isNotNull()))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = (s.withColumn("rn", F.row_number().over(wo))
+              .withColumn("n_obs", F.count("*").over(
+                  Window.partitionBy("user_id"))))
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in staged.schema.fields)
+    schema = f"{in_schema}, kal_level double, kal_p double, kal_gain double"
+    q_noise, r_noise = _KAL_Q, _KAL_R
+
+    def kernel(batches):
+        carry_key = None
+        lvl = p = gain = math.nan
+        started = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            ys = pdf["close"].to_numpy(dtype=np.float64)
+            out_l = np.empty(len(pdf), dtype=np.float64)
+            out_p = np.empty(len(pdf), dtype=np.float64)
+            out_k = np.empty(len(pdf), dtype=np.float64)
+            for i in range(len(pdf)):
+                if keys[i] != carry_key:
+                    started = False
+                    carry_key = keys[i]
+                y = ys[i]
+                if not started:
+                    lvl, p, gain, started = y, 1.0, math.nan, True
+                else:
+                    pp = p + q_noise
+                    gain = pp / (pp + r_noise)
+                    lvl = lvl + gain * (y - lvl)
+                    p = (1.0 - gain) * pp
+                out_l[i] = lvl
+                out_p[i] = p
+                out_k[i] = gain
+            yield pdf.assign(kal_level=out_l, kal_p=out_p,
+                             kal_gain=out_k)
+
+    fitted = staged.mapInPandas(kernel, schema=schema)
+    # Single-observation keys never compute a gain: the kernel carries
+    # NaN, the oracle NULL — normalize to NULL (the dtype-honest
+    # "undefined", matching the recursive CTE's first row).
+    return (fitted
+            .filter(F.col("rn") == F.col("n_obs"))
+            .select("user_id", "n_obs",
+                    F.col("kal_level").alias("level"),
+                    F.col("kal_p").alias("p_var"),
+                    F.when(F.col("n_obs") > 1, F.col("kal_gain"))
+                    .alias("gain"))
+            .orderBy("user_id"))
+
+
+def _kalman_sql() -> str:
+    q, r = f"CAST({_KAL_Q} AS DOUBLE)", f"CAST({_KAL_R} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+h AS (
+  SELECT user_id, rn, y AS l, CAST(1.0 AS DOUBLE) AS p,
+         CAST(NULL AS DOUBLE) AS k
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT q2.user_id, q2.rn,
+         q2.l + q2.k * (q2.y - q2.l) AS l,
+         (1.0 - q2.k) * q2.pp AS p,
+         q2.k
+  FROM (
+    SELECT s.user_id, s.rn, s.y, h.l, h.p + {q} AS pp,
+           (h.p + {q}) / ((h.p + {q}) + {r}) AS k
+    FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1) q2),
+fin AS (
+  SELECT user_id, MAX(rn) AS n_obs FROM h GROUP BY user_id)
+SELECT fin.user_id, fin.n_obs, h.l AS level, h.p AS p_var, h.k AS gain
+FROM fin JOIN h ON h.user_id = fin.user_id AND h.rn = fin.n_obs
+ORDER BY fin.user_id
+"""
+
+
 QUERIES = {
     "dashboard_snapshot": (q_dashboard_snapshot, _dashboard_sql()),
+    "kalman_level": (q_kalman_level, _kalman_sql()),
     "holt_forecast": (q_holt_forecast, _holt_sql()),
     "holt_winters": (q_holt_winters, _holt_winters_sql()),
     "forecast_anomalies": (q_forecast_anomalies, _anomaly_sql()),

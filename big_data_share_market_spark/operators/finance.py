@@ -559,6 +559,88 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SMA-crossover strategy backtest (vectorized PnL over the bar series)
+# ---------------------------------------------------------------------------
+
+#: Fast/slow SMA spans for the crossover rule.
+_BT_FAST, _BT_SLOW = 5, 20
+
+
+def q_sma_crossover_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized strategy backtest — the step after the reference's
+    indicator dashboard (`streamlit_app/streamlit_app.py:165-265`
+    computes the signals; a user's next question is "what would
+    trading them have earned"): long 1 unit while SMA(5) > SMA(20),
+    flat otherwise, positions effective one bar AFTER the signal (no
+    look-ahead), PnL in price points per bar held. Output per key:
+    bars, trades (signal flips), bars held long, strategy PnL and the
+    buy-and-hold PnL benchmark over the same bars.
+
+    Scale shape: two rolling means + two lags on ONE per-key window
+    layout (a single hash exchange over the staged bar relation),
+    then a per-key rollup — the whole backtest is two shuffles at any
+    corpus size, the textbook vectorized-backtest plan (position
+    series × return series, no event loop).
+
+    Exactness: the SMAs are decimal-exact means (identical doubles on
+    both engines, so the `fast > slow` comparison is deterministic);
+    PnL terms position·(close − prev_close) are double products of
+    identical inputs summed through DECIMAL(25,6) (functions.dsum);
+    trade/hold counters are pure integers (oracle CASTs to BIGINT —
+    the DuckDB SUM(int)→HUGEINT class)."""
+    from .indicators import _rolling_mean
+
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+    fast = _rolling_mean(F.col("close"), w, _BT_FAST)
+    slow = _rolling_mean(F.col("close"), w, _BT_SLOW)
+    sig = (bars
+           .withColumn("fast", fast).withColumn("slow", slow)
+           .withColumn("signal",
+                       F.when(F.col("fast") > F.col("slow"), 1)
+                       .otherwise(0)))
+    pos = (sig
+           .withColumn("position", F.lag("signal", 1, 0).over(w))
+           .withColumn("prev_close", F.lag("close").over(w)))
+    delta = F.col("close") - F.col("prev_close")
+    return (pos.groupBy("user_id")
+            .agg(F.count("*").alias("n_bars"),
+                 F.sum(F.when(F.col("signal") != F.col("position"), 1)
+                       .otherwise(0)).alias("n_trades"),
+                 F.sum("position").alias("bars_long"),
+                 dsum(F.col("position") * delta).alias("strategy_pnl"),
+                 dsum(delta).alias("buy_hold_pnl"))
+            .orderBy("user_id"))
+
+
+def _backtest_sql() -> str:
+    from .indicators import _rolling_mean_sql
+
+    over = "PARTITION BY user_id ORDER BY bar_ts"
+    return f"""
+WITH {BARS_CTE},
+ind AS (
+  SELECT user_id, bar_ts, close,
+         {_rolling_mean_sql('close', _BT_FAST, f'({over})')} AS fast,
+         {_rolling_mean_sql('close', _BT_SLOW, f'({over})')} AS slow
+  FROM bars),
+sig AS (
+  SELECT *, CASE WHEN fast > slow THEN 1 ELSE 0 END AS signal FROM ind),
+pos AS (
+  SELECT *, lag(signal, 1, 0) OVER ({over}) AS position,
+         lag(close) OVER ({over}) AS prev_close
+  FROM sig)
+SELECT user_id, COUNT(*) AS n_bars,
+       CAST(SUM(CASE WHEN signal <> position THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trades,
+       CAST(SUM(position) AS BIGINT) AS bars_long,
+       {dsum_sql('position * (close - prev_close)')} AS strategy_pnl,
+       {dsum_sql('close - prev_close')} AS buy_hold_pnl
+FROM pos GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "volume_profile": (q_volume_profile, _VOLUME_PROFILE_SQL),
     "drawdown_duration": (q_drawdown_duration, _DRAWDOWN_DURATION_SQL),
@@ -569,4 +651,5 @@ QUERIES = {
     "corr_pairs": (q_corr_pairs, _CORR_PAIRS_SQL),
     "var_cvar": (q_var_cvar, _VAR_CVAR_SQL),
     "return_autocorr": (q_return_autocorr, _AUTOCORR_SQL),
+    "sma_crossover_backtest": (q_sma_crossover_backtest, _backtest_sql()),
 }

@@ -331,7 +331,177 @@ ORDER BY d.node
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded-round peeling / onion layers)
+# ---------------------------------------------------------------------------
+
+#: Core threshold and fixed peel-round budget. The REPEAT graph
+#: (co-purchase edges with multiplicity ≥ _KCORE_M) reaches its
+#: 2-core fixpoint in ≤ 6 rounds on every fixture (measured 1/4/6 at
+#: sf0.001/0.01/0.1), so 8 rounds = converged output; the bounded
+#: unroll is what makes the query oracle-checkable (the same fixed
+#: CTE chain on both engines, the q_part_pagerank discipline).
+_KCORE_K = 2
+_KCORE_M = 2
+_KCORE_ROUNDS = 8
+
+#: Staged repeat-co-purchase edge relation per (appId, sf_dir).
+_KCORE_CACHE: dict = {}
+
+
+def _repeat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edges kept only when the pair co-occurs
+    in ≥ _KCORE_M distinct orders — the REPEAT-signal graph (one
+    shared basket is noise; two is a relationship), and the sparse
+    graph where peeling does real work (the raw graph's minimum
+    degree is ~40, making every node a trivial 2-core member).
+    Staged: the peel loop references it _KCORE_ROUNDS + 2 times."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KCORE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("src"),
+                 F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= _KCORE_M)
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    edges.count()
+    _KCORE_CACHE[key] = edges
+    return edges
+
+
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the repeat-co-purchase graph by
+    _KCORE_ROUNDS peel rounds — the graph-sparsification primitive
+    (spam/outlier pruning on web graphs, community nuclei, the
+    degeneracy ordering behind triangle counting): repeatedly delete
+    nodes with fewer than k surviving neighbors; what remains is the
+    k-core, and the round a node dies is its ONION LAYER (peel_round;
+    NULL for core members, whose degree within the final subgraph is
+    core_degree).
+
+    Scale shape: per round, the node set semi-restricts the staged
+    edge relation (two BROADCAST joins — the active set is node-
+    sized) and one map-side-combined degree count; the peeled-node
+    union rows are emitted as they die. The whole decomposition is a
+    LAZY _KCORE_ROUNDS-deep plan over one persisted edge relation —
+    no driver loop state, no collect (the q_part_pagerank shape). At
+    web scale the broadcast becomes a shuffle semi-join and rounds
+    batch into doubling passes; k-core peeling is O(|E|) total work
+    regardless (each edge dies once).
+
+    Exactness: degrees and layers are pure integer set logic —
+    bit-identical on any engine; the oracle unrolls the identical
+    fixed round chain."""
+    edges = _repeat_edges(spark, sf_dir)
+    # Each round references `active` three times (both semi-joins +
+    # the anti-join), so a fully lazy loop TRIPLES the plan tree per
+    # round (3⁸ copies of the base subtree — Catalyst chokes);
+    # localCheckpoint truncates the node-sized relation each round,
+    # keeping the per-round plan constant. Same discipline as
+    # cc_alternating; q_part_pagerank can stay lazy only because its
+    # rank relation is referenced once per round.
+    # The node-state relation is |V|-sized (a few thousand rows at
+    # fixture scale) yet inherits 32 shuffle partitions — per-round
+    # job cost is then task scheduling, not work. coalesce(1) before
+    # each checkpoint: one task per round job, and the subsequent
+    # broadcasts read one block. At web scale (|V| beyond one task)
+    # drop the coalesce and let the semi-joins shuffle — the loop
+    # structure is unchanged.
+    active = (edges.select(F.col("src").alias("node")).distinct()
+              .coalesce(1).localCheckpoint())
+    n_active = active.count()
+    peeled = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sa = active.select(F.col("node").alias("src"))
+        sb = active.select(F.col("node").alias("dst"))
+        deg = (edges
+               .join(F.broadcast(sa), "src")
+               .join(F.broadcast(sb), "dst")
+               .groupBy("src").agg(F.count("*").alias("c")))
+        surv = (deg.filter(F.col("c") >= _KCORE_K)
+                .select(F.col("src").alias("node"))
+                .coalesce(1).localCheckpoint())
+        peeled.append(
+            active.join(F.broadcast(surv), "node", "left_anti")
+            .select("node", F.lit(i).alias("peel_round")))
+        n_surv = surv.count()
+        removed_any = n_surv != n_active
+        active, n_active = surv, n_surv
+        # A round that removes nothing IS the fixpoint — every later
+        # round would recompute identical degrees and remove nothing,
+        # so skipping them cannot change the output (the oracle keeps
+        # the full unroll; its extra rounds are the same no-ops). The
+        # count is a free read off the just-checkpointed relation.
+        if not removed_any:
+            break
+    sa = active.select(F.col("node").alias("src"))
+    sb = active.select(F.col("node").alias("dst"))
+    core_deg = (edges
+                .join(F.broadcast(sa), "src")
+                .join(F.broadcast(sb), "dst")
+                .groupBy("src").agg(F.count("*").alias("core_degree")))
+    core = (active.join(
+        F.broadcast(core_deg.withColumnRenamed("src", "node")),
+        "node", "left")
+            .select("node", F.lit(None).cast("int").alias("peel_round"),
+                    "core_degree"))
+    out = core
+    for p in peeled:
+        out = out.unionByName(
+            p.select("node", "peel_round",
+                     F.lit(None).cast("long").alias("core_degree")))
+    return out.orderBy("node")
+
+
+def _kcore_sql() -> str:
+    base = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_KCORE_M}),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)"""
+    steps, removed = [], []
+    prev = "a0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f""",
+d{i} AS (
+  SELECT e.src AS node, COUNT(*) AS c
+  FROM e JOIN {prev} s ON e.src = s.node JOIN {prev} t ON e.dst = t.node
+  GROUP BY e.src),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {_KCORE_K}),
+r{i} AS (
+  SELECT p.node, {i} AS peel_round FROM {prev} p
+  LEFT JOIN a{i} q ON p.node = q.node WHERE q.node IS NULL)""")
+        removed.append(f"SELECT node, peel_round, "
+                       f"CAST(NULL AS BIGINT) AS core_degree FROM r{i}")
+        prev = f"a{i}"
+    final = f""",
+dcore AS (
+  SELECT e.src AS node, COUNT(*) AS core_degree
+  FROM e JOIN {prev} s ON e.src = s.node JOIN {prev} t ON e.dst = t.node
+  GROUP BY e.src)
+SELECT node, CAST(NULL AS INTEGER) AS peel_round, core_degree
+FROM {prev} LEFT JOIN dcore USING (node)
+UNION ALL
+""" + "\nUNION ALL\n".join(removed) + "\nORDER BY node"
+    return base + "".join(steps) + final
+
+
 QUERIES = {
     "part_pagerank": (q_part_pagerank, _pagerank_sql()),
     "part_triangles": (q_part_triangles, _TRIANGLES_SQL),
+    "part_kcore": (q_part_kcore, _kcore_sql()),
 }

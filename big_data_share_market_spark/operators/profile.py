@@ -300,8 +300,52 @@ ORDER BY k_decade
 """
 
 
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity — the audit k-anonymity misses: a class can be
+    large (k high) yet reveal everything if all its rows share one
+    SENSITIVE value (homogeneity attack, Machanavajjhala et al. 2007,
+    public). Same quasi-identifier classes as q_k_anonymity_audit
+    ((event_type, hour)); sensitive attribute = user_id. Per class,
+    l = COUNT(DISTINCT user_id); report the class-size-decade
+    histogram of l: n_classes, rows, min l per decade, and the rows
+    living in classes with l < 3 (the quarantine set a release gate
+    would block). Two grouped aggregations; the distinct count rides
+    the same shuffle as the class rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    classes = (ev.groupBy("event_type", F.hour("ts").alias("qi_hour"))
+               .agg(F.count("*").alias("k"),
+                    F.countDistinct("user_id").alias("l")))
+    decade = F.floor(F.log10(F.col("l").cast("double"))).cast("int")
+    return (classes
+            .groupBy(decade.alias("l_decade"))
+            .agg(F.count("*").alias("n_classes"),
+                 F.sum("k").alias("n_rows"),
+                 F.min("l").alias("min_l"),
+                 F.sum(F.when(F.col("l") < 3, F.col("k"))
+                       .otherwise(F.lit(0))).alias("rows_below_l3"))
+            .orderBy("l_decade"))
+
+
+_L_DIVERSITY_SQL = """
+WITH classes AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS qi_hour,
+         COUNT(*) AS k, COUNT(DISTINCT user_id) AS l
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts))
+SELECT CAST(floor(log10(CAST(l AS DOUBLE))) AS INTEGER) AS l_decade,
+       COUNT(*) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       MIN(l) AS min_l,
+       CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+         AS rows_below_l3
+FROM classes
+GROUP BY floor(log10(CAST(l AS DOUBLE)))
+ORDER BY l_decade
+"""
+
+
 QUERIES = {
     "k_anonymity_audit": (q_k_anonymity_audit, _K_ANON_SQL),
+    "l_diversity_audit": (q_l_diversity_audit, _L_DIVERSITY_SQL),
     "contract_check_lineitem": (q_contract_check_lineitem, _CONTRACT_SQL),
     "dq_profile_lineitem": (q_dq_profile_lineitem, _DQ_PROFILE_SQL),
     "missing_bars": (q_missing_bars, _MISSING_BARS_SQL),

@@ -410,7 +410,70 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (priority sampling, top-k)
+# ---------------------------------------------------------------------------
+
+#: Sample size for the priority sample — deliberately smaller than
+#: every fixture's corpus (500 docs at sf0.001/0.01) so the weighted
+#: cut is actually exercised.
+_PRIO_K = 200
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement by priority sampling
+    (Duffield, Lund & Thorup 2007, public): each row gets priority
+    u/w — u a deterministic 60-bit hash uniform, w its mixture weight
+    (the 3:1 even/odd-source convention of q_mixture_sample) — and
+    the k smallest priorities are the sample. Weight-3 rows draw
+    priorities from a 3×-compressed range, so they are ~3× more
+    likely to make the cut: the fixed-size counterpart of
+    mixture_sample's rate-based thinning (a pipeline uses THIS when
+    it needs exactly k rows — eval panels, human-review batches —
+    and thinning when it needs a fraction).
+
+    Scale shape: the priority is row-local codegen; top-k is
+    TakeOrderedAndProject — no global sort, no per-group state, the
+    same one-pass selection at any corpus size (distributed reservoir
+    semantics without reservoir state).
+
+    Exactness: u is an integer, w a small integer, and u/w a single
+    IEEE division — bit-identical on both engines with zero
+    transcendentals (the reason for priority sampling's u/w key over
+    A-ES's u^(1/w): pow() drifts cross-engine, division cannot);
+    ties break by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    weight = F.when(src_num % 2 == 0, F.lit(3)).otherwise(F.lit(1))
+    u60 = F.conv(F.substring(
+        F.md5(F.concat(F.lit("prio:"), F.col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    prio = u60.cast("double") / weight.cast("double")
+    return (docs.select("doc_id", "source", weight.alias("weight"),
+                        prio.alias("priority"))
+            .orderBy("priority", "doc_id")
+            .limit(_PRIO_K))
+
+
+_PRIORITY_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                   % 2 = 0
+              THEN 3 ELSE 1 END AS weight
+  FROM documents)
+SELECT doc_id, source, weight,
+       CAST(CAST(('0x' || substring(
+              md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            AS DOUBLE) / CAST(weight AS DOUBLE) AS priority
+FROM w
+ORDER BY priority, doc_id
+LIMIT {_PRIO_K}
+"""
+
+
 QUERIES = {
+    "priority_sample": (q_priority_sample, _PRIORITY_SAMPLE_SQL),
     "hash_split": (q_hash_split, _HASH_SPLIT_SQL),
     "lang_temperature_sample": (q_lang_temperature_sample,
                                 _LANG_TEMPERATURE_SQL),

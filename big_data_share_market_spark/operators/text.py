@@ -223,6 +223,38 @@ FROM s
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the QA table a corpus pipeline
+    prints next to the classifier (which declared→predicted cells
+    dominate tells you whether a marker list or the declared metadata
+    is wrong): per (declared lang, predicted lang) cell, doc count
+    and the cell's share of its declared-language row. Composes
+    q_lang_id's scoring row-locally, then ONE grouped count over the
+    ≤ |langs|² cells; the per-row share divides by a window sum over
+    the tiny cell relation — nothing data-sized shuffles twice."""
+    pred = q_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    cells = (pred.groupBy("lang", "predicted_lang")
+             .agg(F.count("*").alias("n_docs")))
+    from pyspark.sql import Window as W
+    row_total = F.sum("n_docs").over(W.partitionBy("lang"))
+    return (cells
+            .withColumn("row_frac",
+                        F.col("n_docs").cast("double") / row_total)
+            .orderBy("lang", "predicted_lang"))
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_sql()})
+SELECT lang, predicted_lang, COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY lang) AS row_frac
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------
@@ -838,5 +870,6 @@ QUERIES = {
     "winnowing_fingerprint": (q_winnowing_fingerprint, _WINNOW_SQL),
     "quality_score": (q_quality_score, _QUALITY_SCORE_SQL),
     "lang_id": (q_lang_id, _lang_id_sql()),
+    "lang_confusion": (q_lang_confusion, _lang_confusion_sql()),
     "doc_fingerprint": (q_doc_fingerprint, _DOC_FINGERPRINT_SQL),
 }

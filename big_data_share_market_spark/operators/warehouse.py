@@ -375,7 +375,74 @@ GROUP BY source, bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (mergeable partial aggregates)
+# ---------------------------------------------------------------------------
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for a per-customer
+    order summary: the BASE partition (o_orderkey % 10 < 8, the
+    repo-wide base/delta convention) holds yesterday's materialized
+    partial aggregates; the DELTA partition arrives and only ITS rows
+    are aggregated, then the two partial-state relations merge with
+    one customer-keyed FULL OUTER join — count/sum/min/max are
+    mergeable states, so merge(base, delta) ≡ recompute(all), which
+    is exactly what the oracle computes. This is the O(|delta|)
+    refresh every warehouse's incremental view maintenance performs
+    instead of an O(|table|) rebuild.
+
+    Exactness: counts are integers; the price sum is held as
+    DECIMAL(25,6) partial state so the merge ADD is associative and
+    bit-equal to the oracle's single global sum (the reason real
+    engines keep sum state wider than the display type); min/max
+    merge via least/greatest. Scale shape: two map-side-combined
+    partial aggregations (the base one would be a read of the stored
+    MV, not a scan) + one keyed merge join — AQE broadcasts the
+    delta side when small."""
+    from ..functions import DEC
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias(f"{tag}_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias(f"{tag}_sum"),
+            F.min("o_orderdate").alias(f"{tag}_min_d"),
+            F.max("o_orderdate").alias(f"{tag}_max_d"))
+
+    base = partial(orders.filter(F.col("o_orderkey") % 10 < 8), "b")
+    delta = partial(orders.filter(F.col("o_orderkey") % 10 >= 8), "d")
+    merged = base.join(delta, "o_custkey", "full_outer")
+    zero = F.lit(0).cast("long")
+    return (merged.select(
+        "o_custkey",
+        (F.coalesce("b_n", zero) + F.coalesce("d_n", zero))
+        .alias("n_orders"),
+        (F.coalesce(F.col("b_sum"), F.lit(0).cast(DEC))
+         + F.coalesce(F.col("d_sum"), F.lit(0).cast(DEC)))
+        .cast("double").alias("total_spend"),
+        F.least(F.coalesce("b_min_d", "d_min_d"),
+                F.coalesce("d_min_d", "b_min_d")).alias("first_order"),
+        F.greatest(F.coalesce("b_max_d", "d_max_d"),
+                   F.coalesce("d_max_d", "b_max_d")).alias("last_order"))
+        .orderBy("o_custkey"))
+
+
+_INCR_MERGE_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         AS total_spend,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
+    "incremental_agg_merge": (q_incremental_agg_merge, _INCR_MERGE_SQL),
     "cdc_apply": (q_cdc_apply, _CDC_APPLY_SQL),
     "compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
     "scd2_order_priority": (q_scd2_order_priority, _SCD2_SQL),

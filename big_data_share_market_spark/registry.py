@@ -43,7 +43,10 @@ _FIRST_50 = (
     # --- (a) never driver-verified: r5-deferred indicator siblings ---
     "force_index", "elder_ray", "ease_of_movement",
     # --- (b) round-6 additions ---
-    "cc_alternating", "stream_bq_topk",
+    "cc_alternating", "stream_bq_topk", "part_kcore",
+    "sma_crossover_backtest", "kalman_level", "lang_confusion",
+    "l_diversity_audit", "incremental_agg_merge",
+    "stream_kalman_per_key", "priority_sample",
     # --- (c) r5 bench-drift cluster + restructured forecast family ---
     "embedding_neardup", "cosine_topk", "quality_score", "bpe_encode",
     "dashboard_snapshot", "holt_forecast", "forecast_backtest",
@@ -52,10 +55,7 @@ _FIRST_50 = (
     "last_per_key", "top_orders", "dedup_upsert", "exact_dedup",
     "signal_case", "heikin_ashi", "renko", "raindrop",
     "ema", "sma", "rsi", "tsi", "macd", "adx",
-    "minhash_lsh_dedup", "simhash_pairs", "ngram_jaccard_dedup",
-    "pricing_summary", "shipping_priority", "large_volume_orders",
-    "asof_last_signup", "range_join_pairs", "flatten_nested",
-    "json_envelope_roundtrip", "eval_ngram_contamination",
+    "minhash_lsh_dedup", "simhash_pairs", "pricing_summary",
 )
 
 

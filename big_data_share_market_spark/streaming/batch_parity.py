@@ -656,6 +656,52 @@ ORDER BY q_id, cosine DESC, vec_id
 """
 
 
+def q_stream_kalman_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kalman local-level filter as a LIVE operator: per-key
+    coupled (level, variance) state in the checkpoint, updated once
+    per event — the streaming form of operators/ewm.q_kalman_level,
+    emitting the running (level, P, gain) trajectory. Oracle = the
+    same per-key recursive CTE over the batch table; the only
+    normalization is NaN→NULL on the first-observation gain (the
+    kernel's "no gain yet" marker vs the CTE's NULL seed)."""
+    from .state import kalman_per_key
+
+    sdf = events_stream(spark, sf_dir)
+    out = kalman_per_key(sdf).withColumn(
+        "kal_gain",
+        F.when(~F.isnan("kal_gain"), F.col("kal_gain")))
+    return run_available_now(out, spark, output_mode="append")
+
+
+def _stream_kalman_sql() -> str:
+    from ..operators.ewm import _KAL_Q, _KAL_R
+    q, r = f"CAST({_KAL_Q} AS DOUBLE)", f"CAST({_KAL_R} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+h AS (
+  SELECT user_id, event_id, ts, rn, y, y AS l,
+         CAST(1.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS k
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT q2.user_id, q2.event_id, q2.ts, q2.rn, q2.y,
+         q2.l + q2.k * (q2.y - q2.l) AS l,
+         (1.0 - q2.k) * q2.pp AS p,
+         q2.k
+  FROM (
+    SELECT s.user_id, s.event_id, s.ts, s.rn, s.y, h.l,
+           h.p + {q} AS pp,
+           (h.p + {q}) / ((h.p + {q}) + {r}) AS k
+    FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1) q2)
+SELECT user_id, event_id, ts, y AS close,
+       l AS kal_level, p AS kal_p, k AS kal_gain
+FROM h
+"""
+
+
 def q_stream_holt_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Holt linear-trend fit as a LIVE operator: per-key coupled
     (level, trend) state in the checkpoint, updated once per event —
@@ -835,4 +881,6 @@ QUERIES = {
     "stream_quality_gate": (q_stream_quality_gate,
                             _stream_quality_gate_sql()),
     "stream_bq_topk": (q_stream_bq_topk, _stream_bq_sql()),
+    "stream_kalman_per_key": (q_stream_kalman_per_key,
+                              _stream_kalman_sql()),
 }

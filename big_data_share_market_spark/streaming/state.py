@@ -441,6 +441,87 @@ def _holt_fn(a: float, b_const: float):
     return fn
 
 
+#: Output mirrors the batch Kalman kernel's per-row trajectory
+#: (operators/ewm.q_kalman_level runs the same recurrence).
+KALMAN_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                     "close DOUBLE, kal_level DOUBLE, kal_p DOUBLE, "
+                     "kal_gain DOUBLE")
+KALMAN_STATE_DDL = "lvl DOUBLE, p DOUBLE, started BOOLEAN"
+
+
+def _kalman_fn(q_noise: float, r_noise: float):
+    """Checkpointed continuation of the coupled Kalman (level,
+    variance) recurrence — identical operation order to the batch
+    kernel (operators/ewm.q_kalman_level), so the streamed trajectory
+    is bit-identical to the batch fit when events arrive in order.
+    The first observation of a key has no gain (NaN here; the caller
+    normalizes to NULL to match the oracle's first recursive row)."""
+    import math
+
+    import numpy as np
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            lvl, p, started = state.get
+        else:
+            lvl, p, started = math.nan, math.nan, False
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((lvl, p, started))
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out_l = np.empty(len(vals), dtype="float64")
+        out_p = np.empty(len(vals), dtype="float64")
+        out_k = np.empty(len(vals), dtype="float64")
+        for i, y in enumerate(vals):
+            if not started:
+                lvl, p, gain, started = float(y), 1.0, math.nan, True
+            else:
+                pp = p + q_noise
+                gain = pp / (pp + r_noise)
+                lvl = lvl + gain * (float(y) - lvl)
+                p = (1.0 - gain) * pp
+            out_l[i] = lvl
+            out_p[i] = p
+            out_k[i] = gain
+        state.update((lvl, p, started))
+        yield pd.DataFrame({
+            "user_id": user_id,
+            "event_id": pdf["event_id"].astype("int64"),
+            "ts": pdf["ts"],
+            "close": vals,
+            "kal_level": out_l,
+            "kal_p": out_p,
+            "kal_gain": out_k,
+        })
+
+    return fn
+
+
+def kalman_per_key(sdf: DataFrame, q_noise: float = 0.01,
+                   r_noise: float = 1.0) -> DataFrame:
+    """Streaming Kalman local-level filter per user_id with
+    checkpointed (level, variance) state — O(n_keys × 2 doubles).
+    NULLs are dropped before the kernel (the holt_per_key contract:
+    a NULL would poison the checkpointed state while the oracle
+    filters them)."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _kalman_fn(q_noise, r_noise),
+            outputStructType=KALMAN_OUTPUT_DDL,
+            stateStructType=KALMAN_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def holt_per_key(sdf: DataFrame, a: float = 0.2,
                  b_const: float = 0.1) -> DataFrame:
     """Streaming Holt level+trend per user_id with checkpointed

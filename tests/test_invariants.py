@@ -793,3 +793,94 @@ def test_cc_alternating_matches_dedup_components(spark):
     a = sorted(map(tuple, q["cc_alternating"][0](spark, SF_DIR).collect()))
     b = sorted(map(tuple, q["dedup_components"][0](spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_kcore_partition_and_degree_bound(spark):
+    """Every repeat-graph node appears exactly once, peeled nodes
+    carry a layer in [1, 8] with no core_degree, and every core
+    member's within-core degree is >= k (the defining property)."""
+    from big_data_share_market_spark.operators.graph import (
+        _KCORE_K, _KCORE_ROUNDS)
+    rows = all_queries()["part_kcore"][0](spark, SF_DIR).collect()
+    assert rows and len({r.node for r in rows}) == len(rows)
+    core = [r for r in rows if r.peel_round is None]
+    for r in rows:
+        if r.peel_round is not None:
+            assert 1 <= r.peel_round <= _KCORE_ROUNDS
+            assert r.core_degree is None
+    for r in core:
+        assert r.core_degree >= _KCORE_K
+
+
+def test_backtest_counters_bounded(spark):
+    """Trades and long-bars never exceed the bar count, and a key
+    that never goes long earns exactly zero strategy PnL."""
+    rows = all_queries()["sma_crossover_backtest"][0](
+        spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_trades <= r.n_bars
+        assert 0 <= r.bars_long <= r.n_bars
+        if r.bars_long == 0:
+            assert r.strategy_pnl in (None, 0.0)
+
+
+def test_kalman_gain_and_level_bounds(spark):
+    """The gain is a true fraction, the posterior variance sits in
+    (0, 1 + Q], and the filtered level is a convex combination of
+    the observations so it lies inside the per-key value range."""
+    from pyspark.sql import functions as F
+    from big_data_share_market_spark.operators.ewm import _KAL_Q
+    from big_data_share_market_spark.tables import load_table
+    out = {r.user_id: r
+           for r in all_queries()["kalman_level"][0](spark, SF_DIR).collect()}
+    rng = {r.user_id: (r.lo, r.hi)
+           for r in (load_table(spark, SF_DIR, "events")
+                     .groupBy("user_id")
+                     .agg(F.min("value").alias("lo"),
+                          F.max("value").alias("hi"))).collect()}
+    assert out
+    for uid, r in out.items():
+        if r.gain is not None:
+            assert 0.0 < r.gain < 1.0
+        assert 0.0 < r.p_var <= 1.0 + _KAL_Q
+        lo, hi = rng[uid]
+        assert lo - 1e-9 <= r.level <= hi + 1e-9
+
+
+def test_priority_sample_size_and_tilt(spark):
+    """Exactly k rows come back, and weight-3 sources are
+    overrepresented relative to their corpus share (the point of
+    weighted sampling) — kept-per-source for weight 3 is > 2x that
+    of weight 1 on this fixture (expected 3x, wide tolerance)."""
+    from big_data_share_market_spark.operators.sampling import _PRIO_K
+    rows = all_queries()["priority_sample"][0](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == _PRIO_K
+    from collections import Counter
+    per_w = Counter(r.weight for r in rows)
+    srcs_w = {w: len({r.source for r in rows if r.weight == w})
+              for w in per_w}
+    kept_per_source = {w: per_w[w] / srcs_w[w] for w in per_w}
+    assert kept_per_source[3] > 2.0 * kept_per_source[1]
+
+
+def test_incremental_merge_equals_direct(spark):
+    """The merged base+delta partial states must equal a direct
+    single-pass aggregate computed Spark-side (independent of the
+    DuckDB oracle, which checks the same identity)."""
+    from pyspark.sql import functions as F
+    from big_data_share_market_spark.functions import DEC
+    from big_data_share_market_spark.tables import load_table
+    got = sorted(map(tuple, all_queries()["incremental_agg_merge"][0](
+        spark, SF_DIR).collect()))
+    direct = sorted(map(tuple, (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+             .alias("total_spend"),
+             F.min("o_orderdate").alias("first_order"),
+             F.max("o_orderdate").alias("last_order"))
+        .orderBy("o_custkey")).collect()))
+    assert got == direct and len(got) > 0
