@@ -120,6 +120,10 @@ HEADLINE = [
     "l_diversity_audit",    # sensitive-value diversity per QI class
     "incremental_agg_merge",  # mergeable-state MV maintenance
     "priority_sample",      # u/w weighted top-k sample, no global sort
+    "dedup_survivorship",   # golden-record election over dup clusters
+    "stoch_rsi",            # indicator-of-indicator window composition
+    "chaikin_oscillator",   # cumulative ADL + two-alpha ewm kernel
+    "part_bfs_hops",        # bounded-round frontier-expansion BFS
 ]
 
 

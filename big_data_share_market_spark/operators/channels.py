@@ -1238,8 +1238,62 @@ FROM uop
 """
 
 
+# ---------------------------------------------------------------------------
+# Chaikin oscillator (EMA(3) − EMA(10) of the accumulation/distribution line)
+# ---------------------------------------------------------------------------
+
+def q_chaikin_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin oscillator: ADL_t = running Σ mfv (the CMF money-flow
+    volume accumulated since inception), CO = EMA(ADL, 3) −
+    EMA(ADL, 10) — the momentum-of-accumulation signal that pairs
+    with CMF's bounded ratio. Flat bars (high == low) contribute a
+    NULL mfv, skipped by the running sum in both engines (the q_cmf
+    convention); ADL is NULL until the key's first non-flat bar, and
+    the ewm kernels carry skip-NaN semantics over those rows.
+
+    One key-ordered bar layout serves the cumulative window AND the
+    two-alpha kernel pass (`_apply_ewm` assume_sorted) — a single
+    exchange for the whole chain."""
+    bars = ohlc_bars(spark, sf_dir)
+    mfm = ((F.col("close") - F.col("low"))
+           - (F.col("high") - F.col("close"))) \
+        / F.nullif(F.col("high") - F.col("low"), F.lit(0.0))
+    cum = bar_window().rowsBetween(W.unboundedPreceding, W.currentRow)
+    bars = (bars.withColumn("mfv", mfm * F.col("volume"))
+            .withColumn("adl", F.sum(F.col("mfv").cast(DEC)).over(cum)
+                        .cast("double")))
+    bars = _apply_ewm(bars, ["bar_ts"],
+                      {"adl_ema3": ("adl", 2.0 / 4.0),
+                       "adl_ema10": ("adl", 2.0 / 11.0)},
+                      assume_sorted=True)
+    return (bars.withColumn("chaikin_osc",
+                            F.col("adl_ema3") - F.col("adl_ema10"))
+            .select("user_id", "bar_ts", "close", "adl", "chaikin_osc"))
+
+
+_CHAIKIN_OSC_SQL = f"""
+WITH {BARS_CTE},
+mfvc AS (
+  SELECT user_id, bar_ts, close,
+         ((close - low) - (high - close)) / nullif(high - low, 0.0)
+           * volume AS mfv
+  FROM bars),
+adlc AS (
+  SELECT user_id, bar_ts, close,
+         CAST(SUM(CAST(mfv AS DECIMAL(25,6)))
+              OVER (PARTITION BY user_id ORDER BY bar_ts
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS adl
+  FROM mfvc)
+SELECT user_id, bar_ts, close, adl,
+       {_ewm_sql('adl', '2.0/4.0', _ORACLE_BAR_WINDOW)}
+         - {_ewm_sql('adl', '2.0/11.0', _ORACLE_BAR_WINDOW)} AS chaikin_osc
+FROM adlc
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
+    "chaikin_oscillator": (q_chaikin_oscillator, _CHAIKIN_OSC_SQL),
     "kama": (q_kama, _KAMA_SQL),
     "trix": (q_trix, _TRIX_SQL),
     "vortex": (q_vortex, _VORTEX_SQL),

@@ -1056,6 +1056,73 @@ def q_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record selection) over the near-dup
+    clusters — the MDM/entity-resolution step AFTER transitive
+    closure: every component elects one SURVIVOR by the
+    keep-longest rule (n_chars DESC, doc_id ASC — the RefinedWeb
+    representative choice) and every member row maps to it. This is
+    the table a dedup pipeline actually writes downstream: member →
+    canonical id, with is_survivor marking the kept rows.
+
+    Composes cc_alternating's O(log n) closure with ONE window over
+    the members relation (components are small, the window frame is
+    bounded by cluster size); the doc-metadata join is id-keyed and
+    AQE-broadcastable since the pair graph is dup-rate-sized. Oracle
+    = the recursive min-reachable-id CTE + the identical window."""
+    pairs = minhash_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels, _rounds = cc_alternating_edges(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = (labels.withColumnRenamed("node", "doc_id")
+               .withColumnRenamed("lbl", "component_id")
+               .join(docs, "doc_id"))
+    w = Window.partitionBy("component_id")
+    wfull = (Window.partitionBy("component_id")
+             .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    survivor = F.first("doc_id").over(wfull)
+    return (members
+            .select("doc_id", "component_id", "n_chars",
+                    F.count("*").over(w).alias("n_members"),
+                    survivor.alias("survivor_id"),
+                    (survivor == F.col("doc_id")).alias("is_survivor"))
+            .orderBy("doc_id"))
+
+
+_SURVIVORSHIP_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM neardup_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM neardup_pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component_id
+  FROM reach GROUP BY node),
+m AS (
+  SELECT c.doc_id, c.component_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id))
+SELECT doc_id, component_id, n_chars,
+       COUNT(*) OVER (PARTITION BY component_id) AS n_members,
+       first_value(doc_id) OVER (
+         PARTITION BY component_id
+         ORDER BY n_chars DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS survivor_id,
+       first_value(doc_id) OVER (
+         PARTITION BY component_id
+         ORDER BY n_chars DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         = doc_id AS is_survivor
+FROM m ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Near-dup split leakage (eval-contamination the exact-match check
 # misses)
@@ -1683,6 +1750,7 @@ QUERIES = {
     "neardup_split_leakage": (q_neardup_split_leakage, _split_leakage_sql()),
     "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
     "cc_alternating": (q_cc_alternating, _COMPONENTS_SQL),
+    "dedup_survivorship": (q_dedup_survivorship, _SURVIVORSHIP_SQL),
     "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, _NGRAM_CAPPED_SQL),

@@ -500,8 +500,85 @@ UNION ALL
     return base + "".join(steps) + final
 
 
+# ---------------------------------------------------------------------------
+# BFS hop distance (bounded-round frontier expansion)
+# ---------------------------------------------------------------------------
+
+#: Fixed BFS round budget (the bounded-unroll discipline of
+#: _KCORE_ROUNDS; the repeat graph's reachable set from the minimum
+#: node stabilizes well inside it on every fixture).
+_BFS_ROUNDS = 8
+
+
+def q_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distance over the repeat-co-purchase
+    graph (source = the minimum node id): the Pregel frontier-
+    expansion shape — per round, ONE edges⋈frontier semi-join
+    produces the next candidate layer, an anti-join against the
+    reached set keeps only new nodes, and the frontier is exactly
+    that layer (each edge is traversed at most twice total, the
+    textbook distributed-BFS work bound). Nodes beyond _BFS_ROUNDS
+    hops or in other components are absent — the bounded-round
+    contract shared with q_part_kcore; an empty frontier exits early
+    (all later rounds are provably no-ops). Node-state relations are
+    coalesced to one task at fixture scale (see q_part_kcore note).
+
+    Exactness: hop labels are pure set logic, and each node joins the
+    reached set at its MINIMUM hop by construction (it is excluded
+    from every later layer) — identical in the oracle's unrolled
+    MATERIALIZED CTE chain."""
+    edges = _repeat_edges(spark, sf_dir)
+    reached = (edges.agg(F.min("src").alias("node"))
+               .withColumn("hops", F.lit(0))
+               .coalesce(1).localCheckpoint())
+    frontier = reached.select("node")
+    for i in range(1, _BFS_ROUNDS + 1):
+        nxt = (edges
+               .join(F.broadcast(frontier.withColumnRenamed("node", "src")),
+                     "src")
+               .select(F.col("dst").alias("node")).distinct())
+        new = (nxt.join(F.broadcast(reached.select("node")),
+                        "node", "left_anti")
+               .withColumn("hops", F.lit(i))
+               .coalesce(1).localCheckpoint())
+        if new.limit(1).count() == 0:
+            break
+        reached = (reached.unionByName(new)
+                   .coalesce(1).localCheckpoint())
+        frontier = new.select("node")
+    return reached.orderBy("node")
+
+
+def _bfs_sql() -> str:
+    base = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_KCORE_M}),
+a0 AS MATERIALIZED (SELECT MIN(src) AS node, 0 AS hops FROM e),
+f0 AS MATERIALIZED (SELECT node FROM a0)"""
+    steps = []
+    prev_a, prev_f = "a0", "f0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, {i} AS hops
+  FROM e JOIN {prev_f} f ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM {prev_a})),
+a{i} AS MATERIALIZED (
+  SELECT node, hops FROM {prev_a} UNION ALL SELECT node, hops FROM r{i}),
+f{i} AS MATERIALIZED (SELECT node FROM r{i})""")
+        prev_a, prev_f = f"a{i}", f"f{i}"
+    return (base + "".join(steps)
+            + f"\nSELECT node, hops FROM {prev_a} ORDER BY node")
+
+
 QUERIES = {
     "part_pagerank": (q_part_pagerank, _pagerank_sql()),
     "part_triangles": (q_part_triangles, _TRIANGLES_SQL),
     "part_kcore": (q_part_kcore, _kcore_sql()),
+    "part_bfs_hops": (q_part_bfs_hops, _bfs_sql()),
 }

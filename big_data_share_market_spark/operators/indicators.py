@@ -374,8 +374,86 @@ FROM signed
 """
 
 
+# ---------------------------------------------------------------------------
+# Stochastic RSI (indicator-of-indicator composition)
+# ---------------------------------------------------------------------------
+
+def q_stoch_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StochRSI(14): the stochastic %K applied to the RSI series
+    instead of price — (RSI − min₁₄RSI)/(max₁₄RSI − min₁₄RSI), the
+    bounded-sensitivity refinement Chande & Kroll 1994 introduced
+    (public). The indicator-of-indicator composition: q_rsi's output
+    doubles are bit-identical cross-engine, the min/max windows ride
+    the SAME key-ordered layout (no second exchange), and the gate
+    requires 14 non-null RSI values so warmup is NULL; flat RSI
+    windows (max == min) are NULL via nullif."""
+    s = q_rsi(spark, sf_dir)
+    w = _w()
+    f14 = w.rowsBetween(-13, 0)
+    stoch = F.when(
+        F.count("rsi_14").over(f14) == 14,
+        (F.col("rsi_14") - F.min("rsi_14").over(f14))
+        / F.nullif(F.max("rsi_14").over(f14) - F.min("rsi_14").over(f14),
+                   F.lit(0.0)))
+    return s.withColumn("stoch_rsi", stoch)
+
+
+_STOCH_RSI_SQL = f"""
+WITH d AS (
+  SELECT user_id, event_id, ts, value AS close,
+         value - lag(value) OVER {_ORACLE_KEY_WINDOW} AS delta
+  FROM events),
+g AS (
+  SELECT user_id, event_id, ts, close,
+         {_rolling_mean_sql("CASE WHEN delta > 0 THEN delta ELSE 0.0 END", 14)} AS gain_avg,
+         {_rolling_mean_sql("CASE WHEN delta < 0 THEN -delta ELSE 0.0 END", 14)} AS loss_avg
+  FROM d),
+r AS (
+  SELECT user_id, event_id, ts, close,
+         100.0 - (100.0 / (1.0 + gain_avg / nullif(loss_avg, 0.0)))
+           AS rsi_14
+  FROM g)
+SELECT user_id, event_id, ts, close, rsi_14,
+       CASE WHEN COUNT(rsi_14) OVER w14 = 14 THEN
+         (rsi_14 - MIN(rsi_14) OVER w14)
+           / nullif(MAX(rsi_14) OVER w14 - MIN(rsi_14) OVER w14, 0.0)
+       END AS stoch_rsi
+FROM r
+WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Detrended price oscillator
+# ---------------------------------------------------------------------------
+
+def q_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO(20): close displaced back (n/2 + 1) periods minus the
+    current SMA(20) — removes the long trend so cycle length shows;
+    NULL until both the 20-value mean and the 11-back displacement
+    exist. Pure windows on one key-ordered layout."""
+    s = _series(spark, sf_dir)
+    w = _w()
+    sma20 = _rolling_mean(F.col("close"), w, 20)
+    displaced = F.lag("close", 11).over(w)
+    return (s.withColumn("sma_20", sma20)
+            .withColumn("dpo_20", displaced - F.col("sma_20")))
+
+
+_DPO_SQL = f"""
+SELECT user_id, event_id, ts, value AS close,
+       {_rolling_mean_sql('value', 20)} AS sma_20,
+       lag(value, 11) OVER {_ORACLE_KEY_WINDOW}
+         - {_rolling_mean_sql('value', 20)} AS dpo_20
+FROM events
+"""
+
+
 QUERIES = {
     "sma": (q_sma, _SMA_SQL),
+    "stoch_rsi": (q_stoch_rsi, _STOCH_RSI_SQL),
+    "dpo": (q_dpo, _DPO_SQL),
     "bollinger_bands": (q_bollinger, _BOLLINGER_SQL),
     "stochastic_oscillator": (q_stochastic, _STOCHASTIC_SQL),
     "obv": (q_obv, _OBV_SQL),

@@ -1772,8 +1772,63 @@ LIMIT 10
 """
 
 
+def q_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 1-bit BQ index against the exact brute-force
+    top-10 — the q_ann_recall_eval loop pointed at the quantized
+    index (the number a team checks before trading 32× compression
+    for it). One row: exact size, BQ result count, overlap, recall.
+    Every stage of both rankings is deterministic (integer Hamming,
+    vec_id tiebreaks, sequential-fold cosines), so recall carries a
+    full value oracle — the stronger form of the local recall
+    invariant in tests/test_invariants.py."""
+    exact = q_cosine_topk(spark, sf_dir).select("vec_id")
+    bq = q_bq_topk(spark, sf_dir).select(F.col("vec_id").alias("b_vec"))
+    joined = exact.join(F.broadcast(bq),
+                        exact.vec_id == F.col("b_vec"), "left")
+    hits = joined.agg(
+        F.count("vec_id").alias("n_exact"),
+        F.count("b_vec").alias("n_overlap"))
+    n_bq = bq.agg(F.count("*").alias("n_bq"))
+    return (hits.join(F.broadcast(n_bq))
+            .select("n_exact", "n_bq", "n_overlap",
+                    (F.col("n_overlap") / F.lit(10.0))
+                    .alias("recall_at_10")))
+
+
+def _bq_recall_sql() -> str:
+    lo, hi = _bq_codes_sql("e.")
+    qlo, qhi = _bq_codes_sql("q.")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pool AS (
+  SELECT e.vec_id, e.embedding, q.embedding AS q_emb,
+         CAST(bit_count(xor({lo}, {qlo}))
+              + bit_count(xor({hi}, {qhi})) AS INTEGER) AS hamming
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY hamming ASC, e.vec_id ASC
+  LIMIT {_BQ_POOL}),
+bq AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, {_cosine_sql('embedding', 'q_emb')} AS cosine
+    FROM pool)
+  ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id, {_cosine_sql('e.embedding', 'q.embedding')} AS cosine
+    FROM embeddings e, q WHERE e.vec_id <> 0)
+  ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM bq) AS n_bq,
+       (SELECT COUNT(*) FROM exact JOIN bq USING (vec_id)) AS n_overlap,
+       CAST((SELECT COUNT(*) FROM exact JOIN bq USING (vec_id)) AS DOUBLE)
+         / 10.0 AS recall_at_10
+"""
+
+
 QUERIES = {
     "embedding_dim_stats": (q_embedding_dim_stats, _DIM_STATS_SQL),
+    "bq_recall_eval": (q_bq_recall_eval, _bq_recall_sql()),
     "pca_power_iteration": (q_pca_power_iteration, _pca_sql()),
     "cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "hard_negative_mining": (q_hard_negative_mining, _hnm_sql()),

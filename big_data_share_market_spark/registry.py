@@ -47,15 +47,16 @@ _FIRST_50 = (
     "sma_crossover_backtest", "kalman_level", "lang_confusion",
     "l_diversity_audit", "incremental_agg_merge",
     "stream_kalman_per_key", "priority_sample",
+    "dedup_survivorship", "stoch_rsi", "dpo", "chaikin_oscillator",
+    "bq_recall_eval", "part_bfs_hops",
     # --- (c) r5 bench-drift cluster + restructured forecast family ---
     "embedding_neardup", "cosine_topk", "quality_score", "bpe_encode",
     "dashboard_snapshot", "holt_forecast", "forecast_backtest",
     "forecast_anomalies",
     # --- rotation: oldest driver contact (r1/r2) first ---
     "last_per_key", "top_orders", "dedup_upsert", "exact_dedup",
-    "signal_case", "heikin_ashi", "renko", "raindrop",
-    "ema", "sma", "rsi", "tsi", "macd", "adx",
-    "minhash_lsh_dedup", "simhash_pairs", "pricing_summary",
+    "signal_case", "ema", "sma", "rsi", "adx",
+    "minhash_lsh_dedup", "pricing_summary",
 )
 
 

@@ -31,6 +31,10 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # broadcast 1-row query (code words + embedding) onto the
             # packed-code scan, then the 32-row exact re-rank
             "bq_topk",
+            # composes bq_topk + cosine_topk, so it inherits both
+            # single-row broadcast query crossJoins plus its own
+            # 10-row x 1-row stats joins
+            "bq_recall_eval",
             # broadcast 1-row BM25 stats + 1-row query vector
             "rrf_hybrid_topk",
             # 1-row x 1-row crossJoin of the two variant scalars
