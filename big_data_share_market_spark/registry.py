@@ -48,14 +48,14 @@ _FIRST_50 = (
     "l_diversity_audit", "incremental_agg_merge",
     "stream_kalman_per_key", "priority_sample",
     "dedup_survivorship", "stoch_rsi", "dpo", "chaikin_oscillator",
-    "bq_recall_eval", "part_bfs_hops",
+    "bq_recall_eval", "part_bfs_hops", "stream_mv_merge",
     # --- (c) r5 bench-drift cluster + restructured forecast family ---
     "embedding_neardup", "cosine_topk", "quality_score", "bpe_encode",
     "dashboard_snapshot", "holt_forecast", "forecast_backtest",
     "forecast_anomalies",
     # --- rotation: oldest driver contact (r1/r2) first ---
     "last_per_key", "top_orders", "dedup_upsert", "exact_dedup",
-    "signal_case", "ema", "sma", "rsi", "adx",
+    "signal_case", "sma", "rsi", "adx",
     "minhash_lsh_dedup", "pricing_summary",
 )
 

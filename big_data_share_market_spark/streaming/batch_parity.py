@@ -656,6 +656,136 @@ ORDER BY q_id, cosine DESC, vec_id
 """
 
 
+#: Scratch-dir ring for q_stream_mv_merge generations.
+_MV_RUNS: dict[str, list[str]] = {}
+
+#: Partial-state sum width: Spark's SUM over DECIMAL(25,6) yields
+#: DECIMAL(35,6); the state keeps that width so merge adds stay exact.
+_MV_DEC = "decimal(35,6)"
+
+
+def _orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`orders` replayed as a file stream (symlinked staging dir, the
+    `_docs_stream` pattern) — the arriving order changelog."""
+    import os
+    src_dir = "/tmp/bdsm_stream_orders" + sf_dir.replace("/", "_")
+    link = f"{src_dir}/orders-0.parquet"
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/orders.parquet", link)
+    return (spark.readStream
+            .schema("o_orderkey long, o_custkey long, "
+                    "o_orderstatus string, o_totalprice double, "
+                    "o_orderdate timestamp, o_orderpriority string")
+            .format("parquet").load(src_dir))
+
+
+def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance as a LIVE pipeline —
+    the streaming twin of operators/warehouse.q_incremental_agg_merge:
+    the per-customer order summary MV is seeded from the BASE
+    partition (o_orderkey % 10 < 8), then each arriving DELTA
+    micro-batch is collapsed to mergeable partial states (count /
+    decimal sum / min / max) and merged into the MV by one
+    customer-keyed full-outer join inside foreachBatch, writing a new
+    MV GENERATION per batch (read-current → merge → write-next, the
+    copy-on-write refresh every table format implements). Correctness
+    under restart comes from the checkpoint's exactly-once batch
+    tracking — aggregate merges are deliberately NOT replay-idempotent
+    (unlike the upsert sink), which is precisely why real IVM systems
+    anchor on checkpointed batch ids; availableNow + a fresh
+    checkpoint gives each batch exactly once here.
+
+    The final MV must equal the one-pass aggregate over base ∪ delta —
+    the oracle is exactly that single global GROUP BY (shared with the
+    batch twin). Sum state is held DECIMAL(35,6) end-to-end so every
+    merge ADD is exact integer arithmetic."""
+    import atexit
+    import shutil
+    import uuid
+
+    root = ("/tmp/bdsm_mv" + sf_dir.replace("/", "_").replace(".", "_")
+            + "_" + uuid.uuid4().hex[:8])
+    with _UPSERT_LOCK:
+        ring = _MV_RUNS.setdefault(sf_dir, [])
+        ring.append(root)
+        for old in ring[:-_UPSERT_RING]:
+            shutil.rmtree(old, ignore_errors=True)
+        del ring[:-_UPSERT_RING]
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    from ..tables import load_table
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast(_MV_DEC).alias("s"),
+            F.min("o_orderdate").alias("min_d"),
+            F.max("o_orderdate").alias("max_d"))
+
+    gen = [0]
+    partial(load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 < 8)) \
+        .write.parquet(f"{root}/gen0")
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        cur = spark.read.parquet(f"{root}/gen{gen[0]}")
+        b = (partial(batch_df)
+             .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
+             .withColumnRenamed("min_d", "dmin")
+             .withColumnRenamed("max_d", "dmax"))
+        zero_n = F.lit(0).cast("long")
+        zero_s = F.lit(0).cast(_MV_DEC)
+        merged = (cur.join(b, "o_custkey", "full_outer")
+                  .select(
+                      "o_custkey",
+                      (F.coalesce("n", zero_n)
+                       + F.coalesce("dn", zero_n)).alias("n"),
+                      (F.coalesce(F.col("s"), zero_s)
+                       + F.coalesce(F.col("ds"), zero_s))
+                      .cast(_MV_DEC).alias("s"),
+                      F.least(F.coalesce("min_d", "dmin"),
+                              F.coalesce("dmin", "min_d")).alias("min_d"),
+                      F.greatest(F.coalesce("max_d", "dmax"),
+                                 F.coalesce("dmax", "max_d")).alias("max_d")))
+        merged.write.parquet(f"{root}/gen{gen[0] + 1}")
+        gen[0] += 1
+
+    delta = _orders_stream(spark, sf_dir).filter(
+        F.col("o_orderkey") % 10 >= 8)
+    q = (delta.writeStream
+         .foreachBatch(merge)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{root}/gen{gen[0]}")
+            .select("o_custkey",
+                    F.col("n").alias("n_orders"),
+                    F.col("s").cast("double").alias("total_spend"),
+                    F.col("min_d").alias("first_order"),
+                    F.col("max_d").alias("last_order"))
+            .orderBy("o_custkey"))
+
+
+#: Oracle for q_stream_mv_merge: the single-pass aggregate the merged
+#: generations must equal (identical to the batch twin's oracle).
+_STREAM_MV_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         AS total_spend,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 def q_stream_kalman_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kalman local-level filter as a LIVE operator: per-key
     coupled (level, variance) state in the checkpoint, updated once
@@ -883,4 +1013,5 @@ QUERIES = {
     "stream_bq_topk": (q_stream_bq_topk, _stream_bq_sql()),
     "stream_kalman_per_key": (q_stream_kalman_per_key,
                               _stream_kalman_sql()),
+    "stream_mv_merge": (q_stream_mv_merge, _STREAM_MV_SQL),
 }

@@ -884,3 +884,92 @@ def test_incremental_merge_equals_direct(spark):
              F.max("o_orderdate").alias("last_order"))
         .orderBy("o_custkey")).collect()))
     assert got == direct and len(got) > 0
+
+
+def test_cc_alternating_matches_union_find_random(spark):
+    """Randomized reference check: on deterministic pseudo-random
+    graphs (mixed chains, cliques, stars, isolated pairs), the star
+    contraction must produce exactly the union-find labeling (min
+    node per component) — an anchor fully independent of both the
+    oracle SQL and the propagation sibling."""
+    import random
+
+    from big_data_share_market_spark.operators.dedup import (
+        cc_alternating_edges)
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 80
+        edges = []
+        # chain segment, a clique, a star, random extra edges
+        edges += [(i, i + 1) for i in range(0, 20)]
+        clique = list(range(30, 36))
+        edges += [(a, b) for i, a in enumerate(clique)
+                  for b in clique[i + 1:]]
+        edges += [(50, j) for j in range(51, 58)]
+        edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(10)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {x: find(x) for x in sorted(touched)}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        labels, _ = cc_alternating_edges(df)
+        got = {r.node: r.lbl for r in labels.collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_kcore_matches_python_peeling(spark):
+    """The engine's k-core output must equal a plain-Python peel of
+    the same repeat graph built straight from the parquet in DuckDB —
+    layers and core degrees both (independent of the unrolled SQL
+    oracle's structure)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from big_data_share_market_spark.operators.graph import (
+        _KCORE_K, _KCORE_M, _KCORE_ROUNDS)
+
+    rows = duckdb.connect().execute(f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+            FROM '{SF_DIR}/lineitem.parquet'),
+e AS (SELECT a.l_partkey s, b.l_partkey d FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_M})
+SELECT s, d FROM e""").fetchall()
+    adj = defaultdict(set)
+    for s, d in rows:
+        adj[s].add(d)
+    active = set(adj)
+    want_layer = {}
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = {u: sum(1 for v in adj[u] if v in active) for u in active}
+        dead = {u for u in active if deg[u] < _KCORE_K}
+        for u in dead:
+            want_layer[u] = i
+        if not dead:
+            break
+        active -= dead
+    want_core_deg = {u: sum(1 for v in adj[u] if v in active)
+                     for u in active}
+
+    got = all_queries()["part_kcore"][0](spark, SF_DIR).collect()
+    assert {r.node for r in got} == set(adj)
+    for r in got:
+        if r.peel_round is None:
+            assert r.node in active and r.core_degree == want_core_deg[r.node]
+        else:
+            assert want_layer.get(r.node) == r.peel_round
