@@ -40,6 +40,9 @@ def _cache_registries() -> list[tuple[str, dict]]:
         ("text.tokens", text._TOK_CACHE),
         ("text.tfidf_index", text._TFIDF_VEC_CACHE),
         ("graph.adjacency", graph._EDGE_CACHE),
+        ("graph.oriented", graph._TRI_CACHE),
+        ("graph.repeat_edges", graph._KCORE_CACHE),
+        ("dedup.cc_labels", dedup._CC_CACHE),
         ("bpe.merges", bpe._MERGE_CACHE),
         ("similarity.pq_codebook", similarity._PQ_CODEBOOK_CACHE),
     ]

@@ -184,20 +184,11 @@ def q_stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocations on one sf_dir are unsupported (the harness runs
     # queries sequentially). The lock only makes the ring bookkeeping
     # itself thread-safe.
-    import atexit
-    import shutil
     import uuid
     target_root = ("/tmp/bdsm_upsert_target"
                    + sf_dir.replace("/", "_").replace(".", "_")
                    + "_" + uuid.uuid4().hex[:8])
-    with _UPSERT_LOCK:
-        ring = _UPSERT_RUNS.setdefault(sf_dir, [])
-        ring.append(target_root)
-        doomed = ring[:-_UPSERT_RING]
-        del ring[:-_UPSERT_RING]
-    for old in doomed:
-        shutil.rmtree(old, ignore_errors=True)
-    atexit.register(shutil.rmtree, target_root, ignore_errors=True)
+    _scratch_ring(_UPSERT_RUNS, sf_dir, target_root)
     target = f"{target_root}/target"
     for replay in range(2):
         upsert_stream(events_stream(spark, sf_dir), spark, target,
@@ -362,22 +353,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
-def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`documents` replayed as a file stream (symlink staging dir so
-    the fixture is never copied; shared by every stream_* query over
-    the corpus)."""
+def _table_stream(spark: SparkSession, sf_dir: str, table: str,
+                  ddl: str) -> DataFrame:
+    """A fixture table replayed as a file stream via a symlinked
+    staging dir (the fixture is never copied; dangling symlinks from
+    regenerated fixtures are repaired). ONE implementation for every
+    stream_* source — documents, embeddings, orders — so the
+    stale-link logic cannot drift between copies."""
     import os
-    src_dir = "/tmp/bdsm_stream_docs" + sf_dir.replace("/", "_")
-    link = f"{src_dir}/documents-0.parquet"
+    src_dir = f"/tmp/bdsm_stream_{table}" + sf_dir.replace("/", "_")
+    link = f"{src_dir}/{table}-0.parquet"
     os.makedirs(src_dir, exist_ok=True)
     if os.path.islink(link) and not os.path.exists(link):
         os.remove(link)
     if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
-    return (spark.readStream
-            .schema("doc_id long, text string, lang string, "
-                    "source string, n_chars long")
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
+    return (spark.readStream.schema(ddl)
             .format("parquet").load(src_dir))
+
+
+def _scratch_ring(runs: dict[str, list[str]], sf_dir: str,
+                  path: str) -> None:
+    """Register a per-invocation scratch dir in a bounded ring:
+    the last _UPSERT_RING generations stay readable (lazy results),
+    older ones are deleted eagerly, atexit sweeps survivors. Shared
+    by the upsert / BQ-serving / MV-merge sinks."""
+    import atexit
+    import shutil
+    with _UPSERT_LOCK:
+        ring = runs.setdefault(sf_dir, [])
+        ring.append(path)
+        for old in ring[:-_UPSERT_RING]:
+            shutil.rmtree(old, ignore_errors=True)
+        del ring[:-_UPSERT_RING]
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` replayed as a file stream — arriving crawl docs."""
+    return _table_stream(spark, sf_dir, "documents",
+                         "doc_id long, text string, lang string, "
+                         "source string, n_chars long")
 
 
 def q_stream_corpus_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,19 +540,9 @@ _BQ_RUNS: dict[str, list[str]] = {}
 
 
 def _emb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`embeddings` replayed as a file stream (symlinked staging dir,
-    the `_docs_stream` pattern) — arriving retrieval queries."""
-    import os
-    src_dir = "/tmp/bdsm_stream_emb" + sf_dir.replace("/", "_")
-    link = f"{src_dir}/embeddings-0.parquet"
-    os.makedirs(src_dir, exist_ok=True)
-    if os.path.islink(link) and not os.path.exists(link):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/embeddings.parquet", link)
-    return (spark.readStream
-            .schema("vec_id long, embedding array<float>, label int")
-            .format("parquet").load(src_dir))
+    """`embeddings` replayed as a file stream — arriving queries."""
+    return _table_stream(spark, sf_dir, "embeddings",
+                         "vec_id long, embedding array<float>, label int")
 
 
 def q_stream_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,8 +568,6 @@ def q_stream_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch splits (per-query results are batch-size-invariant
     because scoring touches only the static index). Oracle = the
     batch per-query window formulation."""
-    import atexit
-    import shutil
     import uuid
     from pyspark.sql import Window
     from ..operators.similarity import (_BQ_POOL, _bq_codes, _with_cosine)
@@ -576,13 +580,7 @@ def q_stream_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = ("/tmp/bdsm_bq_serve"
                + sf_dir.replace("/", "_").replace(".", "_")
                + "_" + uuid.uuid4().hex[:8])
-    with _UPSERT_LOCK:
-        ring = _BQ_RUNS.setdefault(sf_dir, [])
-        ring.append(out_dir)
-        for old in ring[:-_UPSERT_RING]:
-            shutil.rmtree(old, ignore_errors=True)
-        del ring[:-_UPSERT_RING]
-        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    _scratch_ring(_BQ_RUNS, sf_dir, out_dir)
 
     ham = (F.bit_count(F.col("code_lo").bitwiseXOR(F.col("q_lo")))
            + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("q_hi"))))
@@ -665,21 +663,11 @@ _MV_DEC = "decimal(35,6)"
 
 
 def _orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`orders` replayed as a file stream (symlinked staging dir, the
-    `_docs_stream` pattern) — the arriving order changelog."""
-    import os
-    src_dir = "/tmp/bdsm_stream_orders" + sf_dir.replace("/", "_")
-    link = f"{src_dir}/orders-0.parquet"
-    os.makedirs(src_dir, exist_ok=True)
-    if os.path.islink(link) and not os.path.exists(link):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/orders.parquet", link)
-    return (spark.readStream
-            .schema("o_orderkey long, o_custkey long, "
-                    "o_orderstatus string, o_totalprice double, "
-                    "o_orderdate timestamp, o_orderpriority string")
-            .format("parquet").load(src_dir))
+    """`orders` replayed as a file stream — the order changelog."""
+    return _table_stream(spark, sf_dir, "orders",
+                         "o_orderkey long, o_custkey long, "
+                         "o_orderstatus string, o_totalprice double, "
+                         "o_orderdate timestamp, o_orderpriority string")
 
 
 def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,19 +690,11 @@ def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is exactly that single global GROUP BY (shared with the
     batch twin). Sum state is held DECIMAL(35,6) end-to-end so every
     merge ADD is exact integer arithmetic."""
-    import atexit
-    import shutil
     import uuid
 
     root = ("/tmp/bdsm_mv" + sf_dir.replace("/", "_").replace(".", "_")
             + "_" + uuid.uuid4().hex[:8])
-    with _UPSERT_LOCK:
-        ring = _MV_RUNS.setdefault(sf_dir, [])
-        ring.append(root)
-        for old in ring[:-_UPSERT_RING]:
-            shutil.rmtree(old, ignore_errors=True)
-        del ring[:-_UPSERT_RING]
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _scratch_ring(_MV_RUNS, sf_dir, root)
 
     from ..tables import load_table
 
@@ -794,10 +774,15 @@ def q_stream_kalman_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     same per-key recursive CTE over the batch table; the only
     normalization is NaN→NULL on the first-observation gain (the
     kernel's "no gain yet" marker vs the CTE's NULL seed)."""
+    from ..operators.ewm import _KAL_Q, _KAL_R
     from .state import kalman_per_key
 
     sdf = events_stream(spark, sf_dir)
-    out = kalman_per_key(sdf).withColumn(
+    # Pass the shared constants explicitly: the oracle below imports
+    # _KAL_Q/_KAL_R, so the kernel must be driven by the SAME source
+    # of truth (a tuned constant updating only one side would be a
+    # silent stream/batch divergence).
+    out = kalman_per_key(sdf, q_noise=_KAL_Q, r_noise=_KAL_R).withColumn(
         "kal_gain",
         F.when(~F.isnan("kal_gain"), F.col("kal_gain")))
     return run_available_now(out, spark, output_mode="append")
