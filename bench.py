@@ -124,6 +124,9 @@ HEADLINE = [
     "stoch_rsi",            # indicator-of-indicator window composition
     "chaikin_oscillator",   # cumulative ADL + two-alpha ewm kernel
     "part_bfs_hops",        # bounded-round frontier-expansion BFS
+    "ulcer_index",          # RMS percentage drawdown (Martin)
+    "mass_index",           # chained-EMA range expansion + 25-sum
+    "coppock_curve",        # lag-chain weighted momentum
 ]
 
 

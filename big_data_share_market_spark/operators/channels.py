@@ -1291,9 +1291,192 @@ FROM adlc
 """
 
 
+# ---------------------------------------------------------------------------
+# Ulcer index (root-mean-square drawdown)
+# ---------------------------------------------------------------------------
+
+def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer Index(14) — Peter Martin's root-mean-square percentage
+    drawdown (public): pd_t = 100·(close − max₁₄close)/max₁₄close
+    (≤ 0 by construction), UI = √(mean₁₄ pd²). The downside-risk
+    denominator of the Martin ratio; pairs with max_drawdown (worst
+    spell) and drawdown_duration (time under water) by measuring the
+    DEPTH-weighted average instead. Windows-only on the bar layout;
+    NULL until 14 bars. Exactness: pd is an identical double
+    expression, the mean of squares goes through DECIMAL(25,6), and
+    sqrt is IEEE-exact — bit-equal on both engines."""
+    bars = ohlc_bars(spark, sf_dir)
+    f14 = bar_window().rowsBetween(-13, 0)
+    mx = F.max("close").over(f14)
+    pd_ = F.lit(100.0) * (F.col("close") - mx) / mx
+    bars = bars.withColumn("pd", pd_)
+    ui = F.when(
+        F.count("close").over(f14) == 14,
+        F.sqrt(F.sum((F.col("pd") * F.col("pd")).cast(DEC)).over(f14)
+               .cast("double") / F.lit(14.0)))
+    return (bars.withColumn("ulcer_14", ui)
+            .select("user_id", "bar_ts", "close", "pd", "ulcer_14"))
+
+
+_ULCER_SQL = f"""
+WITH {BARS_CTE},
+p AS (
+  SELECT user_id, bar_ts, close,
+         100.0 * (close - MAX(close) OVER w14) / (MAX(close) OVER w14)
+           AS pd
+  FROM bars
+  WINDOW w14 AS (PARTITION BY user_id ORDER BY bar_ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, bar_ts, close, pd,
+       CASE WHEN COUNT(close) OVER w14 = 14 THEN
+         sqrt(CAST(SUM(CAST(pd * pd AS DECIMAL(25,6))) OVER w14
+                   AS DOUBLE) / 14.0)
+       END AS ulcer_14
+FROM p
+WINDOW w14 AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mass index (range-expansion reversal signal)
+# ---------------------------------------------------------------------------
+
+def q_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass Index(9, 25) — Dorsey's range-expansion signal (public):
+    ratio = EMA₉(high−low) / EMA₉(EMA₉(high−low)), MI = Σ₂₅ ratio.
+    Both chained EMA recurrences ride ONE kernel pass (the TRIX
+    discipline — chained accumulators in a single sequential loop);
+    the 25-term sum is a decimal-exact window AFTER the kernel, which
+    costs the one extra exchange mapInPandas forces (output
+    partitioning is erased — the dashboard_snapshot lesson applies,
+    but the sum needs the ratio column that only exists post-kernel).
+    NULL until 25 ratios exist. Oracle: two nested NULL-skipping
+    ewm folds + the same gated decimal window sum."""
+    bars = ohlc_bars(spark, sf_dir)
+    rng = (F.col("high") - F.col("low")).alias("rng")
+    staged = (bars.select("user_id", "bar_ts", "close", rng)
+              .repartition("user_id")
+              .sortWithinPartitions("user_id", "bar_ts"))
+    schema = ("user_id bigint, bar_ts timestamp, close double, "
+              "rng double, ratio double")
+    alpha = 2.0 / (9.0 + 1.0)
+
+    def kernel(batches):
+        import math
+
+        key = None
+        a1 = a2 = math.nan
+        started = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            rngs = pdf["rng"].to_numpy(dtype="float64")
+            out = []
+            for r in range(len(pdf)):
+                if keys[r] != key:
+                    key, started = keys[r], False
+                x = rngs[r]
+                if not started:
+                    a1, a2, started = x, x, True
+                else:
+                    a1 = a1 + alpha * (x - a1)
+                    a2 = a2 + alpha * (a1 - a2)
+                out.append(a1 / a2 if a2 != 0.0 else math.nan)
+            yield pdf.assign(ratio=out)
+
+    fitted = staged.mapInPandas(kernel, schema=schema)
+    f25 = bar_window().rowsBetween(-24, 0)
+    mi = F.when(
+        F.count("ratio").over(f25) == 25,
+        F.sum(F.col("ratio").cast(DEC)).over(f25).cast("double"))
+    return (fitted
+            .withColumn("ratio",
+                        F.nanvl("ratio", F.lit(None).cast("double")))
+            .withColumn("mass_index", mi)
+            .select("user_id", "bar_ts", "close", "ratio", "mass_index"))
+
+
+_MASS_INDEX_SQL = f"""
+WITH {BARS_CTE},
+r0 AS (SELECT user_id, bar_ts, close, high - low AS rng FROM bars),
+e1 AS (
+  SELECT user_id, bar_ts, close, rng,
+         {_ewm_sql('rng', '2.0/(9.0+1.0)', _ORACLE_BAR_WINDOW)} AS ema1
+  FROM r0),
+e2 AS (
+  SELECT user_id, bar_ts, close,
+         ema1 / nullif({_ewm_sql('ema1', '2.0/(9.0+1.0)',
+                                 _ORACLE_BAR_WINDOW)}, 0.0) AS ratio
+  FROM e1)
+SELECT user_id, bar_ts, close, ratio,
+       CASE WHEN COUNT(ratio) OVER w25 = 25 THEN
+         CAST(SUM(CAST(ratio AS DECIMAL(25,6))) OVER w25 AS DOUBLE)
+       END AS mass_index
+FROM e2
+WINDOW w25 AS (PARTITION BY user_id ORDER BY bar_ts
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Coppock curve (weighted-momentum turn indicator)
+# ---------------------------------------------------------------------------
+
+def q_coppock_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve (Coppock 1962, public; classical monthly spans
+    mapped onto the bar grid): WMA₁₀ of (ROC₁₄ + ROC₁₁), weights
+    10..1. The WMA is an EXPLICIT left-fold lag chain — the ten
+    momentum doubles are bit-identical on both engines and the fixed
+    association order (((10·x₀ + 9·x₁) + …) keeps the float sum
+    deterministic where a windowed SUM would expose engine rounding
+    (the stochastic %D lesson). NULL until every term exists —
+    lag-chain NULL propagation gives min_periods semantics free."""
+    bars = ohlc_bars(spark, sf_dir)
+    w = bar_window()
+
+    def roc(n: int):
+        prev = F.lag("close", n).over(w)
+        return F.lit(100.0) * (F.col("close") - prev) / prev
+
+    bars = bars.withColumn("mom", roc(14) + roc(11))
+    terms = [F.lag("mom", i).over(w) * F.lit(float(10 - i))
+             for i in range(10)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return (bars.withColumn("coppock", acc / F.lit(55.0))
+            .select("user_id", "bar_ts", "close", "mom", "coppock"))
+
+
+def _coppock_sql() -> str:
+    terms = " + ".join(
+        f"lag(mom, {i}) OVER w * {float(10 - i)}" for i in range(10))
+    # Left-fold association: SQL + is left-associative, so the text
+    # "a + b + c" is (((a) + b) + c) — identical to the Spark chain.
+    return f"""
+WITH {BARS_CTE},
+m AS (
+  SELECT user_id, bar_ts, close,
+         100.0 * (close - lag(close, 14) OVER w) / lag(close, 14) OVER w
+         + 100.0 * (close - lag(close, 11) OVER w) / lag(close, 11) OVER w
+           AS mom
+  FROM bars
+  WINDOW w AS {_BAR_OVER})
+SELECT user_id, bar_ts, close, mom,
+       ({terms}) / 55.0 AS coppock
+FROM m
+WINDOW w AS {_BAR_OVER}
+"""
+
+
 QUERIES = {
     "atr_wilder": (q_atr_wilder, _ATR_SQL),
     "chaikin_oscillator": (q_chaikin_oscillator, _CHAIKIN_OSC_SQL),
+    "ulcer_index": (q_ulcer_index, _ULCER_SQL),
+    "mass_index": (q_mass_index, _MASS_INDEX_SQL),
+    "coppock_curve": (q_coppock_curve, _coppock_sql()),
     "kama": (q_kama, _KAMA_SQL),
     "trix": (q_trix, _TRIX_SQL),
     "vortex": (q_vortex, _VORTEX_SQL),

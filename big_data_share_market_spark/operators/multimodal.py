@@ -62,9 +62,12 @@ def decode_image(payload: bytes) -> "object":
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .png import decode_png
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+        return decode_gif(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP, baseline JPEG and non-interlaced PNG are "
+            "only BMP, baseline JPEG, non-interlaced PNG and GIF are "
             "decodable without codec libraries (WebP needs "
             "PIL/opencv, not in this container)")
     # Malformed-BMP guards: the documented contract is that any

@@ -34,6 +34,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:       fresh green row re-anchors them.
 #: Remaining slots rotate long-unverified r1/r2 queries (oldest
 #: driver contact first) so no green row goes stale.
+#:
+#: ROUND-7 ROTATION NOTE: if this round's driver window runs as laid
+#: out, EVERY oracle-backed registry query will have at least one
+#: green driver CORRECTNESS row (the r6 additions are all in-window;
+#: rounds 1-6 cover the rest). Round 7 should (a) front-load any r7
+#: additions, (b) re-verify whatever r7 perf work touches, then
+#: (c) rotate the queries with the OLDEST driver contact (r1: the
+#: relational/TPC-H family — heikin_ashi, renko, raindrop, tsi, macd,
+#: ema, exact_dedup siblings went green in r1/r2 and have not been
+#: re-driven since).
 _FIRST_50 = (
     # --- (a) never driver-verified: r5 additions ---
     "roc", "ultimate_oscillator", "ngram_novelty",
@@ -49,14 +59,14 @@ _FIRST_50 = (
     "stream_kalman_per_key", "priority_sample",
     "dedup_survivorship", "stoch_rsi", "dpo", "chaikin_oscillator",
     "bq_recall_eval", "part_bfs_hops", "stream_mv_merge",
+    "ulcer_index", "mass_index", "coppock_curve",
     # --- (c) r5 bench-drift cluster + restructured forecast family ---
     "embedding_neardup", "cosine_topk", "quality_score", "bpe_encode",
     "dashboard_snapshot", "holt_forecast", "forecast_backtest",
     "forecast_anomalies",
     # --- rotation: oldest driver contact (r1/r2) first ---
-    "last_per_key", "top_orders", "dedup_upsert", "exact_dedup",
+    "last_per_key", "top_orders", "exact_dedup",
     "signal_case", "sma", "rsi", "adx",
-    "minhash_lsh_dedup", "pricing_summary",
 )
 
 

@@ -973,3 +973,41 @@ SELECT s, d FROM e""").fetchall()
             assert r.node in active and r.core_degree == want_core_deg[r.node]
         else:
             assert want_layer.get(r.node) == r.peel_round
+
+
+def test_ulcer_and_mass_index_bounds(spark):
+    """Ulcer: pd <= 0 by construction (close <= rolling max) and
+    UI >= 0. Mass index: bar ranges are >= 0, so both chained EMAs
+    and every ratio are >= 0 and a complete 25-window sums strictly
+    positive (the synthetic fixture's erratic ranges spread the
+    ratio 0.09..5, so only the SIGN is structural)."""
+    q = all_queries()
+    for r in q["ulcer_index"][0](spark, SF_DIR).collect():
+        assert r.pd <= 1e-9
+        if r.ulcer_14 is not None:
+            assert r.ulcer_14 >= 0.0
+    rows = q["mass_index"][0](spark, SF_DIR).collect()
+    mis = [r.mass_index for r in rows if r.mass_index is not None]
+    assert mis
+    for r in rows:
+        if r.ratio is not None:
+            assert r.ratio >= 0.0
+    for v in mis:
+        assert v > 0.0
+
+
+def test_coppock_warmup_nulls(spark):
+    """The Coppock lag chain needs ROC(14) plus 9 more bars: the
+    first 23 bars of every key must be NULL and a value must exist
+    once the window is full (keys with enough bars)."""
+    from collections import defaultdict
+    rows = all_queries()["coppock_curve"][0](spark, SF_DIR).collect()
+    per = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.bar_ts)):
+        per[r.user_id].append(r.coppock)
+    assert per
+    for uid, vals in per.items():
+        for v in vals[:23]:
+            assert v is None, uid
+        if len(vals) > 23:
+            assert any(v is not None for v in vals[23:]), uid

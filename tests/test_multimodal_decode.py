@@ -463,3 +463,53 @@ def test_png_through_map_in_pandas(spark):
            for r in df.mapInPandas(run, "doc_id INT, px_sum LONG").collect()}
     assert out == {i: int(px.astype(np.int64).sum())
                    for i, px in enumerate(imgs)}
+
+
+def test_gif_roundtrip_and_interlace():
+    """GIF round-trips exactly in both row orders: the interlaced
+    encode permutes rows into pass order, so a correct decode proves
+    the 4-pass de-interlace mapping, and the 256-color case walks the
+    LZW width ladder (codes 9..12 bits)."""
+    from big_data_share_market_spark.operators.gif import (
+        decode_gif, encode_gif)
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 7, (21, 13))]
+    for interlace in (False, True):
+        assert (decode_gif(encode_gif(img, interlace=interlace))
+                == img).all()
+    gray = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img256 = np.stack([gray] * 3, axis=-1)
+    assert (decode_gif(encode_gif(img256)) == img256).all()
+
+
+def test_gif_known_external_artifact():
+    """Decode a REAL GIF not produced by this module — the ubiquitous
+    1x1 black transparent GIF (base64 constant found in countless web
+    pages and tracking pixels) — so decoder correctness is anchored
+    outside the encoder/decoder pair."""
+    import base64
+
+    from big_data_share_market_spark.operators.gif import decode_gif
+    one = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    px = decode_gif(one)
+    assert px.shape == (1, 1, 3)
+    assert px.reshape(-1).tolist() == [0, 0, 0]
+
+
+def test_gif_dispatch_and_malformed():
+    """decode_image routes GIF signatures to the GIF decoder, and
+    malformed GIF payloads raise the module's single documented
+    exception type (NotImplementedError), never struct/index errors."""
+    import pytest
+
+    from big_data_share_market_spark.operators.gif import encode_gif
+    rng = np.random.default_rng(32)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 4, (5, 9))]
+    assert (decode_image(encode_gif(img)) == img).all()
+    for bad in (b"GIF8", b"GIF89a" + b"\x00" * 7,
+                encode_gif(img)[:20]):
+        with pytest.raises(NotImplementedError):
+            decode_image(bad)
