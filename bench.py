@@ -127,6 +127,8 @@ HEADLINE = [
     "ulcer_index",          # RMS percentage drawdown (Martin)
     "mass_index",           # chained-EMA range expansion + 25-sum
     "coppock_curve",        # lag-chain weighted momentum
+    "tokenizer_fertility",  # per-lang BPE pieces-per-word QA
+    "dedup_cluster_stats",  # component-size histogram over CC labels
 ]
 
 

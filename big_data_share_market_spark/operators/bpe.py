@@ -125,7 +125,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5("sstr").alias("pieces_fp")))
 
 
-def _bpe_sql() -> str:
+def _bpe_sql(final: str | None = None) -> str:
     parts = [r"""words AS MATERIALIZED (
   SELECT w, COUNT(*) AS cnt FROM (
     SELECT regexp_replace(u, '[^a-z0-9]', '', 'g') AS w
@@ -161,6 +161,13 @@ v{k} AS MATERIALIZED (
         chain = f"replace({chain}, b{k}.pat, b{k}.rep)"
     bs = ", ".join(f"b{k}" for k in range(1, _BPE_ITERS + 1))
     body = ",\n".join(parts)
+    if final is None:
+        final = """
+SELECT doc_id, n_words,
+       CAST(length(sstr) - length(replace(sstr, '|', '')) AS BIGINT)
+         AS n_pieces,
+       md5(sstr) AS pieces_fp
+FROM encd"""
     return f"""
 WITH {body},
 docw AS MATERIALIZED (
@@ -174,14 +181,53 @@ encd AS MATERIALIZED (
   SELECT doc_id, len(ws) AS n_words,
          array_to_string(list_transform(ws, x -> {chain}), '') AS sstr
   FROM docw, {bs})
-SELECT doc_id, n_words,
-       CAST(length(sstr) - length(replace(sstr, '|', '')) AS BIGINT)
-         AS n_pieces,
-       md5(sstr) AS pieces_fp
-FROM encd
+{final}
 """
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — pieces per word under the
+    corpus-trained BPE merge table, the first number a multilingual
+    tokenizer review reads (a language with fertility 2x the others
+    pays 2x the context budget per word; cf. the XLM-R/BLOOM
+    tokenizer-equity analyses, public). Composes q_bpe_encode's
+    zero-shuffle per-doc counts with one lang-keyed aggregate;
+    fertility = Σpieces/Σwords as a single division of exact integer
+    sums (identical on both engines — sums are far below 2^53)."""
+    enc = q_bpe_encode(spark, sf_dir).select(
+        "doc_id", "n_words", "n_pieces")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (enc.join(docs, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_pieces").alias("n_pieces"))
+            .select("lang", "n_docs", "n_words", "n_pieces",
+                    (F.col("n_pieces").cast("double")
+                     / F.nullif(F.col("n_words").cast("double"),
+                                F.lit(0.0))).alias("fertility"))
+            .orderBy("lang"))
+
+
+_FERTILITY_FINAL = """,
+perdoc AS (
+  SELECT doc_id, n_words,
+         CAST(length(sstr) - length(replace(sstr, '|', '')) AS BIGINT)
+           AS n_pieces
+  FROM encd)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(CAST(SUM(p.n_pieces) AS BIGINT) AS DOUBLE)
+         / nullif(CAST(CAST(SUM(p.n_words) AS BIGINT) AS DOUBLE), 0.0)
+         AS fertility
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang"""
 
 
 QUERIES = {
     "bpe_encode": (q_bpe_encode, _bpe_sql()),
+    "tokenizer_fertility": (q_tokenizer_fertility,
+                            _bpe_sql(final=_FERTILITY_FINAL)),
 }

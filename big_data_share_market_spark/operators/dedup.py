@@ -1085,6 +1085,44 @@ def q_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the near-dup graph — the dedup
+    health dashboard row (a sudden mass of huge clusters means the
+    threshold or the shingler broke; a healthy corpus shows mostly
+    pairs and triples): per cluster size, how many components and how
+    many documents live in them. Two tiny aggregates over the STAGED
+    label relation (components-sized, then sizes-sized) — nothing
+    data-scale shuffles."""
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("size"))
+    return (sizes.groupBy("size")
+            .agg(F.count("*").alias("n_components"))
+            .select("size", "n_components",
+                    (F.col("size") * F.col("n_components"))
+                    .alias("n_docs"))
+            .orderBy("size"))
+
+
+_CLUSTER_STATS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM neardup_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM neardup_pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+comp AS (
+  SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT component_id, COUNT(*) AS size FROM comp GROUP BY component_id)
+SELECT size, COUNT(*) AS n_components,
+       size * COUNT(*) AS n_docs
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship (golden-record selection) over the near-dup
     clusters — the MDM/entity-resolution step AFTER transitive
@@ -1780,6 +1818,7 @@ QUERIES = {
     "dedup_components": (q_dedup_components, _COMPONENTS_SQL),
     "cc_alternating": (q_cc_alternating, _COMPONENTS_SQL),
     "dedup_survivorship": (q_dedup_survivorship, _SURVIVORSHIP_SQL),
+    "dedup_cluster_stats": (q_dedup_cluster_stats, _CLUSTER_STATS_SQL),
     "clean_corpus": (q_clean_corpus, _CLEAN_CORPUS_SQL),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, _NGRAM_CAPPED_SQL),
