@@ -513,3 +513,29 @@ def test_gif_dispatch_and_malformed():
                 encode_gif(img)[:20]):
         with pytest.raises(NotImplementedError):
             decode_image(bad)
+
+
+def test_gif_roundtrip_property():
+    """Property-based round-trip: arbitrary palette sizes (1..256
+    colors — 1 color exercises the min 2-bit LZW code size), odd
+    dimensions (interlace pass boundaries), and both row orders must
+    reproduce pixels exactly. Catches width-ladder and pass-mapping
+    bugs the fixed-seed tests might shelter."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_share_market_spark.operators.gif import (
+        decode_gif, encode_gif)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 31), st.integers(1, 31), st.integers(1, 256),
+           st.integers(0, 2**31 - 1), st.booleans())
+    def run(h, w, ncolors, seed, interlace):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncolors, (h, w))]
+        dec = decode_gif(encode_gif(img, interlace=interlace))
+        assert dec.shape == img.shape
+        assert (dec == img).all()
+
+    run()
