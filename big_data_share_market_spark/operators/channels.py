@@ -860,6 +860,80 @@ FROM c b LEFT JOIN r ON r.user_id = b.user_id AND r.rn = b.rn
 
 
 # ---------------------------------------------------------------------------
+# Shared chained-EMA partition-wide kernel (TRIX / mass index / any
+# future EMA-of-EMA indicator)
+# ---------------------------------------------------------------------------
+
+def _chained_ema_kernel(staged: DataFrame, value_col: str, alpha: float,
+                        depth: int, out_names: list[str],
+                        row_fn) -> DataFrame:
+    """ONE sequential mapInPandas pass carrying `depth` stacked EMA
+    accumulators per key (seed-on-first-value, reset on key change,
+    state carried across Arrow batches): level i smooths level i-1,
+    level 0 smooths `value_col`. Per row, ``row_fn(acc, prev)`` maps
+    the current and previous accumulator stacks to the output tuple
+    (NaN for "undefined"; callers nanvl to NULL). Extracted from the
+    TRIX kernel so every chained-EMA indicator shares the one
+    reviewed implementation of the key-reset/seeding/carry
+    subtleties."""
+    import math
+
+    import pandas as pd
+
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in staged.schema.fields)
+    schema = in_schema + ", " + ", ".join(
+        f"{n} double" for n in out_names)
+
+    def kernel(batches):
+        key = None
+        acc = [math.nan] * depth
+        prev = [math.nan] * depth
+        started = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            outs: list[list[float]] = [[] for _ in out_names]
+            for r in range(len(pdf)):
+                if keys[r] != key:
+                    key = keys[r]
+                    acc = [math.nan] * depth
+                    prev = [math.nan] * depth
+                    started = False
+                x = vals[r]
+                if not started:
+                    acc = [x] * depth
+                    started = True
+                else:
+                    up = x
+                    for i in range(depth):
+                        acc[i] = acc[i] + alpha * (up - acc[i])
+                        up = acc[i]
+                row = row_fn(acc, prev)
+                for i, v in enumerate(row):
+                    outs[i].append(v)
+                prev = list(acc)
+            yield pdf.assign(**{n: pd.Series(outs[i], dtype="float64")
+                                for i, n in enumerate(out_names)})
+
+    return staged.mapInPandas(kernel, schema=schema)
+
+
+def _mass_row(acc, prev):
+    import math
+    return (acc[0] / acc[1] if acc[1] != 0.0 else math.nan,)
+
+
+def _trix_row(acc, prev):
+    import math
+    a3, p3 = acc[2], prev[2]
+    return (a3, 100.0 * (a3 / p3 - 1.0)
+            if not math.isnan(p3) and p3 != 0.0 else math.nan)
+
+
+# ---------------------------------------------------------------------------
 # TRIX(15): triple-EMA momentum (one kernel pass, lag emitted in-kernel)
 # ---------------------------------------------------------------------------
 
@@ -874,52 +948,9 @@ def q_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (bars.select("user_id", "bar_ts", "close")
               .repartition("user_id")
               .sortWithinPartitions("user_id", "bar_ts"))
-    schema = ("user_id bigint, bar_ts timestamp, close double, "
-              "ema3 double, trix double")
-    alpha = 2.0 / (15.0 + 1.0)
-
-    def kernel(batches):
-        import math
-
-        import pandas as pd
-
-        key = None
-        a1 = a2 = a3 = math.nan
-        started = False
-        prev3 = math.nan
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keys = pdf["user_id"].to_numpy()
-            closes = pdf["close"].to_numpy(dtype="float64")
-            out3, outx = [], []
-            for r in range(len(pdf)):
-                if keys[r] != key:
-                    key = keys[r]
-                    a1 = a2 = a3 = math.nan
-                    started, prev3 = False, math.nan
-                x = closes[r]
-                if not started:
-                    a1 = a2 = a3 = x
-                    started = True
-                else:
-                    a1 = a1 + alpha * (x - a1)
-                    a2 = a2 + alpha * (a1 - a2)
-                    a3 = a3 + alpha * (a2 - a3)
-                out3.append(a3)
-                outx.append(100.0 * (a3 / prev3 - 1.0)
-                            if not math.isnan(prev3) and prev3 != 0.0
-                            else math.nan)
-                prev3 = a3
-            yield pd.DataFrame({
-                "user_id": pdf["user_id"].astype("int64"),
-                "bar_ts": pdf["bar_ts"],
-                "close": closes,
-                "ema3": pd.Series(out3, dtype="float64"),
-                "trix": pd.Series(outx, dtype="float64"),
-            })
-
-    res = staged.mapInPandas(kernel, schema=schema)
+    res = _chained_ema_kernel(staged, "close", 2.0 / (15.0 + 1.0),
+                              depth=3, out_names=["ema3", "trix"],
+                              row_fn=_trix_row)
     return (res.withColumn("ema3", F.nanvl("ema3", F.lit(None)))
             .withColumn("trix", F.nanvl("trix", F.lit(None))))
 
@@ -1358,35 +1389,9 @@ def q_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (bars.select("user_id", "bar_ts", "close", rng)
               .repartition("user_id")
               .sortWithinPartitions("user_id", "bar_ts"))
-    schema = ("user_id bigint, bar_ts timestamp, close double, "
-              "rng double, ratio double")
-    alpha = 2.0 / (9.0 + 1.0)
-
-    def kernel(batches):
-        import math
-
-        key = None
-        a1 = a2 = math.nan
-        started = False
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keys = pdf["user_id"].to_numpy()
-            rngs = pdf["rng"].to_numpy(dtype="float64")
-            out = []
-            for r in range(len(pdf)):
-                if keys[r] != key:
-                    key, started = keys[r], False
-                x = rngs[r]
-                if not started:
-                    a1, a2, started = x, x, True
-                else:
-                    a1 = a1 + alpha * (x - a1)
-                    a2 = a2 + alpha * (a1 - a2)
-                out.append(a1 / a2 if a2 != 0.0 else math.nan)
-            yield pdf.assign(ratio=out)
-
-    fitted = staged.mapInPandas(kernel, schema=schema)
+    fitted = _chained_ema_kernel(staged, "rng", 2.0 / (9.0 + 1.0),
+                                 depth=2, out_names=["ratio"],
+                                 row_fn=_mass_row)
     f25 = bar_window().rowsBetween(-24, 0)
     mi = F.when(
         F.count("ratio").over(f25) == 25,

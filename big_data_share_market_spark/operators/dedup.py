@@ -940,8 +940,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-_COMPONENTS_SQL = f"""
-WITH RECURSIVE {_MINHASH_CTES},
+#: Shared recursive-CTE block: symmetrized near-dup edges + the
+#: min-reachable-id closure. The THREE oracles over component labels
+#: (_COMPONENTS_SQL, _CLUSTER_STATS_SQL, _SURVIVORSHIP_SQL) must stay
+#: provably identical on the component definition — one constant, no
+#: drift.
+_REACH_CTES = """
 edges AS (
   SELECT a_id AS src, b_id AS dst FROM neardup_pairs
   UNION ALL
@@ -949,7 +953,12 @@ edges AS (
 reach(node, lbl) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)"""
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+{_REACH_CTES.strip()}
 SELECT node AS doc_id, MIN(lbl) AS component_id
 FROM reach GROUP BY node ORDER BY doc_id
 """
@@ -1033,15 +1042,24 @@ def cc_alternating_edges(
         prev_stats = (n, h)
         e = new_e
     else:
-        # Falling out of the loop means the edge set was STILL
-        # changing at max_rounds — labels read off a non-star set
-        # would map nodes to intermediate parents, silently splitting
-        # components. The theory bound is O(log² n) rounds; hitting
-        # 40 on real data means something is wrong with the input,
-        # and wrong cluster labels must never be returned quietly.
-        raise RuntimeError(
-            f"cc_alternating did not converge within {max_rounds} "
-            "rounds; raise max_rounds for this graph")
+        # Loop exhausted without the checksum repeating. The set may
+        # STILL have converged exactly in the final round (detection
+        # needs one extra no-change round), so check the fixpoint
+        # PROPERTY directly: a star forest has no edge whose parent v
+        # is itself some edge's child u. Only a genuinely non-star
+        # set — whose labels would map nodes to intermediate parents,
+        # silently splitting components — raises. The theory bound is
+        # O(log² n) rounds; a true non-convergence at 40 means the
+        # input is pathological and wrong labels must never be
+        # returned quietly.
+        non_root_parents = (
+            e.join(e.select(F.col("u").alias("v")).distinct(),
+                   "v", "left_semi")
+            .limit(1).count())
+        if non_root_parents != 0:
+            raise RuntimeError(
+                f"cc_alternating did not converge within {max_rounds} "
+                "rounds; raise max_rounds for this graph")
     labels = (e.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
               .unionAll(e.select(F.col("v").alias("node"),
                                  F.col("v").alias("lbl")))
@@ -1058,6 +1076,8 @@ _CC_CACHE: dict = {}
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CC_CACHE.get(key)
     if cached is not None:
@@ -1065,7 +1085,13 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(spark, sf_dir).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     labels, _rounds = cc_alternating_edges(pairs)
-    labels = labels.localCheckpoint()
+    # persist(), not localCheckpoint(): staging.unpersist_staged()
+    # releases registry entries via DataFrame.unpersist(), which is a
+    # no-op on checkpoint blocks — persist keeps the release
+    # deterministic (the loop's internal checkpoints are method-local
+    # and fall to the ContextCleaner once this returns).
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
     _CC_CACHE[key] = labels
     return labels
 
@@ -1105,14 +1131,7 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_STATS_SQL = f"""
 WITH RECURSIVE {_MINHASH_CTES},
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM neardup_pairs
-  UNION ALL
-  SELECT b_id, a_id FROM neardup_pairs),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+{_REACH_CTES.strip()},
 comp AS (
   SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node),
 sizes AS (
@@ -1160,14 +1179,7 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SURVIVORSHIP_SQL = f"""
 WITH RECURSIVE {_MINHASH_CTES},
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM neardup_pairs
-  UNION ALL
-  SELECT b_id, a_id FROM neardup_pairs),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+{_REACH_CTES.strip()},
 comp AS (
   SELECT node AS doc_id, MIN(lbl) AS component_id
   FROM reach GROUP BY node),

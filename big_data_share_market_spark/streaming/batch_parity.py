@@ -356,18 +356,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 def _table_stream(spark: SparkSession, sf_dir: str, table: str,
                   ddl: str) -> DataFrame:
     """A fixture table replayed as a file stream via a symlinked
-    staging dir (the fixture is never copied; dangling symlinks from
-    regenerated fixtures are repaired). ONE implementation for every
-    stream_* source — documents, embeddings, orders — so the
-    stale-link logic cannot drift between copies."""
-    import os
-    src_dir = f"/tmp/bdsm_stream_{table}" + sf_dir.replace("/", "_")
-    link = f"{src_dir}/{table}-0.parquet"
-    os.makedirs(src_dir, exist_ok=True)
-    if os.path.islink(link) and not os.path.exists(link):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/{table}.parquet", link)
+    staging dir (pipeline.stage_table_symlink — the ONE stale-link
+    repair implementation, also behind events_stream)."""
+    from .pipeline import stage_table_symlink
+    src_dir = stage_table_symlink(sf_dir, table, table)
     return (spark.readStream.schema(ddl)
             .format("parquet").load(src_dir))
 

@@ -25,19 +25,26 @@ EVENTS_DDL = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
               "event_type STRING, value DOUBLE, props STRING")
 
 
-def _stage_events_dir(sf_dir: str, suffix: str = "") -> str:
+def stage_table_symlink(sf_dir: str, table: str, dir_tag: str) -> str:
     """The file stream source requires a DIRECTORY; the fixtures are
     read-only single files, so stage a symlink dir (no data copy).
     Replaces a dangling symlink left behind by fixture regeneration
-    at a different path."""
-    src_dir = f"/tmp/bdsm_stream_src{suffix}{sf_dir.replace('/', '_')}"
-    link = f"{src_dir}/events-0.parquet"
+    at a different path. THE one implementation of the stale-link
+    repair, shared by every stream_* source (events here,
+    documents/embeddings/orders via batch_parity._table_stream) —
+    a fix lands everywhere at once."""
+    src_dir = f"/tmp/bdsm_stream_{dir_tag}{sf_dir.replace('/', '_')}"
+    link = f"{src_dir}/{table}-0.parquet"
     os.makedirs(src_dir, exist_ok=True)
     if os.path.islink(link) and not os.path.exists(link):
         os.remove(link)
     if not os.path.islink(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
     return src_dir
+
+
+def _stage_events_dir(sf_dir: str, suffix: str = "") -> str:
+    return stage_table_symlink(sf_dir, "events", f"src{suffix}")
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
