@@ -437,3 +437,37 @@ def test_triangles_broadcast_adjacency_no_fat_shuffle(spark):
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_takeordered_no_sort_no_exchange(spark):
+    """Weighted top-k selection must stay a one-pass scan:
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), ZERO hash exchanges, no global Sort — the property that
+    makes it a selection, not a sort, at any corpus size."""
+    fn, _ = _QUERIES["priority_sample"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_single_pk_join(spark):
+    """MV maintenance is ONE customer-keyed full-outer join of two
+    partial-aggregate relations — a second join or a nested-loop
+    would mean the merge shape regressed."""
+    fn, _ = _QUERIES["incremental_agg_merge"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    assert "FullOuter" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_backtest_reuses_staged_bars_bounded_exchanges(spark):
+    """The whole backtest (two rolling means, two lags, per-key
+    rollup) must ride the staged bar relation with a bounded exchange
+    count — a window re-partitioning per indicator would multiply
+    shuffles with indicator count."""
+    fn, _ = _QUERIES["sma_crossover_backtest"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:1500]
+    assert "InMemoryTableScan" in plan  # staged ohlc_bars reuse
