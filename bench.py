@@ -129,6 +129,7 @@ HEADLINE = [
     "coppock_curve",        # lag-chain weighted momentum
     "tokenizer_fertility",  # per-lang BPE pieces-per-word QA
     "dedup_cluster_stats",  # component-size histogram over CC labels
+    "amihud_illiq",         # price impact per unit volume (integer-exact)
 ]
 
 

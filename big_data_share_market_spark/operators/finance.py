@@ -641,8 +641,47 @@ FROM pos GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Amihud illiquidity (price impact per unit volume)
+# ---------------------------------------------------------------------------
+
+def q_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002, public) illiquidity: ILLIQ = mean(|ret| /
+    volume) per key — how much price moves per unit traded, THE
+    standard price-impact proxy when order-book depth is not
+    observable; the liquidity screen a strategy runs before sizing
+    positions. One per-key aggregate over the shared quantized return
+    series. Exactness: the per-row impact is quantized to INTEGER
+    micro-units map-side (|ret_i|·10⁶ div volume — pure integer
+    arithmetic, bit-identical on both engines; a DECIMAL cast of the
+    raw double ratio would expose the Spark-vs-DuckDB tie-rounding
+    class), so the sum is exact and the double math happens once on
+    identical inputs at the end. volume ≥ 1 by construction (a bar
+    exists only if events do), so the integer division is total."""
+    rets = _rets(spark, sf_dir)
+    imp_i = F.expr("(abs(ret_i) * 1000000) div volume")
+    out = (rets.groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                F.sum(imp_i.cast("decimal(38,0)")).alias("si")))
+    illiq = (F.col("si").cast("double") / F.col("n")
+             / F.lit(float(_Q) * 1e6))
+    return (out.select("user_id", "n", illiq.alias("illiq"))
+            .orderBy("user_id"))
+
+
+_AMIHUD_SQL = f"""
+WITH {_RETS_CTE.strip()}
+SELECT user_id, COUNT(*) AS n,
+       CAST(CAST(SUM((abs(ret_i) * 1000000) // volume) AS VARCHAR)
+            AS DOUBLE)
+         / COUNT(*) / {float(_Q) * 1e6} AS illiq
+FROM rets GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "volume_profile": (q_volume_profile, _VOLUME_PROFILE_SQL),
+    "amihud_illiq": (q_amihud_illiq, _AMIHUD_SQL),
     "drawdown_duration": (q_drawdown_duration, _DRAWDOWN_DURATION_SQL),
     "vwap_daily": (q_vwap_daily, _VWAP_SQL),
     "max_drawdown": (q_max_drawdown, _MAX_DRAWDOWN_SQL),

@@ -60,13 +60,12 @@ _FIRST_50 = (
     "dedup_survivorship", "stoch_rsi", "dpo", "chaikin_oscillator",
     "bq_recall_eval", "part_bfs_hops", "stream_mv_merge",
     "ulcer_index", "mass_index", "coppock_curve",
-    "tokenizer_fertility", "dedup_cluster_stats",
+    "tokenizer_fertility", "dedup_cluster_stats", "amihud_illiq",
     # --- (c) r5 bench-drift cluster + restructured forecast family ---
     "embedding_neardup", "cosine_topk", "quality_score", "bpe_encode",
     "dashboard_snapshot", "holt_forecast", "forecast_backtest",
     "forecast_anomalies",
     # --- rotation: oldest driver contact (r1/r2) first ---
-    "exact_dedup",
     "signal_case", "sma", "rsi", "adx",
 )
 
