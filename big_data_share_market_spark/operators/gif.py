@@ -155,7 +155,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     NotImplementedError on malformed input — the multimodal module's
     one-exception contract."""
     payload = bytes(payload)
-    if payload[:4] != b"GIF8" or len(payload) < 13:
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         raise NotImplementedError("not a GIF87a/89a payload")
     packed = payload[10]
     pos = 13

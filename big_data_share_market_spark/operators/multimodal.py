@@ -62,7 +62,7 @@ def decode_image(payload: bytes) -> "object":
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .png import decode_png
         return decode_png(payload)
-    if payload[:4] == b"GIF8":
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
         return decode_gif(payload)
     if payload[:2] != b"BM":

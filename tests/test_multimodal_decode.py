@@ -509,8 +509,9 @@ def test_gif_dispatch_and_malformed():
     pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
     img = pal[rng.integers(0, 4, (5, 9))]
     assert (decode_image(encode_gif(img)) == img).all()
+    unknown_version = b"GIF88a" + encode_gif(img)[6:]
     for bad in (b"GIF8", b"GIF89a" + b"\x00" * 7,
-                encode_gif(img)[:20]):
+                encode_gif(img)[:20], unknown_version):
         with pytest.raises(NotImplementedError):
             decode_image(bad)
 

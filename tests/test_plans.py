@@ -471,3 +471,65 @@ def test_backtest_reuses_staged_bars_bounded_exchanges(spark):
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:1500]
     assert "InMemoryTableScan" in plan  # staged ohlc_bars reuse
+
+
+def test_plan_report_counts_staged_subtrees_once():
+    """tools/plan_report must count the EXECUTED shape: Spark's
+    textual explain inlines the full build subtree under every
+    InMemoryRelation reference and prints both Final and Initial
+    trees for executed AdaptiveSparkPlans — naive regex counting made
+    part_triangles read as 496 exchanges when the runtime plan has
+    ~18 (r6 verdict). Synthetic plan: one main-tree exchange, a cache
+    referenced twice whose build has one exchange, and an executed
+    AQE plan with an Initial section that must not be counted."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_report import count_plan, split_staged_subtrees
+
+    plan = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- HashAggregate(keys=[k#1L], functions=[sum(v#2L)])",
+        "   +- Exchange hashpartitioning(k#1L, 8), ENSURE_REQUIREMENTS",
+        "      +- BroadcastHashJoin [k#1L], [k#9L], Inner, BuildRight",
+        "         :- InMemoryTableScan [k#1L, v#2L]",
+        "         :     +- InMemoryRelation [k#1L, v#2L], StorageLevel(disk, memory, 1 replicas)",
+        "         :           +- AdaptiveSparkPlan isFinalPlan=true",
+        "         :              +- == Final Plan ==",
+        "         :                 ResultQueryStage 1",
+        "         :                 +- ShuffleQueryStage 0",
+        "         :                    +- Exchange hashpartitioning(k#1L, 8), ENSURE_REQUIREMENTS",
+        "         :                       +- FileScan parquet [k#1L, v#2L]",
+        "         :              +- == Initial Plan ==",
+        "         :                 Exchange hashpartitioning(k#1L, 8), ENSURE_REQUIREMENTS",
+        "         :                 +- FileScan parquet [k#1L, v#2L]",
+        "         +- BroadcastExchange HashedRelationBroadcastMode",
+        "            +- InMemoryTableScan [k#9L]",
+        "                  +- InMemoryRelation [k#9L, v#10L], StorageLevel(disk, memory, 1 replicas)",
+        "                        +- AdaptiveSparkPlan isFinalPlan=true",
+        "                           +- == Final Plan ==",
+        "                              ResultQueryStage 1",
+        "                              +- ShuffleQueryStage 0",
+        "                                 +- Exchange hashpartitioning(k#9L, 8), ENSURE_REQUIREMENTS",
+        "                                    +- FileScan parquet [k#9L, v#10L]",
+        "                           +- == Initial Plan ==",
+        "                              Exchange hashpartitioning(k#9L, 8), ENSURE_REQUIREMENTS",
+        "                              +- FileScan parquet [k#9L, v#10L]",
+    ])
+    main, subtrees = split_staged_subtrees(plan)
+    # Two DISTINCT relations (different normalised headers) -> two
+    # staged subtrees, each holding exactly its Final-plan build.
+    assert len(subtrees) == 2
+    assert "== Initial Plan ==" not in main
+    assert all("== Initial Plan ==" not in s for s in subtrees.values())
+    counts = count_plan(plan)
+    # 1 main-tree exchange + 1 per distinct staged build = 3; the
+    # naive per-reference count over the raw text would be 7.
+    assert counts["exch"] == 3, counts
+    assert counts["staged"] == 2, counts  # two cache reads
+    assert counts["bhj"] == 1 and counts["bcast"] == 1, counts
+
+    # Same relation referenced twice -> its build counted ONCE.
+    dup = plan.replace("k#9L", "k#1L").replace("v#10L", "v#2L")
+    assert len(split_staged_subtrees(dup)[1]) == 1
+    assert count_plan(dup)["exch"] == 2, count_plan(dup)

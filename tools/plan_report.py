@@ -32,9 +32,91 @@ COUNTERS = (
     ("bnlj", r"BroadcastNestedLoopJoin"),
     ("pykernel", r"MapInPandas|FlatMapGroupsInPandas"),
     ("gen", r"Generate "),
-    ("staged", r"InMemoryTableScan|InMemoryRelation"),
+    ("staged", r"InMemoryTableScan"),
     ("topk", r"TakeOrderedAndProject"),
 )
+
+_DEPTH = re.compile(r"^[ :+-]*")
+
+
+def split_staged_subtrees(plan: str) -> tuple[str, dict[str, str]]:
+    """Split a simple-explain plan into (main tree, staged subtrees).
+
+    Spark's textual explain INLINES the full cached plan under every
+    `InMemoryRelation` reference, so a query that reads a persisted
+    relation k times textually repeats its build subtree k times —
+    which made PLANS_SUMMARY rows for staged-heavy queries (e.g.
+    part_triangles) read like 496 exchanges when the runtime plan
+    builds the cache once and reuses one InMemoryTableScan. This
+    prunes every InMemoryRelation's child subtree from the main tree
+    and returns each DISTINCT staged subtree exactly once (keyed on
+    the relation header with expression ids normalised), matching the
+    executed shape: main tree + one build per staged relation.
+    """
+    # Pass 1 — drop every `== Initial Plan ==` section: executed
+    # AdaptiveSparkPlans (cache materialisations run before explain)
+    # print BOTH the final and the pre-AQE initial tree; only the
+    # final one executed.
+    stripped: list[str] = []
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        depth = _DEPTH.match(line).end()
+        if line[depth:].startswith("== Initial Plan =="):
+            # The section's first child is printed at the SAME column
+            # as the '==', so the section ends at the first line that
+            # is strictly shallower.
+            j = i + 1
+            while j < len(lines):
+                d2 = _DEPTH.match(lines[j]).end()
+                if d2 < depth or d2 >= len(lines[j]):
+                    break
+                j += 1
+            i = j
+            continue
+        stripped.append(line)
+        i += 1
+
+    # Pass 2 — dedupe InMemoryRelation build subtrees.
+    main: list[str] = []
+    subtrees: dict[str, str] = {}
+    lines = stripped
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        depth = _DEPTH.match(line).end()
+        if line[depth:].startswith("InMemoryRelation"):
+            j = i + 1
+            body: list[str] = []
+            while j < len(lines):
+                d2 = _DEPTH.match(lines[j]).end()
+                if d2 <= depth or d2 >= len(lines[j]):
+                    break
+                body.append(lines[j])
+                j += 1
+            # Exact header text: the same cached relation prints the
+            # same expression ids at every reference within one plan,
+            # while distinct relations sharing column NAMES differ in
+            # ids — so no id normalisation.
+            key = line[depth:]
+            subtrees.setdefault(key, "\n".join(body))
+            main.append(line)
+            i = j
+        else:
+            main.append(line)
+            i += 1
+    return "\n".join(main), subtrees
+
+
+def count_plan(plan: str) -> dict[str, int]:
+    """COUNTERS over the executed shape: the reuse-pruned main tree
+    plus each distinct staged subtree once (see split_staged_subtrees).
+    """
+    main, subtrees = split_staged_subtrees(plan)
+    texts = [main, *subtrees.values()]
+    return {k: sum(len(re.findall(p, t)) for t in texts)
+            for k, p in COUNTERS}
 
 
 def main() -> None:
@@ -51,7 +133,7 @@ def main() -> None:
             rows.append((name, None, f"ERROR {type(exc).__name__}",
                          sql is not None))
             continue
-        counts = {k: len(re.findall(p, plan)) for k, p in COUNTERS}
+        counts = count_plan(plan)
         rows.append((name, counts, None, sql is not None))
 
     out = ["# PLANS_SUMMARY — physical-plan statistics per registry query",
@@ -62,6 +144,10 @@ def main() -> None:
            "tiny-side shapes only — see tests/test_plans.py::_BNLJ_OK),",
            "Python Arrow kernels, generates (explodes), staged-relation",
            "reads, top-k operators. `oracle` = has a DuckDB value oracle.",
+           "Counts reflect the EXECUTED shape: every InMemoryRelation's",
+           "inlined build subtree is counted once per distinct staged",
+           "relation, not once per textual reference (Spark reuses the",
+           "materialised cache at runtime).",
            "",
            "| query | exch | bcast | smj | bhj | bnlj | kernels | gen |"
            " staged | topk | oracle |",
