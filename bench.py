@@ -130,6 +130,9 @@ HEADLINE = [
     "tokenizer_fertility",  # per-lang BPE pieces-per-word QA
     "dedup_cluster_stats",  # component-size histogram over CC labels
     "amihud_illiq",         # price impact per unit volume (integer-exact)
+    "aqe_skew_join",        # runtime skew-split join (AQE demo twin)
+    "quantile_sketch_merge",  # mergeable fixed-bucket quantile summary
+    "cosine_topk_numpy",    # numpy shortlist + exact re-rank serving path
 ]
 
 

@@ -104,11 +104,41 @@ def _apply_ewm(df: DataFrame, order_cols: list[str], value_cols: dict[str, tuple
     skip the redundant exchange+sort entirely.
 
     NaN outputs are surfaced as NULL (nanvl) to match the oracle.
+
+    Kernel vectorization (r7): the EMA update is element-wise, so per
+    Arrow batch the contiguous key segments are laid out as a
+    (segments × max_len) NaN-padded matrix and the recurrence steps
+    once per IN-SERIES POSITION across all keys simultaneously —
+    max_len vector steps instead of one Python iteration per row.
+    Every element still sees the exact scalar op sequence
+    (`acc + α(x−acc)`, seed-at-first-valid, NaN keeps the
+    accumulator), so outputs are BIT-IDENTICAL to :func:`ewm_mean` —
+    property-tested in tests/test_pandas_parity.py with random NaN
+    patterns and batch splits. Series length is ~constant while key
+    count scales with data (TESTDATA.md), so batches stay wide and
+    the step count flat: the ewm family's former 100 TB CPU cliff
+    (r6 verdict item 4) drops to ~1/10th the Python-interpreter work.
     """
     out_fields = ", ".join(f"{name} double" for name in value_cols)
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{in_schema}, {out_fields}"
-    specs = list(value_cols.items())
+
+    if assume_sorted:
+        staged = df
+    else:
+        staged = df.repartition(key_col).sortWithinPartitions(key_col, *order_cols)
+    res = staged.mapInPandas(_ewm_kernel(list(value_cols.items()), key_col),
+                             schema=schema)
+    for out_name in value_cols:
+        res = res.withColumn(out_name, F.nanvl(F.col(out_name), F.lit(None)))
+    return res
+
+
+def _ewm_kernel(specs: list[tuple[str, tuple[str, float]]], key_col: str):
+    """Arrow kernel for :func:`_apply_ewm` (see its docstring for the
+    across-key vectorization argument). Module-level factory so
+    tests/test_pandas_parity.py can drive it directly with synthetic
+    batch splits and assert bit-equality against :func:`ewm_mean`."""
 
     def kernel(batches):
         carry_key = None
@@ -117,38 +147,39 @@ def _apply_ewm(df: DataFrame, order_cols: list[str], value_cols: dict[str, tuple
             if len(pdf) == 0:
                 continue
             keys = pdf[key_col].to_numpy()
+            n = len(pdf)
+            starts = np.concatenate(
+                ([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
+            seg_lens = np.concatenate((starts[1:], [n])) - starts
+            n_segs = len(starts)
+            max_len = int(seg_lens.max())
+            seg_of_row = np.repeat(np.arange(n_segs), seg_lens)
+            pos_of_row = np.arange(n) - starts[seg_of_row]
+            continues = keys[0] == carry_key
             outs = {}
             for out_name, (in_name, alpha) in specs:
                 xs = pdf[in_name].to_numpy(dtype=np.float64, na_value=np.nan)
-                res = np.empty(len(pdf), dtype=np.float64)
-                acc, started = carry.get(out_name, (math.nan, False))
-                prev_key = carry_key
-                for i in range(len(pdf)):
-                    if keys[i] != prev_key:
-                        acc, started = math.nan, False
-                        prev_key = keys[i]
-                    x = xs[i]
-                    if math.isnan(x):
-                        res[i] = acc if started else math.nan
-                    elif not started:
-                        acc, started = x, True
-                        res[i] = acc
-                    else:
-                        acc = acc + alpha * (x - acc)
-                        res[i] = acc
-                carry[out_name] = (acc, started)
-                outs[out_name] = res
+                xmat = np.full((n_segs, max_len), np.nan)
+                xmat[seg_of_row, pos_of_row] = xs
+                rmat = np.empty_like(xmat)
+                acc = np.full(n_segs, np.nan)
+                started = np.zeros(n_segs, dtype=bool)
+                if continues:
+                    acc[0], started[0] = carry.get(out_name,
+                                                   (math.nan, False))
+                for t in range(max_len):
+                    x = xmat[:, t]
+                    valid = ~np.isnan(x)
+                    upd = acc + alpha * (x - acc)
+                    acc = np.where(valid, np.where(started, upd, x), acc)
+                    started = started | valid
+                    rmat[:, t] = acc
+                carry[out_name] = (float(acc[-1]), bool(started[-1]))
+                outs[out_name] = rmat[seg_of_row, pos_of_row]
             carry_key = keys[-1]
             yield pdf.assign(**outs)
 
-    if assume_sorted:
-        staged = df
-    else:
-        staged = df.repartition(key_col).sortWithinPartitions(key_col, *order_cols)
-    res = staged.mapInPandas(kernel, schema=schema)
-    for out_name in value_cols:
-        res = res.withColumn(out_name, F.nanvl(F.col(out_name), F.lit(None)))
-    return res
+    return kernel
 
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,11 +995,33 @@ def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the local-level model.
 
     Kernel + oracle follow the q_holt_forecast discipline to the
-    letter: a coupled two-state (l, P) recurrence in one
-    partition-wide Arrow pass with the last-row rank precomputed on
-    the same window layout (one exchange total), mirrored by a
-    per-key recursive CTE executing the IDENTICAL operation order —
-    sequential doubles, bit-exact on both engines."""
+    letter: the recurrence runs in one partition-wide Arrow pass with
+    the last-row rank precomputed on the same window layout (one
+    exchange total), mirrored by a per-key recursive CTE executing
+    the IDENTICAL operation order — sequential doubles, bit-exact on
+    both engines.
+
+    Kernel vectorization (r7, verdict item 4 — the former per-row
+    Python loop measured 22.6 s at sf10, the worst probe in the
+    tree): two structural facts make the local-level filter
+    vectorizable WITHOUT reassociating a single float op:
+
+    * the (P, gain) recurrence never reads the data — ``P⁻ = P + Q``,
+      ``K = P⁻/(P⁻+R)``, ``P = (1−K)P⁻`` depend only on the row's
+      per-key RANK — so both are a precomputed table indexed by `rn`
+      (computed once by the same scalar ops, grown on demand);
+    * the level update ``l ← l + K(y − l)`` is element-wise, so rows
+      of DIFFERENT keys at the same rank step together: lay the
+      batch's per-key segments out as a (segments × max_len) matrix
+      and run max_len vectorized steps across all keys at once. Each
+      element still sees exactly the scalar op sequence (numpy
+      element-wise ops are per-element IEEE in order), so the result
+      is BIT-IDENTICAL to the row loop — asserted by
+      tests/test_pandas_parity.py's kalman property test and the
+      unchanged oracle. Keys scale with data here (66 rows/user at
+      every SF — TESTDATA.md), so batches are wide and step counts
+      stay ~66 regardless of corpus size; measured 22.6 s → well
+      under the ≤10 s sf10 target (SCALING.md addendum 13)."""
     from pyspark.sql.window import Window
 
     s = (_series(spark, sf_dir)
@@ -980,39 +1033,7 @@ def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                           for f in staged.schema.fields)
     schema = f"{in_schema}, kal_level double, kal_p double, kal_gain double"
-    q_noise, r_noise = _KAL_Q, _KAL_R
-
-    def kernel(batches):
-        carry_key = None
-        lvl = p = gain = math.nan
-        started = False
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keys = pdf["user_id"].to_numpy()
-            ys = pdf["close"].to_numpy(dtype=np.float64)
-            out_l = np.empty(len(pdf), dtype=np.float64)
-            out_p = np.empty(len(pdf), dtype=np.float64)
-            out_k = np.empty(len(pdf), dtype=np.float64)
-            for i in range(len(pdf)):
-                if keys[i] != carry_key:
-                    started = False
-                    carry_key = keys[i]
-                y = ys[i]
-                if not started:
-                    lvl, p, gain, started = y, 1.0, math.nan, True
-                else:
-                    pp = p + q_noise
-                    gain = pp / (pp + r_noise)
-                    lvl = lvl + gain * (y - lvl)
-                    p = (1.0 - gain) * pp
-                out_l[i] = lvl
-                out_p[i] = p
-                out_k[i] = gain
-            yield pdf.assign(kal_level=out_l, kal_p=out_p,
-                             kal_gain=out_k)
-
-    fitted = staged.mapInPandas(kernel, schema=schema)
+    fitted = staged.mapInPandas(_kalman_kernel(), schema=schema)
     # Single-observation keys never compute a gain: the kernel carries
     # NaN, the oracle NULL — normalize to NULL (the dtype-honest
     # "undefined", matching the recursive CTE's first row).
@@ -1024,6 +1045,84 @@ def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("n_obs") > 1, F.col("kal_gain"))
                     .alias("gain"))
             .orderBy("user_id"))
+
+
+def _kalman_kernel():
+    """Arrow kernel for the local-level filter (see q_kalman_level's
+    docstring for the vectorization argument). Module-level factory so
+    tests/test_pandas_parity.py can drive it directly with synthetic
+    batch splits and assert bit-equality against the scalar loop."""
+
+    def kernel(batches):
+        q_noise, r_noise = _KAL_Q, _KAL_R
+        # Rank-indexed gain/variance tables (index 0 unused; rank 1 =
+        # first observation: P=1, gain undefined). Grown on demand by
+        # the same scalar recurrence the row loop ran.
+        k_tab = np.array([np.nan, np.nan])
+        p_tab = np.array([np.nan, 1.0])
+
+        def extend(need: int):
+            nonlocal k_tab, p_tab
+            have = len(k_tab) - 1
+            if need <= have:
+                return
+            k2 = np.empty(need + 1)
+            p2 = np.empty(need + 1)
+            k2[:have + 1] = k_tab
+            p2[:have + 1] = p_tab
+            p = p_tab[have]
+            for rn in range(have + 1, need + 1):
+                pp = p + q_noise
+                k = pp / (pp + r_noise)
+                p = (1.0 - k) * pp
+                k2[rn] = k
+                p2[rn] = p
+            k_tab, p_tab = k2, p2
+
+        carry_key = None
+        carry_lvl = math.nan
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["user_id"].to_numpy()
+            rns = pdf["rn"].to_numpy()
+            ys = pdf["close"].to_numpy(dtype=np.float64)
+            n = len(pdf)
+            # Contiguous per-key segments (partition is sorted by
+            # (user_id, ts, event_id) — the window stage's layout).
+            starts = np.concatenate(
+                ([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
+            ends = np.concatenate((starts[1:], [n]))
+            seg_lens = ends - starts
+            offsets = rns[starts] - 1  # 0-based rank before each seg
+            extend(int((offsets + seg_lens).max()))
+            n_segs = len(starts)
+            max_len = int(seg_lens.max())
+            seg_of_row = np.repeat(np.arange(n_segs), seg_lens)
+            pos_of_row = np.arange(n) - starts[seg_of_row]
+            ymat = np.full((n_segs, max_len), np.nan)
+            ymat[seg_of_row, pos_of_row] = ys
+            lmat = np.empty_like(ymat)
+            lprev = np.zeros(n_segs)
+            if keys[0] == carry_key:  # seg 0 continues the last batch
+                lprev[0] = carry_lvl
+            for t in range(max_len):
+                y = ymat[:, t]
+                rn_t = offsets + t + 1
+                k = k_tab[np.minimum(rn_t, len(k_tab) - 1)]
+                lvl = np.where(rn_t == 1, y, lprev + k * (y - lprev))
+                lvl = np.where(t < seg_lens, lvl, lprev)
+                lmat[:, t] = lvl
+                lprev = lvl
+            out_l = lmat[seg_of_row, pos_of_row]
+            out_p = p_tab[rns]
+            out_k = k_tab[rns]
+            carry_key = keys[-1]
+            carry_lvl = out_l[-1]
+            yield pdf.assign(kal_level=out_l, kal_p=out_p,
+                             kal_gain=out_k)
+
+    return kernel
 
 
 def _kalman_sql() -> str:

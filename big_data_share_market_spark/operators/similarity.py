@@ -84,13 +84,20 @@ def q_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VECTORIZED form of q_cosine_topk — the kernel a 100 TB
     deployment actually runs: one Arrow-batched mapInPandas pass
     computing all cosines with a numpy matrix-vector product
-    (~100× the per-element throughput of the interpreted fold), then
-    the same TakeOrderedAndProject top-k. numpy's pairwise summation
-    orders float adds differently from the sequential fold, so scores
-    can differ in the last ulps — this registers WITHOUT a value
-    oracle; `tests/test_invariants.py` pins ids == exact ids and
-    |score − exact| < 1e-9 instead. Scale shape: narrow map pass, the
-    broadcast query vector rides the closure, zero shuffle."""
+    (~100× the per-element throughput of the interpreted fold), a
+    TakeOrderedAndProject over the numpy scores for a 32-candidate
+    shortlist, then an EXACT re-score of the shortlist with the same
+    sequential-fold expression the exact query uses. numpy's pairwise
+    summation orders float adds differently from the sequential fold
+    (last-ulp drift, measured ≤1e-9), so the shortlist overfetches
+    3×k and the final top-10 is ranked by the bit-exact fold — the
+    candidate-overfetch + exact-re-rank shape every production ANN
+    serving path uses (cf. bq_topk). That makes the output
+    bit-identical to q_cosine_topk, so it carries the SAME full
+    DuckDB oracle instead of the former rows-only registration.
+    Scale shape: narrow map pass, broadcast query vector in the
+    closure, top-32 TakeOrdered, 32-row exact re-rank — zero
+    wide shuffles."""
     import numpy as np
     import pandas as pd  # noqa: F401 (schema of yielded frames)
 
@@ -106,19 +113,30 @@ def q_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = np.linalg.norm(mat, axis=1) * np.linalg.norm(q_vec)
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "label": pdf["label"],
+                                "embedding": pdf["embedding"],
                                 "dot": dots, "nrm": nrm})
 
     # The division happens Spark-side through nullif so a zero-norm
     # vector yields NULL exactly like the exact kernel — a NaN from
     # numpy would sort FIRST under desc (Spark ranks NaN above any
     # double) where the baseline's NULL sorts last.
-    return (
+    shortlist = (
         emb.filter(F.col("vec_id") != 0)
         .select("vec_id", "label", "embedding")
         .mapInPandas(score,
-                     schema="vec_id BIGINT, label INT, dot DOUBLE, nrm DOUBLE")
-        .withColumn("cosine",
+                     schema="vec_id BIGINT, label INT, "
+                            "embedding ARRAY<FLOAT>, "
+                            "dot DOUBLE, nrm DOUBLE")
+        .withColumn("cosine_np",
                     F.col("dot") / F.nullif(F.col("nrm"), F.lit(0.0)))
+        .orderBy(F.desc("cosine_np"), F.asc("vec_id"))
+        .limit(32)
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    return (
+        _with_cosine(shortlist.crossJoin(F.broadcast(query)),
+                     "embedding", "q_emb")
         .select("vec_id", "label", "cosine")
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
@@ -1836,7 +1854,9 @@ QUERIES = {
     "bq_topk": (q_bq_topk, _bq_sql()),
     # numpy kernel: no value oracle by design (pairwise vs sequential
     # float summation); invariant-tested against cosine_topk instead.
-    "cosine_topk_numpy": (q_cosine_topk_numpy, None),
+    # Bit-identical to cosine_topk (exact re-rank of the numpy
+    # shortlist), so it shares the exact query's oracle.
+    "cosine_topk_numpy": (q_cosine_topk_numpy, _COSINE_TOPK_SQL),
     "ann_recall_eval": (q_ann_recall_eval, _ANN_RECALL_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, _ANN_LSH_SQL),
     "ann_batch_topk": (q_ann_batch_topk, _batch_topk_sql()),

@@ -18,11 +18,16 @@ the standard fix:
   100 TB pipelines possible (sketch the new day, merge with
   yesterday's, never rescan history).
 
-These queries return BOTH the approximation and the exact answer with
-the realized error, so the correctness claim is quantified rather than
-hash-matched: DuckDB's approx sketches are different implementations,
-so these register rows-only (no oracle_sql); tests/test_sketches.py
-asserts the error bounds instead.
+Correctness strategy: DuckDB's approx sketches are different
+implementations, so raw estimates cannot be hash-matched. Where the
+sketch carries a DETERMINISTIC guarantee we emit the guarantee as the
+result and oracle-check it — `approx_value_quantiles` outputs the
+exact DISC quantiles plus the GK rank-bound boolean (full oracle);
+`heavy_hitters`' exact recount makes it fully exact; `cms_token_counts`
+is deterministic by construction. Only the two HLL queries
+(`approx_distinct_users`, `hll_merge_consistency`) remain rows-only —
+HLL++ register contents are genuinely engine-specific — and
+tests/test_sketches.py asserts their error bounds instead.
 """
 
 from __future__ import annotations
@@ -53,32 +58,69 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type"))
 
 
+#: percentile_approx accuracy parameter; the GK sketch guarantees the
+#: returned value's RANK is within ±1/accuracy of the requested one.
+_PA_ACCURACY = 10000
+_PA_PROBES = (0.5, 0.9, 0.99)
+
+
 def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of event value per type: percentile_approx (bounded
-    sketch state) next to the exact discrete percentile (per-group
-    sort), with the worst relative deviation across the three probes.
-    Both sides use DISC semantics (return a member value, no
-    interpolation) so the comparison isolates pure sketch rank
-    error."""
+    sketch state) verified against the exact discrete percentile
+    (per-group sort). Both sides use DISC semantics (return a member
+    value, no interpolation) so the comparison isolates pure sketch
+    rank error.
+
+    Output = the exact DISC quantiles plus `approx_within_bound`,
+    the DETERMINISTIC check that each sketch answer lies between the
+    exact DISC values at p ± 1/accuracy — precisely the GK rank
+    guarantee (values are monotone in rank, so rank containment is
+    value containment). DuckDB cannot run Spark's sketch, but it CAN
+    assert this bound must hold: the oracle emits the same exact
+    quantiles with `TRUE`, giving the sketch query a full value
+    oracle (r6 verdict item 2) instead of the former rows-only
+    registration. The realized-error measurement lives in
+    tests/test_sketches.py."""
     ev = load_table(spark, sf_dir, "events")
-    probes = "array(0.5D, 0.9D, 0.99D)"
-    exact = ", ".join(
-        f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
-        for p in ("0.5", "0.9", "0.99"))
+    eps = 1.0 / _PA_ACCURACY
+    probes = ", ".join(f"{p}D" for p in _PA_PROBES)
+
+    def disc(p: float) -> str:
+        return f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY value)"
+
+    exact = ", ".join(disc(p) for p in _PA_PROBES)
+    lo = ", ".join(disc(max(0.0, p - eps)) for p in _PA_PROBES)
+    hi = ", ".join(disc(min(1.0, p + eps)) for p in _PA_PROBES)
     agg = (ev.groupBy("event_type")
-           .agg(F.expr(f"percentile_approx(value, {probes}, 10000)")
-                .alias("approx_q"),
-                F.expr(f"array({exact})").alias("exact_q")))
+           .agg(F.expr(f"percentile_approx(value, array({probes}), "
+                       f"{_PA_ACCURACY})").alias("approx_q"),
+                F.expr(f"array({exact})").alias("exact_q"),
+                F.expr(f"array({lo})").alias("lo_q"),
+                F.expr(f"array({hi})").alias("hi_q")))
+    in_bound = F.aggregate(
+        F.zip_with("lo_q", "approx_q", lambda lo_v, a: lo_v <= a),
+        F.lit(True), lambda acc, x: acc & x) & F.aggregate(
+        F.zip_with("approx_q", "hi_q", lambda a, hi_v: a <= hi_v),
+        F.lit(True), lambda acc, x: acc & x)
     return (agg.select(
         "event_type",
-        F.col("approx_q")[0].alias("p50"),
-        F.col("approx_q")[1].alias("p90"),
-        F.col("approx_q")[2].alias("p99"),
-        F.aggregate(
-            F.zip_with("approx_q", "exact_q",
-                       lambda a, e: F.abs(a - e) / (F.abs(e) + F.lit(1e-9))),
-            F.lit(0.0), lambda acc, x: F.greatest(acc, x)).alias("max_rel_err"))
+        F.col("exact_q")[0].alias("p50_exact"),
+        F.col("exact_q")[1].alias("p90_exact"),
+        F.col("exact_q")[2].alias("p99_exact"),
+        in_bound.alias("approx_within_bound"))
         .orderBy("event_type"))
+
+
+_APPROX_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50_exact,
+       quantile_disc(value, 0.9)  AS p90_exact,
+       quantile_disc(value, 0.99) AS p99_exact,
+       TRUE AS approx_within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def q_hll_merge_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,10 +325,150 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (deterministic fixed buckets)
+# ---------------------------------------------------------------------------
+
+#: Bucket width in quantized cents. o_totalprice tops out ~$560k →
+#: ~5.6e7 cents → ~107 buckets; quantile error is bounded by ONE
+#: bucket width (~$5.2k, ≈3% at the median) by construction.
+_QSK_W = 1 << 19
+_QSK_PROBES = (0.5, 0.9, 0.99)
+
+
+def _qsk_hist(df: DataFrame) -> DataFrame:
+    """Fixed-bucket histogram of o_totalprice: quantize to integer
+    cents (row-local, no data-dependent boundaries), bucket by
+    integer division. Deterministic by construction — the property
+    that makes per-shard histograms ADD."""
+    return (df.select(F.floor(F.col("o_totalprice") * 100).cast("long")
+                      .alias("vi"))
+            .select(F.expr(f"vi DIV {_QSK_W}").alias("bucket"))
+            .groupBy("bucket").count())
+
+
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary — the quantile twin of
+    warehouse.q_incremental_agg_merge (r6 verdict item 7): count /
+    sum / min / max merge across shards today; this closes p50/p99.
+
+    GK / t-digest sketches merge only approximately (bucket
+    boundaries depend on the data each shard saw). The mergeable-by-
+    construction alternative every 100 TB incremental pipeline
+    actually runs is a FIXED-boundary histogram: quantize the value
+    row-locally (cents), bucket by integer division with a constant
+    width, and per-shard histograms combine by ADDING counts —
+    associative integer arithmetic, so sketch(base) + sketch(delta)
+    is BIT-EQUAL to sketch(base ∪ delta), and quantile error is
+    bounded by one bucket width by construction, never by merge
+    order. The query builds the base (o_orderkey % 10 < 8) and delta
+    histograms as separate aggregations, merges them with one
+    bucket-keyed full-outer join (the incremental_agg_merge shape),
+    and reads p50/p90/p99 off the merged cumulative histogram. The
+    DuckDB oracle recomputes everything in ONE pass over base ∪
+    delta — merge ≡ recompute IS the check. `contains_exact`
+    verifies the error bound: the exact DISC percentile (in quantized
+    cents) falls inside the reported bucket.
+
+    Scale shape: two map-side-combinable aggregations over the fact
+    table (tiny histogram outputs), a ~107-row full-outer join, and
+    a single-partition cumulative window over the HISTOGRAM (size =
+    bucket count, a constant — not data-sized). The exact-percentile
+    column is verification-only; a production pipeline keeps just the
+    histogram path and never sorts the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _qsk_hist(orders.filter(F.col("o_orderkey") % 10 < 8)) \
+        .withColumnRenamed("count", "n_base")
+    delta = _qsk_hist(orders.filter(F.col("o_orderkey") % 10 >= 8)) \
+        .withColumnRenamed("count", "n_delta")
+    zero = F.lit(0).cast("long")
+    merged = (base.join(delta, "bucket", "full_outer")
+              .select("bucket",
+                      (F.coalesce("n_base", zero)
+                       + F.coalesce("n_delta", zero)).alias("n")))
+    # Histogram-sized (constant ~107 rows): the single-partition
+    # window and the 1-row total crossJoin are deliberate.
+    from pyspark.sql.window import Window
+    cum = merged.withColumn(
+        "cum", F.sum("n").over(
+            Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    total = merged.agg(F.sum("n").alias("total"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _QSK_PROBES], "p double")
+    exacts = orders.agg(F.array(*[
+        F.floor(F.expr(f"percentile_disc({p!r}) WITHIN GROUP "
+                       "(ORDER BY o_totalprice)") * 100).cast("long")
+        for p in _QSK_PROBES]).alias("ex"))
+    picked = (probes.crossJoin(F.broadcast(total))
+              .join(F.broadcast(cum),
+                    F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
+              .groupBy("p")
+              .agg(F.min(F.struct("bucket", "n", "cum")).alias("s")))
+    idx = F.array(*[F.lit(p) for p in _QSK_PROBES])
+    return (picked.crossJoin(F.broadcast(exacts))
+            .select(
+                "p",
+                F.col("s.bucket").alias("bucket"),
+                F.col("s.n").alias("bucket_n"),
+                F.col("s.cum").alias("cum"),
+                (F.col("s.bucket") * _QSK_W).alias("est_lo_cents"),
+                ((F.col("s.bucket") + 1) * _QSK_W).alias("est_hi_cents"),
+                F.col("ex")[F.array_position(idx, F.col("p")) - 1]
+                .alias("exact_cents"))
+            .withColumn("contains_exact",
+                        (F.col("exact_cents") >= F.col("est_lo_cents"))
+                        & (F.col("exact_cents") < F.col("est_hi_cents")))
+            .orderBy("p"))
+
+
+_QSK_SQL = f"""
+WITH q AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) // {_QSK_W} AS bucket
+  FROM orders),
+h AS (SELECT bucket, COUNT(*) AS n FROM q GROUP BY bucket),
+c AS (SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket) AS cum,
+             SUM(n) OVER () AS total
+      FROM h),
+p AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+pick AS (
+  SELECT p.p, MIN(c.bucket) AS bucket
+  FROM p JOIN c ON CAST(c.cum AS DOUBLE) >= CEIL(p.p * c.total)
+  GROUP BY p.p),
+ex AS (
+  SELECT CAST(0.5 AS DOUBLE) AS p,
+         CAST(FLOOR(quantile_disc(o_totalprice, 0.5) * 100) AS BIGINT)
+           AS exact_cents FROM orders
+  UNION ALL
+  SELECT 0.9, CAST(FLOOR(quantile_disc(o_totalprice, 0.9) * 100) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 0.99, CAST(FLOOR(quantile_disc(o_totalprice, 0.99) * 100) AS BIGINT)
+  FROM orders)
+SELECT pick.p, pick.bucket,
+       CAST(c.n AS BIGINT) AS bucket_n,
+       CAST(c.cum AS BIGINT) AS cum,
+       pick.bucket * {_QSK_W} AS est_lo_cents,
+       (pick.bucket + 1) * {_QSK_W} AS est_hi_cents,
+       ex.exact_cents,
+       ex.exact_cents >= pick.bucket * {_QSK_W}
+         AND ex.exact_cents < (pick.bucket + 1) * {_QSK_W} AS contains_exact
+FROM pick
+JOIN c ON c.bucket = pick.bucket
+JOIN ex ON ex.p = pick.p
+ORDER BY pick.p
+"""
+
+
 QUERIES = {
     "cms_token_counts": (q_cms_token_counts, _CMS_SQL),
+    "quantile_sketch_merge": (q_quantile_sketch_merge, _QSK_SQL),
     "approx_distinct_users": (q_approx_distinct_users, None),
-    "approx_value_quantiles": (q_approx_value_quantiles, None),
+    # Full oracle since r7: exact DISC quantiles + the deterministic
+    # GK rank-bound check (TRUE on both engines).
+    "approx_value_quantiles": (q_approx_value_quantiles,
+                               _APPROX_QUANTILES_SQL),
     "hll_merge_consistency": (q_hll_merge_consistency, None),
     "heavy_hitters": (q_heavy_hitters, _HEAVY_HITTERS_SQL),
 }

@@ -35,38 +35,57 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Remaining slots rotate long-unverified r1/r2 queries (oldest
 #: driver contact first) so no green row goes stale.
 #:
-#: ROUND-7 ROTATION NOTE: if this round's driver window runs as laid
-#: out, EVERY oracle-backed registry query will have at least one
-#: green driver CORRECTNESS row (the r6 additions are all in-window;
-#: rounds 1-6 cover the rest). Round 7 should (a) front-load any r7
-#: additions, (b) re-verify whatever r7 perf work touches, then
-#: (c) rotate the queries with the OLDEST driver contact (r1: the
-#: relational/TPC-H family — heikin_ashi, renko, raindrop, tsi, macd,
-#: ema, exact_dedup siblings went green in r1/r2 and have not been
-#: re-driven since).
+#: ROUND-7 WINDOW (executed as the r6 rotation note laid out):
+#:   (a) r7 additions — aqe_skew_join (AQE skew-split demo, plan
+#:       pinned) and quantile_sketch_merge (mergeable fixed-bucket
+#:       quantile summary, merge ≡ recompute oracle);
+#:   (b) newly ORACLED formerly-rows-only queries —
+#:       approx_value_quantiles (GK rank-bound emitted as the result)
+#:       and cosine_topk_numpy (exact re-rank of the numpy shortlist,
+#:       shares cosine_topk's oracle). Only the two HLL sketches
+#:       remain rows-only by design;
+#:   (c) re-verification of everything r7 perf/refactor work touched:
+#:       the across-key vectorized Arrow kernels (_ewm_kernel /
+#:       _kalman_kernel rewrite — every _apply_ewm rider) and the
+#:       restart-safe MV-merge sink (batch-id-anchored generations);
+#:       cosine_topk shares the re-shaped numpy twin's oracle;
+#:       stream_upsert_idempotent re-anchors the upsert sink the
+#:       restart test exercises;
+#:   (d) rotation: 32 of the 42 queries whose last green driver row
+#:       is STILL round 1 (the relational/TPC-H family).
+#:
+#: ROUND-8 ROTATION NOTE: rotate the 10 deferred r1 rows
+#: {small_quantity_revenue, disjunctive_revenue,
+#: high_volume_part_suppliers, suppliers_kept_waiting,
+#: idle_customer_balance, cohort_retention, zorder_key,
+#: salted_skew_agg, orders_grouping_sets, top_revenue_supplier}
+#: first, then the r2 family (streams, strategies, patterns,
+#: heikin_ashi/renko/raindrop, exact-dedup siblings) — plus, as
+#: always, front-load r8 additions and anything r8 code changes
+#: touch.
 _FIRST_50 = (
-    # --- (a) never driver-verified: r5 additions ---
-    "roc", "ultimate_oscillator", "ngram_novelty",
-    "embedding_dim_stats", "pca_power_iteration", "part_triangles",
-    "event_transitions", "source_token_entropy", "var_cvar",
-    "bq_topk", "stream_event_transitions", "return_autocorr",
-    # --- (a) never driver-verified: r5-deferred indicator siblings ---
-    "force_index", "elder_ray", "ease_of_movement",
-    # --- (b) round-6 additions ---
-    "cc_alternating", "stream_bq_topk", "part_kcore",
-    "sma_crossover_backtest", "kalman_level", "lang_confusion",
-    "l_diversity_audit", "incremental_agg_merge",
-    "stream_kalman_per_key", "priority_sample",
-    "dedup_survivorship", "stoch_rsi", "dpo", "chaikin_oscillator",
-    "bq_recall_eval", "part_bfs_hops", "stream_mv_merge",
-    "ulcer_index", "mass_index", "coppock_curve",
-    "tokenizer_fertility", "dedup_cluster_stats", "amihud_illiq",
-    # --- (c) r5 bench-drift cluster + restructured forecast family ---
-    "embedding_neardup", "cosine_topk", "quality_score", "bpe_encode",
-    "dashboard_snapshot", "holt_forecast", "forecast_backtest",
-    "forecast_anomalies",
-    # --- rotation: oldest driver contact (r1/r2) first ---
-    "signal_case", "sma", "rsi", "adx",
+    # --- (a) round-7 additions ---
+    "aqe_skew_join", "quantile_sketch_merge",
+    # --- (b) upgraded rows-only -> full oracle ---
+    "approx_value_quantiles", "cosine_topk_numpy",
+    # --- (c) r7 perf/refactor re-verification ---
+    "ema", "macd", "tsi", "adx", "dashboard_snapshot",
+    "atr_wilder", "chandelier_exit", "force_index", "elder_ray",
+    "chaikin_oscillator", "kalman_level", "cosine_topk",
+    "stream_mv_merge", "stream_upsert_idempotent",
+    # --- (d) rotation: last green row is r1 ---
+    "pricing_summary", "order_quantiles", "orders_cube",
+    "shipping_priority", "region_revenue", "filter_project",
+    "distinct_sort", "grouped_events", "top_orders",
+    "topk_per_group", "semi_join_high_orders", "anti_join_no_orders",
+    "order_fill_outer", "union_account_holders", "parts_never_ordered",
+    "events_pivot", "orders_rollup", "asof_last_signup",
+    "range_join_pairs", "minmax_per_key", "trend_per_key",
+    "top_supplier_per_nation", "customer_order_distribution",
+    "large_volume_orders", "late_shipment_priorities",
+    "forecast_revenue", "bilateral_volume", "market_share",
+    "product_profit", "returned_item_revenue", "important_part_value",
+    "promo_revenue",
 )
 
 

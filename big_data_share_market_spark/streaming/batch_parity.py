@@ -662,50 +662,63 @@ def _orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "o_orderdate timestamp, o_orderpriority string")
 
 
-def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance as a LIVE pipeline —
-    the streaming twin of operators/warehouse.q_incremental_agg_merge:
-    the per-customer order summary MV is seeded from the BASE
-    partition (o_orderkey % 10 < 8), then each arriving DELTA
-    micro-batch is collapsed to mergeable partial states (count /
-    decimal sum / min / max) and merged into the MV by one
-    customer-keyed full-outer join inside foreachBatch, writing a new
-    MV GENERATION per batch (read-current → merge → write-next, the
-    copy-on-write refresh every table format implements). Correctness
-    under restart comes from the checkpoint's exactly-once batch
-    tracking — aggregate merges are deliberately NOT replay-idempotent
-    (unlike the upsert sink), which is precisely why real IVM systems
-    anchor on checkpointed batch ids; availableNow + a fresh
-    checkpoint gives each batch exactly once here.
+#: Seed-generation dir name for the MV sink (batch id -1 in ordering).
+_MV_SEED = "gen_seed"
 
-    The final MV must equal the one-pass aggregate over base ∪ delta —
-    the oracle is exactly that single global GROUP BY (shared with the
-    batch twin). Sum state is held DECIMAL(35,6) end-to-end so every
-    merge ADD is exact integer arithmetic."""
-    import uuid
 
-    root = ("/tmp/bdsm_mv" + sf_dir.replace("/", "_").replace(".", "_")
-            + "_" + uuid.uuid4().hex[:8])
-    _scratch_ring(_MV_RUNS, sf_dir, root)
+def mv_partial(df: DataFrame) -> DataFrame:
+    """Collapse order rows to the mergeable partial states the MV
+    holds: count / DECIMAL(35,6) sum / min / max per customer."""
+    return df.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast(_MV_DEC).alias("s"),
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"))
 
-    from ..tables import load_table
 
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_custkey").agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-            .cast(_MV_DEC).alias("s"),
-            F.min("o_orderdate").alias("min_d"),
-            F.max("o_orderdate").alias("max_d"))
+def mv_committed_gens(root: str) -> list[tuple[int, str]]:
+    """(batch_id, path) of COMMITTED MV generations, ascending; the
+    seed sorts first as id -1. Committed = Spark's _SUCCESS marker —
+    a generation dir left by a crash mid-write lacks it and is
+    invisible here (and overwritten on re-apply)."""
+    import os
+    out = []
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        if name == _MV_SEED:
+            out.append((-1, path))
+        elif name.startswith("gen_b"):
+            out.append((int(name[len("gen_b"):]), path))
+    return sorted(out)
 
-    gen = [0]
-    partial(load_table(spark, sf_dir, "orders")
-            .filter(F.col("o_orderkey") % 10 < 8)) \
-        .write.parquet(f"{root}/gen0")
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        cur = spark.read.parquet(f"{root}/gen{gen[0]}")
-        b = (partial(batch_df)
+def mv_merge_foreach(spark: SparkSession, root: str):
+    """foreachBatch body for the copy-on-write MV refresh, EXACTLY
+    ONCE across restarts. Aggregate merges are not replay-idempotent
+    by nature, so the sink anchors on the checkpointed batch id (what
+    every real IVM sink does — cf. Delta's txn version):
+
+    * each batch writes generation ``gen_b<batch_id>`` (deterministic
+      name) on top of the latest COMMITTED generation;
+    * a replayed batch (crash after the generation committed but
+      before the checkpoint offset commit — the worst case) finds its
+      own _SUCCESS marker and SKIPS, so it applies exactly once;
+    * a crash mid-write leaves no _SUCCESS: the replay overwrites the
+      partial dir (mode=overwrite) and applies once.
+
+    tests/test_streaming_restart.py kills a live query at both crash
+    points and proves the resumed MV equals the uninterrupted run."""
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        dest = f"{root}/gen_b{batch_id}"
+        if os.path.exists(f"{dest}/_SUCCESS"):
+            return  # replay of an already-applied batch
+        cur = spark.read.parquet(mv_committed_gens(root)[-1][1])
+        b = (mv_partial(batch_df)
              .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
              .withColumnRenamed("min_d", "dmin")
              .withColumnRenamed("max_d", "dmax"))
@@ -723,24 +736,62 @@ def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.coalesce("dmin", "min_d")).alias("min_d"),
                       F.greatest(F.coalesce("max_d", "dmax"),
                                  F.coalesce("dmax", "max_d")).alias("max_d")))
-        merged.write.parquet(f"{root}/gen{gen[0] + 1}")
-        gen[0] += 1
+        merged.write.mode("overwrite").parquet(dest)
 
-    delta = _orders_stream(spark, sf_dir).filter(
-        F.col("o_orderkey") % 10 >= 8)
-    q = (delta.writeStream
-         .foreachBatch(merge)
-         .option("checkpointLocation", f"{root}/ckpt")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return (spark.read.parquet(f"{root}/gen{gen[0]}")
+    return merge
+
+
+def mv_final_frame(spark: SparkSession, root: str) -> DataFrame:
+    """The latest committed MV generation in oracle column shape."""
+    return (spark.read.parquet(mv_committed_gens(root)[-1][1])
             .select("o_custkey",
                     F.col("n").alias("n_orders"),
                     F.col("s").cast("double").alias("total_spend"),
                     F.col("min_d").alias("first_order"),
                     F.col("max_d").alias("last_order"))
             .orderBy("o_custkey"))
+
+
+def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance as a LIVE pipeline —
+    the streaming twin of operators/warehouse.q_incremental_agg_merge:
+    the per-customer order summary MV is seeded from the BASE
+    partition (o_orderkey % 10 < 8), then each arriving DELTA
+    micro-batch is collapsed to mergeable partial states (count /
+    decimal sum / min / max) and merged into the MV by one
+    customer-keyed full-outer join inside foreachBatch, writing a new
+    MV GENERATION per batch (read-current → merge → write-next, the
+    copy-on-write refresh every table format implements). Exactly-once
+    across restarts is structural, not asserted: generations are named
+    by the checkpointed batch id and a replayed batch skips on its own
+    commit marker (mv_merge_foreach; kill/resume-proven in
+    tests/test_streaming_restart.py).
+
+    The final MV must equal the one-pass aggregate over base ∪ delta —
+    the oracle is exactly that single global GROUP BY (shared with the
+    batch twin). Sum state is held DECIMAL(35,6) end-to-end so every
+    merge ADD is exact integer arithmetic."""
+    import uuid
+
+    root = ("/tmp/bdsm_mv" + sf_dir.replace("/", "_").replace(".", "_")
+            + "_" + uuid.uuid4().hex[:8])
+    _scratch_ring(_MV_RUNS, sf_dir, root)
+
+    from ..tables import load_table
+
+    mv_partial(load_table(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 10 < 8)) \
+        .write.parquet(f"{root}/{_MV_SEED}")
+
+    delta = _orders_stream(spark, sf_dir).filter(
+        F.col("o_orderkey") % 10 >= 8)
+    q = (delta.writeStream
+         .foreachBatch(mv_merge_foreach(spark, root))
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return mv_final_frame(spark, root)
 
 
 #: Oracle for q_stream_mv_merge: the single-pass aggregate the merged

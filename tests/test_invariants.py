@@ -22,24 +22,20 @@ def test_first50_names_all_registered():
 
 
 def test_numpy_topk_matches_exact(spark):
-    """The vectorized cosine kernel must agree with the exact fold up
-    to float-summation-order noise (numpy pairwise vs sequential
-    adds): rank-by-rank scores within 1e-9, and any id difference
-    confined to the top-k boundary where exact scores tie within that
-    noise (exact id-order equality would be flaky on near-ties)."""
+    """The vectorized cosine kernel now re-ranks its 32-candidate
+    numpy shortlist with the exact sequential fold (candidate
+    overfetch + exact re-rank, the bq_topk serving shape), so its
+    output must be BIT-IDENTICAL to the exact query — same ids, same
+    order, same scores. This is what lets it share cosine_topk's
+    DuckDB oracle instead of the former 1e-9 tolerance band."""
     from big_data_share_market_spark.registry import all_queries
     q = all_queries()
     exact = q["cosine_topk"][0](spark, SF_DIR).collect()
     fast = q["cosine_topk_numpy"][0](spark, SF_DIR).collect()
     assert len(fast) == len(exact) > 0
     assert all(r.cosine is not None for r in fast + exact)
-    for a, b in zip(fast, exact):
-        assert abs(a.cosine - b.cosine) < 1e-9  # rank-by-rank scores
-    tenth = exact[-1].cosine
-    scores = {r.vec_id: r.cosine for r in fast + exact}
-    for vid in ({r.vec_id for r in fast} ^ {r.vec_id for r in exact}):
-        assert abs(scores[vid] - tenth) < 1e-9, (
-            f"id {vid} differs beyond the boundary tie window")
+    assert [(r.vec_id, r.label, r.cosine) for r in fast] == \
+        [(r.vec_id, r.label, r.cosine) for r in exact]
 
 
 def test_hash_split_stable_under_growth(spark):

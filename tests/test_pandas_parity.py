@@ -260,3 +260,112 @@ def test_trix_matches_pandas(spark):
     got = (q_trix(spark, SF_DIR).orderBy("user_id", "bar_ts")
            .toPandas()["trix"].to_numpy(dtype="float64"))
     np.testing.assert_allclose(got, ref, rtol=1e-7)
+
+
+def test_kalman_kernel_bit_equals_scalar_loop():
+    """The r7 vectorized Kalman kernel (rank-indexed gain table +
+    across-key matrix recurrence) must be BIT-IDENTICAL to the
+    straightforward per-row scalar loop — not merely close: the DuckDB
+    oracle executes the scalar op order, so any reassociation would
+    surface as a hash mismatch at driver time. Property-tested over
+    random key layouts (varying series lengths, single-row keys) and
+    random Arrow-batch splits (keys straddling batch boundaries
+    exercise the carry path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_share_market_spark.operators.ewm import (
+        _KAL_Q, _KAL_R, _kalman_kernel)
+
+    def scalar_reference(pdf):
+        import math
+        out_l, out_p, out_k = [], [], []
+        carry_key, lvl, p, gain, started = None, None, None, None, False
+        for key, y in zip(pdf["user_id"], pdf["close"]):
+            if key != carry_key:
+                started = False
+                carry_key = key
+            if not started:
+                lvl, p, gain, started = float(y), 1.0, math.nan, True
+            else:
+                pp = p + _KAL_Q
+                gain = pp / (pp + _KAL_R)
+                lvl = lvl + gain * (float(y) - lvl)
+                p = (1.0 - gain) * pp
+            out_l.append(lvl)
+            out_p.append(p)
+            out_k.append(gain)
+        return out_l, out_p, out_k
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        n_keys = data.draw(st.integers(1, 6))
+        lens = [data.draw(st.integers(1, 40)) for _ in range(n_keys)]
+        rows = []
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        for k, ln in enumerate(lens):
+            ys = 100 + rng.standard_normal(ln).cumsum()
+            for i, y in enumerate(ys):
+                rows.append((k, i + 1, float(y)))
+        pdf = pd.DataFrame(rows, columns=["user_id", "rn", "close"])
+        # Random batch split, including degenerate empty batches.
+        cuts = sorted(data.draw(
+            st.lists(st.integers(0, len(pdf)), max_size=4)))
+        bounds = [0, *cuts, len(pdf)]
+        batches = [pdf.iloc[a:b].reset_index(drop=True)
+                   for a, b in zip(bounds, bounds[1:])]
+        got = pd.concat(list(_kalman_kernel()(iter(batches))),
+                        ignore_index=True)
+        assert len(got) == len(pdf)
+        want_l, want_p, want_k = scalar_reference(pdf)
+        # Bitwise: == on floats, NaN compared by equal_nan pairing.
+        np.testing.assert_array_equal(got["kal_level"].to_numpy(),
+                                      np.array(want_l))
+        np.testing.assert_array_equal(got["kal_p"].to_numpy(),
+                                      np.array(want_p))
+        np.testing.assert_array_equal(got["kal_gain"].to_numpy(),
+                                      np.array(want_k))
+
+    run()
+
+
+def test_ewm_kernel_bit_equals_scalar_loop():
+    """The r7 vectorized _apply_ewm kernel must be bit-identical to
+    the scalar ewm_mean loop (which IS the oracle's list_reduce op
+    order), including the NaN-skip-carry semantics: NaN keeps the
+    accumulator, the first valid value seeds. Random key layouts, NaN
+    patterns and batch splits (carry across batch boundaries)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_share_market_spark.operators.ewm import (
+        _ewm_kernel, ewm_mean)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        alpha = data.draw(st.sampled_from([2 / 6, 2 / 16, 1 / 14, 0.5]))
+        n_keys = data.draw(st.integers(1, 6))
+        lens = [data.draw(st.integers(1, 40)) for _ in range(n_keys)]
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        frames, want = [], []
+        for k, ln in enumerate(lens):
+            ys = 100 + rng.standard_normal(ln).cumsum()
+            nan_at = rng.random(ln) < 0.25  # incl. possible leading NaN
+            ys[nan_at] = np.nan
+            frames.append(pd.DataFrame({"user_id": k, "close": ys}))
+            want.append(ewm_mean(ys, alpha))
+        pdf = pd.concat(frames, ignore_index=True)
+        want = np.concatenate(want)
+        cuts = sorted(data.draw(
+            st.lists(st.integers(0, len(pdf)), max_size=4)))
+        bounds = [0, *cuts, len(pdf)]
+        batches = [pdf.iloc[a:b].reset_index(drop=True)
+                   for a, b in zip(bounds, bounds[1:])]
+        kern = _ewm_kernel([("e", ("close", alpha))], "user_id")
+        got = pd.concat(list(kern(iter(batches))), ignore_index=True)
+        assert len(got) == len(pdf)
+        np.testing.assert_array_equal(got["e"].to_numpy(), want)
+
+    run()

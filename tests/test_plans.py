@@ -26,6 +26,13 @@ _PLAN_SKIP = {name for name in _QUERIES if name.startswith("stream_")}
 # Queries where a broadcast-nested-loop join is the INTENDED physical
 # shape (a broadcast single-row/codebook crossJoin, not an accident).
 _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            # broadcast 1-row query vector onto the 32-row shortlist
+            # for the exact re-rank (r7)
+            "cosine_topk_numpy",
+            # histogram-sized post-processing: broadcast 1-row total,
+            # 3-row probe frame, and 1-row exact-percentile frame
+            # crossJoined onto the ~107-row cumulative histogram (r7)
+            "quantile_sketch_merge",
             # broadcast 1-row query vector onto the quantized scan
             "sq8_topk",
             # broadcast 1-row query (code words + embedding) onto the
@@ -533,3 +540,44 @@ def test_plan_report_counts_staged_subtrees_once():
     dup = plan.replace("k#9L", "k#1L").replace("v#10L", "v#2L")
     assert len(split_staged_subtrees(dup)[1]) == 1
     assert count_plan(dup)["exch"] == 2, count_plan(dup)
+
+
+def test_aqe_skew_join_splits_hot_partitions(spark):
+    """EXECUTES aqe_skew_join (the one plan property that only exists
+    at runtime) and pins that AQE's OptimizeSkewedJoin actually split
+    the hot event_type partitions: the final adaptive plan must carry
+    a skew=true sort-merge join, and the skew-split result must equal
+    the same query with skew handling off (result invariance is the
+    whole point of the optimization). Complements the salted twins:
+    AQE is the first lever, salt remains for non-AQE layouts and
+    skewed aggregations."""
+    from big_data_share_market_spark.operators.scale import (
+        _aqe_skew_session, q_aqe_skew_join)
+
+    df = q_aqe_skew_join(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final, final[:2000]
+
+    # Same child-session plumbing, skew split disabled -> same result
+    # (result invariance under the split is the point) and no skew
+    # marker in ITS final plan.
+    s2 = _aqe_skew_session(spark)
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    from big_data_share_market_spark.functions import DEC
+    from big_data_share_market_spark.tables import load_table
+    import pyspark.sql.functions as F
+    ev = load_table(s2, SF_DIR, "events").repartition(8)
+    dim = load_table(s2, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    base = (ev.hint("merge").join(dim, "user_id")
+            .groupBy("c_mktsegment")
+            .agg(F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("total_value"),
+                 F.count("*").alias("n_events"))
+            .orderBy("c_mktsegment"))
+    base_rows = base.collect()
+    assert "skew=true" not in base._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in base_rows]

@@ -20,12 +20,15 @@ def test_approx_distinct_within_rsd(spark):
 
 
 def test_approx_quantiles_close(spark):
+    """The GK rank guarantee must hold on real data: every sketch
+    answer lies between the exact DISC values at p ± 1/accuracy
+    (this boolean is exactly what the query's DuckDB oracle pins to
+    TRUE), and the exact quantiles are monotone in p."""
     rows = sketches.q_approx_value_quantiles(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        # Sketch returns a member value vs interpolated exact rank:
-        # bounded by one inter-value gap, well under 10% relative.
-        assert r.max_rel_err <= 0.10, (r.event_type, r.max_rel_err)
+        assert r.approx_within_bound, r.event_type
+        assert r.p50_exact <= r.p90_exact <= r.p99_exact, r
 
 
 def test_hll_union_matches_direct(spark):
@@ -85,3 +88,43 @@ def test_mg_superset_guarantee_random():
                 assert tok in counters, (tok, cnt, n, counters)
 
     check()
+
+
+def test_quantile_sketch_bound_and_rows(spark):
+    """The merged sketch's error contract, realized: every probe's
+    exact DISC percentile lands inside the reported bucket (the
+    by-construction bound the oracle also pins), buckets are one
+    _QSK_W wide, and the cumulative count at the picked bucket
+    actually covers the target rank."""
+    import math
+    rows = sketches.q_quantile_sketch_merge(spark, SF_DIR).collect()
+    assert [r.p for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r.contains_exact, r
+        assert r.est_hi_cents - r.est_lo_cents == sketches._QSK_W
+        assert r.cum >= r.bucket_n > 0
+    # cum at p=0.99's bucket must cover ceil(0.99 * N)
+    n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert rows[-1].cum >= math.ceil(0.99 * n)
+
+
+def test_quantile_sketch_histogram_merges_exactly(spark):
+    """Mergeability by construction: histograms built over ANY
+    disjoint sharding of the data sum (bucket-wise) to the one-pass
+    histogram, bit-exactly — the property GK/t-digest only give
+    approximately, and the reason this sketch can carry a full
+    merge ≡ recompute oracle."""
+    from pyspark.sql import functions as F
+    from big_data_share_market_spark.operators.sketches import _qsk_hist
+    from big_data_share_market_spark.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    one_pass = {r.bucket: r["count"] for r in _qsk_hist(orders).collect()}
+    for n_shards in (2, 5):
+        summed: dict = {}
+        for s in range(n_shards):
+            shard = _qsk_hist(
+                orders.filter(F.col("o_orderkey") % n_shards == s))
+            for r in shard.collect():
+                summed[r.bucket] = summed.get(r.bucket, 0) + r["count"]
+        assert summed == one_pass, n_shards

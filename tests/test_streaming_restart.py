@@ -1,0 +1,228 @@
+"""Streaming restart / exactly-once proofs (r6 verdict item 3).
+
+The reference's whole late-data story (`flink_processor/
+flink_processor.py:89`, `postgres/init.sql:12`) is at-least-once
+delivery made safe by the sink; the one thing r1-r6 asserted but never
+demonstrated was survival of a PROCESS RESTART: kill a live query
+mid-replay, resume from the checkpoint, and get the same answer as an
+uninterrupted run. These tests do exactly that, for both sink
+families:
+
+* the MV merge sink (NOT replay-idempotent by nature — exactly-once
+  must come from anchoring on the checkpointed batch id), killed at
+  BOTH crash points: after the generation committed but before the
+  checkpoint offset commit (the replayed batch must be skipped), and
+  mid-write before the commit marker (the replay must re-apply);
+* the last-write-wins upsert sink (replay-idempotent by design —
+  re-applying a batch must be a no-op on the final table).
+
+Multi-batch replay comes from staging the fixture as several files
+and maxFilesPerTrigger=1; crashes are injected by a foreachBatch
+wrapper that raises, failing the query exactly like an executor/
+driver loss would, WITHOUT committing the in-flight batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_share_market_spark.streaming.batch_parity import (
+    _MV_SEED, mv_committed_gens, mv_final_frame, mv_merge_foreach,
+    mv_partial)
+from big_data_share_market_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+_ORDERS_DDL = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, "
+               "o_orderpriority string")
+
+_EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string")
+
+
+@pytest.fixture()
+def scratch():
+    root = f"/tmp/bdsm_restart_{uuid.uuid4().hex[:8]}"
+    os.makedirs(root)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _stage_multifile(spark, df, path: str, n_files: int) -> None:
+    """Write a fixture slice as n_files parquet files so availableNow
+    + maxFilesPerTrigger=1 replays it as n_files micro-batches."""
+    df.repartition(n_files).write.parquet(path)
+
+
+def _stream(spark, path: str, ddl: str):
+    return (spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet").load(path))
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _run_to_crash(sdf, foreach, ckpt: str) -> None:
+    """Start the stream, expect the injected crash to fail it."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    q = (sdf.writeStream.foreachBatch(foreach)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+
+
+def _run_to_end(sdf, foreach, ckpt: str) -> None:
+    q = (sdf.writeStream.foreachBatch(foreach)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def _mv_rows(spark, root):
+    return [tuple(r) for r in mv_final_frame(spark, root).collect()]
+
+
+def _mv_expected(spark, src_path: str, seed_df):
+    """Uninterrupted-equivalent: one-pass aggregate over seed ∪ delta."""
+    delta = spark.read.parquet(src_path)
+    full = seed_df.select(*delta.columns).unionByName(delta)
+    return [tuple(r) for r in
+            (full.groupBy("o_custkey")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                  .cast("double").alias("total_spend"),
+                  F.min("o_orderdate").alias("first_order"),
+                  F.max("o_orderdate").alias("last_order"))
+             .orderBy("o_custkey")).collect()]
+
+
+def _mv_setup(spark, scratch):
+    """Seeded MV root + 4-file delta source over the sf0.001 orders."""
+    orders = load_table(spark, SF_DIR, "orders")
+    seed = orders.filter(F.col("o_orderkey") % 10 < 8)
+    delta = orders.filter(F.col("o_orderkey") % 10 >= 8)
+    src = f"{scratch}/delta_src"
+    _stage_multifile(spark, delta, src, 4)
+    root = f"{scratch}/mv"
+    os.makedirs(root)
+    mv_partial(seed).write.parquet(f"{root}/{_MV_SEED}")
+    return root, src, seed
+
+
+def test_mv_merge_restart_after_commit_marker(spark, scratch):
+    """Worst-case crash point: the generation is fully committed
+    (_SUCCESS written) but the checkpoint offset is NOT — Spark
+    replays the batch on restart, and a sink without batch-id
+    anchoring would double-apply the aggregate. The resumed MV must
+    equal the one-pass aggregate, and the replayed batch must leave
+    exactly one generation behind."""
+    root, src, seed = _mv_setup(spark, scratch)
+    inner = mv_merge_foreach(spark, root)
+    calls = {"n": 0}
+
+    def crash_after_write(batch_df, batch_id):
+        inner(batch_df, batch_id)  # generation committed
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _InjectedCrash("crash AFTER commit marker, BEFORE "
+                                 "checkpoint offset commit")
+
+    ckpt = f"{scratch}/ckpt"
+    _run_to_crash(_stream(spark, src, _ORDERS_DDL), crash_after_write, ckpt)
+    applied_at_crash = len(mv_committed_gens(root)) - 1  # minus seed
+    assert applied_at_crash == 2  # both batches' generations committed
+
+    # Resume from the same checkpoint with the plain (uninjected) sink.
+    _run_to_end(_stream(spark, src, _ORDERS_DDL),
+                mv_merge_foreach(spark, root), ckpt)
+    gens = mv_committed_gens(root)
+    assert len(gens) - 1 == 4, gens  # one generation per batch, no dup
+    assert _mv_rows(spark, root) == _mv_expected(spark, src, seed)
+
+
+def test_mv_merge_restart_mid_write(spark, scratch):
+    """Crash BEFORE the commit marker: the batch effectively never
+    applied (a partial generation dir without _SUCCESS is invisible
+    to mv_committed_gens and overwritten) — the replay must apply it
+    exactly once."""
+    root, src, seed = _mv_setup(spark, scratch)
+    inner = mv_merge_foreach(spark, root)
+    calls = {"n": 0}
+
+    def crash_before_write(batch_df, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            # Simulate dying mid-write: leave a partial dir with a
+            # stray data file but no _SUCCESS, then fail the batch.
+            dest = f"{root}/gen_b{batch_id}"
+            os.makedirs(dest, exist_ok=True)
+            with open(f"{dest}/part-garbage.parquet", "wb") as fh:
+                fh.write(b"not parquet")
+            raise _InjectedCrash("crash mid-write, no commit marker")
+        inner(batch_df, batch_id)
+
+    ckpt = f"{scratch}/ckpt"
+    _run_to_crash(_stream(spark, src, _ORDERS_DDL), crash_before_write, ckpt)
+    assert len(mv_committed_gens(root)) - 1 == 2  # 2 applied, 3rd died
+
+    _run_to_end(_stream(spark, src, _ORDERS_DDL),
+                mv_merge_foreach(spark, root), ckpt)
+    assert len(mv_committed_gens(root)) - 1 == 4
+    assert _mv_rows(spark, root) == _mv_expected(spark, src, seed)
+
+
+def test_upsert_restart_replays_idempotently(spark, scratch):
+    """The last-write-wins upsert sink is the OTHER exactly-once
+    strategy: replays are harmless because re-merging the same keyed
+    rows is a no-op. Kill the stream after a batch's target rewrite
+    but before its checkpoint commit; the resumed run re-applies that
+    batch and the final table must equal the single-pass batch dedup."""
+    from big_data_share_market_spark.sources.connectors import (
+        upsert_batch_fn)
+    from big_data_share_market_spark.streaming.upsert import (
+        KEYS, ORDER_COL, _merge_write)
+
+    events = load_table(spark, SF_DIR, "events")
+    src = f"{scratch}/events_src"
+    _stage_multifile(spark, events, src, 3)
+    target = f"{scratch}/target"
+
+    inner = upsert_batch_fn(KEYS, _merge_write(spark, target),
+                            order_col=ORDER_COL)
+    calls = {"n": 0}
+
+    def crash_after_apply(batch_df, batch_id):
+        inner(batch_df, batch_id)  # target rewritten for this batch
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _InjectedCrash("crash after target rewrite, before "
+                                 "checkpoint commit")
+
+    ckpt = f"{scratch}/ckpt"
+    _run_to_crash(_stream(spark, src, _EVENTS_DDL), crash_after_apply, ckpt)
+    _run_to_end(_stream(spark, src, _EVENTS_DDL), inner, ckpt)
+
+    got = [tuple(r) for r in
+           (spark.read.parquet(target)
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    "props")
+            .orderBy("user_id", "ts", "event_id")).collect()]
+    from pyspark.sql import Window as W
+    w = W.partitionBy(*KEYS).orderBy(F.desc(ORDER_COL))
+    want = [tuple(r) for r in
+            (events.withColumn("_rn", F.row_number().over(w))
+             .filter("_rn = 1")
+             .select("event_id", "ts", "user_id", "event_type", "value",
+                     "props")
+             .orderBy("user_id", "ts", "event_id")).collect()]
+    assert got == want and len(got) > 0
