@@ -133,6 +133,7 @@ HEADLINE = [
     "aqe_skew_join",        # runtime skew-split join (AQE demo twin)
     "quantile_sketch_merge",  # mergeable fixed-bucket quantile summary
     "cosine_topk_numpy",    # numpy shortlist + exact re-rank serving path
+    "kmv_distinct_merge",   # mergeable k-minimum-values distinct sketch
 ]
 
 
@@ -171,7 +172,7 @@ def main() -> None:
     stream_timings: dict[str, float] = {}
     for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
                  "stream_ingest_dedup_gate", "stream_atr_per_key",
-                 "stream_bq_topk"):
+                 "stream_bq_topk", "stream_quantile_sketch"):
         fn, _ = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -65,11 +65,14 @@ def decode_image(payload: bytes) -> "object":
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
         return decode_gif(payload)
+    if payload[:1] == b"P" and payload[1:2] in b"123456":
+        from .netpbm import decode_netpbm
+        return decode_netpbm(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP, baseline JPEG, non-interlaced PNG and GIF are "
-            "decodable without codec libraries (WebP needs "
-            "PIL/opencv, not in this container)")
+            "only BMP, baseline JPEG, non-interlaced PNG, GIF and "
+            "Netpbm (PBM/PGM/PPM) are decodable without codec "
+            "libraries (WebP needs PIL/opencv, not in this container)")
     # Malformed-BMP guards: the documented contract is that any
     # undecodable payload raises NotImplementedError (so corpus skip
     # handlers need exactly one except clause) — a truncated header

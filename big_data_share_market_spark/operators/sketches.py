@@ -386,8 +386,18 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("bucket",
                       (F.coalesce("n_base", zero)
                        + F.coalesce("n_delta", zero)).alias("n")))
-    # Histogram-sized (constant ~107 rows): the single-partition
-    # window and the 1-row total crossJoin are deliberate.
+    return qsk_quantiles(spark, merged, orders)
+
+
+def qsk_quantiles(spark: SparkSession, merged: DataFrame,
+                  orders: DataFrame) -> DataFrame:
+    """Read p50/p90/p99 off a merged (bucket, n) histogram, plus the
+    verification columns against the raw orders frame. Shared by the
+    batch merge query and its streaming twin
+    (streaming/batch_parity.q_stream_quantile_sketch) so both carry
+    the same one-pass recompute oracle. Histogram-sized (constant
+    ~107 rows): the single-partition window and the 1-row total
+    crossJoin are deliberate."""
     from pyspark.sql.window import Window
     cum = merged.withColumn(
         "cum", F.sum("n").over(
@@ -461,9 +471,104 @@ ORDER BY pick.p
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic, mergeable
+# ---------------------------------------------------------------------------
+
+#: Sketch size. Relative error ~ 1/sqrt(k-2) ≈ 13% — k is kept small
+#: here so the merged-candidate relation stays visibly tiny; raise k
+#: for tighter estimates (k=1024 → ~3%) at k rows/shard of state.
+_KMV_K = 64
+#: Hash domain: 15 hex digits of md5 = 60 uniform bits.
+_KMV_M = float(1 << 60)
+
+
+def q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch WITH a full value oracle — the
+    deterministic alternative to HLL (whose register encodings are
+    engine-specific, which is why `approx_distinct_users` and
+    `hll_merge_consistency` are the registry's only rows-only
+    queries). KMV (Bar-Yossef et al. 2002, public): keep the k
+    smallest DISTINCT hash values; the k-th smallest V_k estimates
+    the cardinality as (k−1)·M/V_k, and sketches MERGE exactly — the
+    k smallest of the union of per-shard k-smallest sets IS the k
+    smallest of the union (an order statistic, not an approximation,
+    so unlike HLL the merge itself is lossless and engine-portable).
+
+    The query builds one sketch per event_type shard (k-smallest
+    window over the per-shard distinct hashes), union-merges them,
+    and emits the summary row: k_n (merged sketch fill), the k-th
+    hash (exact integer), the estimate (exact-branch when fewer than
+    k distinct values exist — the sketch IS the set then), and the
+    exact distinct count with realized error as verification columns.
+    Hashes are md5-derived 60-bit integers computed identically in
+    both engines (the cms_token_counts discipline), so DuckDB
+    recomputes the ENTIRE sketch one-pass: merge ≡ recompute is the
+    oracle, the same contract as quantile_sketch_merge /
+    incremental_agg_merge — this closes the mergeable-summary family:
+    count/sum/min/max (r6), p50/p99 (r7), COUNT DISTINCT (r7).
+
+    Scale shape: per-shard distinct + k-smallest window shuffle by
+    (shard, hash) with map-side combine; the merged candidate set is
+    shards×k rows; exact COUNT(DISTINCT) is verification-only."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT)")
+    shard_hashes = (ev.select("event_type", h.alias("h")).distinct())
+    w = Window.partitionBy("event_type").orderBy("h")
+    per_shard = (shard_hashes
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= _KMV_K))
+    # The merge: k smallest of the union of per-shard sketches.
+    # shards x k rows -> the single-partition window is constant-size.
+    merged = (per_shard.select("h").distinct()
+              .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+              .filter(F.col("rn") <= _KMV_K))
+    summary = merged.agg(F.count("*").alias("k_n"),
+                         F.max("h").alias("kth_hash"))
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    est = F.when(
+        F.col("k_n") < _KMV_K, F.col("k_n").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_M)
+        / F.col("kth_hash").cast("double"))
+    return (summary.crossJoin(F.broadcast(exact))
+            .withColumn("est_distinct", est)
+            .select("k_n", "kth_hash", "est_distinct", "exact_distinct",
+                    ((F.col("est_distinct")
+                      - F.col("exact_distinct").cast("double"))
+                     / F.col("exact_distinct").cast("double"))
+                    .alias("rel_err")))
+
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events),
+k AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K}),
+s AS (SELECT COUNT(*) AS k_n, MAX(h) AS kth_hash FROM k),
+e AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+j AS (
+  SELECT s.k_n, s.kth_hash,
+         CASE WHEN s.k_n < {_KMV_K} THEN CAST(s.k_n AS DOUBLE)
+              ELSE {float(_KMV_K - 1)!r} * {_KMV_M!r}
+                   / CAST(s.kth_hash AS DOUBLE) END AS est_distinct,
+         e.exact_distinct
+  FROM s, e)
+SELECT k_n, kth_hash, est_distinct, exact_distinct,
+       (est_distinct - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_err
+FROM j
+"""
+
+
 QUERIES = {
     "cms_token_counts": (q_cms_token_counts, _CMS_SQL),
     "quantile_sketch_merge": (q_quantile_sketch_merge, _QSK_SQL),
+    "kmv_distinct_merge": (q_kmv_distinct_merge, _KMV_SQL),
     "approx_distinct_users": (q_approx_distinct_users, None),
     # Full oracle since r7: exact DISC quantiles + the deterministic
     # GK rank-bound check (TRUE on both engines).

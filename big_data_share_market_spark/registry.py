@@ -54,18 +54,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (d) rotation: 32 of the 42 queries whose last green driver row
 #:       is STILL round 1 (the relational/TPC-H family).
 #:
-#: ROUND-8 ROTATION NOTE: rotate the 10 deferred r1 rows
-#: {small_quantity_revenue, disjunctive_revenue,
-#: high_volume_part_suppliers, suppliers_kept_waiting,
-#: idle_customer_balance, cohort_retention, zorder_key,
-#: salted_skew_agg, orders_grouping_sets, top_revenue_supplier}
-#: first, then the r2 family (streams, strategies, patterns,
-#: heikin_ashi/renko/raindrop, exact-dedup siblings) — plus, as
-#: always, front-load r8 additions and anything r8 code changes
-#: touch.
+#: ROUND-8 ROTATION NOTE: rotate the 12 deferred r1 rows
+#: {important_part_value, promo_revenue, small_quantity_revenue,
+#: disjunctive_revenue, high_volume_part_suppliers,
+#: suppliers_kept_waiting, idle_customer_balance, cohort_retention,
+#: zorder_key, salted_skew_agg, orders_grouping_sets,
+#: top_revenue_supplier} first, then the r2 family (streams,
+#: strategies, patterns, heikin_ashi/renko/raindrop, exact-dedup
+#: siblings) — plus, as always, front-load r8 additions and anything
+#: r8 code changes touch.
 _FIRST_50 = (
     # --- (a) round-7 additions ---
-    "aqe_skew_join", "quantile_sketch_merge",
+    "aqe_skew_join", "quantile_sketch_merge", "kmv_distinct_merge",
+    "stream_quantile_sketch",
     # --- (b) upgraded rows-only -> full oracle ---
     "approx_value_quantiles", "cosine_topk_numpy",
     # --- (c) r7 perf/refactor re-verification ---
@@ -84,8 +85,7 @@ _FIRST_50 = (
     "top_supplier_per_nation", "customer_order_distribution",
     "large_volume_orders", "late_shipment_priorities",
     "forecast_revenue", "bilateral_volume", "market_share",
-    "product_profit", "returned_item_revenue", "important_part_value",
-    "promo_revenue",
+    "product_profit", "returned_item_revenue",
 )
 
 

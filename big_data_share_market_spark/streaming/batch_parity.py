@@ -794,6 +794,76 @@ def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv_final_frame(spark, root)
 
 
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE p50/p90/p99 maintenance — the streaming twin of
+    operators/sketches.q_quantile_sketch_merge, closing the
+    incremental-MV family end-to-end: count/sum/min/max stream-merge
+    (q_stream_mv_merge), and now quantiles. The fixed-boundary
+    histogram is the ONLY quantile summary that supports this shape:
+    per-batch partial histograms ADD (associative integer counts), so
+    each arriving order micro-batch folds into the running histogram
+    with one bucket-keyed full-outer join inside foreachBatch —
+    copy-on-write generations named by the checkpointed batch id,
+    exactly-once across restarts structurally (the
+    mv_merge_foreach guard pattern, kill/resume-proven in
+    tests/test_streaming_restart.py for the shared machinery).
+
+    The final frame reads the quantiles off the merged histogram with
+    the IDENTICAL extraction the batch twin uses, so the oracle is
+    the same one-pass recompute SQL: a live dashboard's p99 equals
+    what a from-scratch batch job would compute — the IVM contract.
+    State per generation = bucket count (~107 rows), independent of
+    stream volume."""
+    import os
+    import uuid
+
+    from ..operators.sketches import _QSK_W, _qsk_hist, qsk_quantiles
+
+    root = ("/tmp/bdsm_qsk" + sf_dir.replace("/", "_").replace(".", "_")
+            + "_" + uuid.uuid4().hex[:8])
+    _scratch_ring(_MV_RUNS, sf_dir, root)
+    os.makedirs(root, exist_ok=True)
+
+    from ..tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    (_qsk_hist(orders.filter(F.col("o_orderkey") % 10 < 8))
+     .withColumnRenamed("count", "n")
+     .write.parquet(f"{root}/{_MV_SEED}"))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        dest = f"{root}/gen_b{batch_id}"
+        if os.path.exists(f"{dest}/_SUCCESS"):
+            return  # replay of an already-applied batch
+        cur = spark.read.parquet(mv_committed_gens(root)[-1][1])
+        b = (_qsk_hist(batch_df)
+             .withColumnRenamed("count", "dn"))
+        zero = F.lit(0).cast("long")
+        merged = (cur.join(b, "bucket", "full_outer")
+                  .select("bucket",
+                          (F.coalesce("n", zero)
+                           + F.coalesce("dn", zero)).alias("n")))
+        merged.write.mode("overwrite").parquet(dest)
+
+    delta = _orders_stream(spark, sf_dir).filter(
+        F.col("o_orderkey") % 10 >= 8)
+    q = (delta.writeStream
+         .foreachBatch(merge)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    hist = spark.read.parquet(mv_committed_gens(root)[-1][1])
+    return qsk_quantiles(spark, hist, orders)
+
+
+def _stream_qsk_sql() -> str:
+    """Oracle for q_stream_quantile_sketch: the batch twin's one-pass
+    recompute (same extraction, same columns)."""
+    from ..operators.sketches import _QSK_SQL
+    return _QSK_SQL
+
+
 #: Oracle for q_stream_mv_merge: the single-pass aggregate the merged
 #: generations must equal (identical to the batch twin's oracle).
 _STREAM_MV_SQL = """
@@ -1042,4 +1112,5 @@ QUERIES = {
     "stream_kalman_per_key": (q_stream_kalman_per_key,
                               _stream_kalman_sql()),
     "stream_mv_merge": (q_stream_mv_merge, _STREAM_MV_SQL),
+    "stream_quantile_sketch": (q_stream_quantile_sketch, _stream_qsk_sql()),
 }

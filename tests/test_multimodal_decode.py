@@ -540,3 +540,48 @@ def test_gif_roundtrip_property():
         assert (dec == img).all()
 
     run()
+
+
+def test_netpbm_roundtrip_all_variants():
+    """Every P1-P6 variant must round-trip through decode_image,
+    including comment-littered headers, 16-bit binary samples
+    (maxval 65535 downscale), and non-byte-aligned P4 widths (row
+    padding). Bitmap kinds quantize at 128, so the fixture uses pure
+    black/white for them."""
+    import numpy as np
+
+    from big_data_share_market_spark.operators.multimodal import (
+        decode_image)
+    from big_data_share_market_spark.operators.netpbm import (
+        decode_netpbm, encode_netpbm)
+
+    rng = np.random.default_rng(7)
+    color = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    gray = np.repeat(rng.integers(0, 256, (5, 9, 1), dtype=np.uint8),
+                     3, axis=2)
+    bw = np.repeat(
+        (rng.integers(0, 2, (5, 13, 1), dtype=np.uint8) * 255), 3, axis=2)
+
+    for kind in (1, 4):  # bitmaps, incl. width 13 (byte padding)
+        enc = encode_netpbm(bw, kind, comment="bitmap fixture")
+        assert (decode_image(enc) == bw).all(), kind
+    for kind in (2, 5):
+        enc = encode_netpbm(gray, kind, comment="gray fixture")
+        assert (decode_image(enc) == gray).all(), kind
+    for kind in (3, 6):
+        enc = encode_netpbm(color, kind)
+        assert (decode_image(enc) == color).all(), kind
+
+    # 16-bit binary gray/color: scale up then back down exactly.
+    for kind in (5, 6):
+        src = gray if kind == 5 else color
+        enc = encode_netpbm(src, kind, maxval=65535)
+        assert (decode_image(enc) == src).all(), kind
+
+    # Malformed payloads raise the contract exception.
+    import pytest
+    for bad in (b"P7\n1 1\n255\n\x00", b"P6\n4 4\n255\n\x00\x01",
+                b"P2\n2 2\n255\n1 2 3", b"P3\n0 0\n255\n",
+                b"P2\n2 1\n255\nx y"):
+        with pytest.raises(NotImplementedError):
+            decode_netpbm(bad)

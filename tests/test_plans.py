@@ -33,6 +33,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # 3-row probe frame, and 1-row exact-percentile frame
             # crossJoined onto the ~107-row cumulative histogram (r7)
             "quantile_sketch_merge",
+            # 1-row sketch summary x 1-row exact-distinct verification
+            # crossJoin (r7)
+            "kmv_distinct_merge",
             # broadcast 1-row query vector onto the quantized scan
             "sq8_topk",
             # broadcast 1-row query (code words + embedding) onto the

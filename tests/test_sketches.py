@@ -128,3 +128,46 @@ def test_quantile_sketch_histogram_merges_exactly(spark):
             for r in shard.collect():
                 summed[r.bucket] = summed.get(r.bucket, 0) + r["count"]
         assert summed == one_pass, n_shards
+
+
+def test_kmv_exact_branch_and_estimate(spark):
+    """sf0.001 has 15 distinct users < k=64, so the sketch IS the set
+    and the estimate must be exactly the distinct count (the KMV
+    small-cardinality rule); at sf0.01 (150 users >= k) the estimator
+    kicks in and must land within the loose 3-sigma band
+    (~3/sqrt(k-2) ≈ 40%) of truth."""
+    r = sketches.q_kmv_distinct_merge(spark, SF_DIR).collect()[0]
+    assert r.k_n == r.exact_distinct == 15
+    assert r.est_distinct == 15.0 and r.rel_err == 0.0
+    r2 = sketches.q_kmv_distinct_merge(
+        spark, "/root/testdata/sf0.01").collect()[0]
+    assert r2.k_n == sketches._KMV_K
+    assert r2.exact_distinct == 150
+    assert abs(r2.rel_err) < 0.40, r2
+
+
+def test_kmv_sketch_merges_exactly(spark):
+    """The KMV merge is an ORDER STATISTIC, not an approximation: the
+    k smallest of the union of per-shard k-smallest sets equals the k
+    smallest over all distinct hashes, for any disjoint sharding —
+    the property that lets this sketch carry a merge ≡ recompute
+    oracle where HLL cannot."""
+    from pyspark.sql import functions as F
+    from big_data_share_market_spark.tables import load_table
+
+    sfd = "/root/testdata/sf0.01"
+    ev = load_table(spark, sfd, "events")
+    h = F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT)")
+    one_pass = [r.h for r in
+                (ev.select(h.alias("h")).distinct()
+                 .orderBy("h").limit(sketches._KMV_K)).collect()]
+    for n_shards in (3, 7):
+        per_shard = []
+        for s in range(n_shards):
+            shard = (ev.filter(F.col("event_id") % n_shards == s)
+                     .select(h.alias("h")).distinct()
+                     .orderBy("h").limit(sketches._KMV_K))
+            per_shard.extend(r.h for r in shard.collect())
+        merged = sorted(set(per_shard))[:sketches._KMV_K]
+        assert merged == one_pass, n_shards
