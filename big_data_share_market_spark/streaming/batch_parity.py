@@ -695,11 +695,12 @@ def mv_committed_gens(root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def mv_merge_foreach(spark: SparkSession, root: str):
-    """foreachBatch body for the copy-on-write MV refresh, EXACTLY
-    ONCE across restarts. Aggregate merges are not replay-idempotent
-    by nature, so the sink anchors on the checkpointed batch id (what
-    every real IVM sink does — cf. Delta's txn version):
+def generation_sink(spark: SparkSession, root: str, merge_fn):
+    """foreachBatch body for a copy-on-write mergeable-state sink,
+    EXACTLY ONCE across restarts. Aggregate merges are not
+    replay-idempotent by nature, so the sink anchors on the
+    checkpointed batch id (what every real IVM sink does — cf.
+    Delta's txn version):
 
     * each batch writes generation ``gen_b<batch_id>`` (deterministic
       name) on top of the latest COMMITTED generation;
@@ -709,15 +710,29 @@ def mv_merge_foreach(spark: SparkSession, root: str):
     * a crash mid-write leaves no _SUCCESS: the replay overwrites the
       partial dir (mode=overwrite) and applies once.
 
-    tests/test_streaming_restart.py kills a live query at both crash
-    points and proves the resumed MV equals the uninterrupted run."""
+    ``merge_fn(current_state_df, batch_df) -> next_state_df`` supplies
+    the state algebra (customer-MV full-outer merge, histogram add,
+    …); the guard is shared, so
+    tests/test_streaming_restart.py's kill/resume proof covers every
+    sink built on this."""
     import os
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
+    def foreach(batch_df: DataFrame, batch_id: int) -> None:
         dest = f"{root}/gen_b{batch_id}"
         if os.path.exists(f"{dest}/_SUCCESS"):
             return  # replay of an already-applied batch
         cur = spark.read.parquet(mv_committed_gens(root)[-1][1])
+        merge_fn(cur, batch_df).write.mode("overwrite").parquet(dest)
+
+    return foreach
+
+
+def mv_merge_foreach(spark: SparkSession, root: str):
+    """generation_sink instantiation for the per-customer order MV
+    (count / decimal sum / min / max partial states, one
+    customer-keyed full-outer merge)."""
+
+    def merge(cur: DataFrame, batch_df: DataFrame) -> DataFrame:
         b = (mv_partial(batch_df)
              .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
              .withColumnRenamed("min_d", "dmin")
@@ -736,9 +751,9 @@ def mv_merge_foreach(spark: SparkSession, root: str):
                               F.coalesce("dmin", "min_d")).alias("min_d"),
                       F.greatest(F.coalesce("max_d", "dmax"),
                                  F.coalesce("dmax", "max_d")).alias("max_d")))
-        merged.write.mode("overwrite").parquet(dest)
+        return merged
 
-    return merge
+    return generation_sink(spark, root, merge)
 
 
 def mv_final_frame(spark: SparkSession, root: str) -> DataFrame:
@@ -831,24 +846,18 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
      .withColumnRenamed("count", "n")
      .write.parquet(f"{root}/{_MV_SEED}"))
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        dest = f"{root}/gen_b{batch_id}"
-        if os.path.exists(f"{dest}/_SUCCESS"):
-            return  # replay of an already-applied batch
-        cur = spark.read.parquet(mv_committed_gens(root)[-1][1])
-        b = (_qsk_hist(batch_df)
-             .withColumnRenamed("count", "dn"))
+    def merge(cur: DataFrame, batch_df: DataFrame) -> DataFrame:
+        b = _qsk_hist(batch_df).withColumnRenamed("count", "dn")
         zero = F.lit(0).cast("long")
-        merged = (cur.join(b, "bucket", "full_outer")
-                  .select("bucket",
-                          (F.coalesce("n", zero)
-                           + F.coalesce("dn", zero)).alias("n")))
-        merged.write.mode("overwrite").parquet(dest)
+        return (cur.join(b, "bucket", "full_outer")
+                .select("bucket",
+                        (F.coalesce("n", zero)
+                         + F.coalesce("dn", zero)).alias("n")))
 
     delta = _orders_stream(spark, sf_dir).filter(
         F.col("o_orderkey") % 10 >= 8)
     q = (delta.writeStream
-         .foreachBatch(merge)
+         .foreachBatch(generation_sink(spark, root, merge))
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True)
          .start())
