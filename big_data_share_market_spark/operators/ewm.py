@@ -134,11 +134,50 @@ def _apply_ewm(df: DataFrame, order_cols: list[str], value_cols: dict[str, tuple
     return res
 
 
+def _dense_layout_ok(n: int, n_segs: int, max_len: int) -> bool:
+    """Guard for the across-key matrix layout: a (segments × max_len)
+    NaN-padded matrix is O(segments · longest-segment) cells, which
+    under SKEWED per-key lengths (one 50k-row key + 10k singleton
+    keys) blows up quadratically where the scalar loop is O(n). Allow
+    the dense path when padding waste is bounded (≤4× the real rows)
+    or the matrix is small outright; otherwise the kernels fall back
+    to the exact same scalar recurrence (bit-identical either way —
+    the fallback IS the reference loop the property tests pin
+    against)."""
+    cells = n_segs * max_len
+    return cells <= max(4 * n, 1 << 16)
+
+
+def _ewm_scalar(keys, xs, alpha: float, carry_key, acc: float,
+                started: bool):
+    """Reference row loop (the pre-r7 kernel body): one EMA pass over
+    a batch with NaN-skip-carry semantics. Returns (out, acc,
+    started)."""
+    res = np.empty(len(xs), dtype=np.float64)
+    prev_key = carry_key
+    for i in range(len(xs)):
+        if keys[i] != prev_key:
+            acc, started = math.nan, False
+            prev_key = keys[i]
+        x = xs[i]
+        if math.isnan(x):
+            res[i] = acc if started else math.nan
+        elif not started:
+            acc, started = x, True
+            res[i] = acc
+        else:
+            acc = acc + alpha * (x - acc)
+            res[i] = acc
+    return res, acc, started
+
+
 def _ewm_kernel(specs: list[tuple[str, tuple[str, float]]], key_col: str):
     """Arrow kernel for :func:`_apply_ewm` (see its docstring for the
-    across-key vectorization argument). Module-level factory so
-    tests/test_pandas_parity.py can drive it directly with synthetic
-    batch splits and assert bit-equality against :func:`ewm_mean`."""
+    across-key vectorization argument; skewed-segment batches take
+    the scalar fallback, see :func:`_dense_layout_ok`). Module-level
+    factory so tests/test_pandas_parity.py can drive it directly with
+    synthetic batch splits and assert bit-equality against
+    :func:`ewm_mean`."""
 
     def kernel(batches):
         carry_key = None
@@ -153,10 +192,22 @@ def _ewm_kernel(specs: list[tuple[str, tuple[str, float]]], key_col: str):
             seg_lens = np.concatenate((starts[1:], [n])) - starts
             n_segs = len(starts)
             max_len = int(seg_lens.max())
-            seg_of_row = np.repeat(np.arange(n_segs), seg_lens)
-            pos_of_row = np.arange(n) - starts[seg_of_row]
             continues = keys[0] == carry_key
             outs = {}
+            if not _dense_layout_ok(n, n_segs, max_len):
+                for out_name, (in_name, alpha) in specs:
+                    xs = pdf[in_name].to_numpy(dtype=np.float64,
+                                               na_value=np.nan)
+                    acc, started = carry.get(out_name, (math.nan, False))
+                    res, acc, started = _ewm_scalar(
+                        keys, xs, alpha, carry_key, acc, started)
+                    carry[out_name] = (acc, started)
+                    outs[out_name] = res
+                carry_key = keys[-1]
+                yield pdf.assign(**outs)
+                continue
+            seg_of_row = np.repeat(np.arange(n_segs), seg_lens)
+            pos_of_row = np.arange(n) - starts[seg_of_row]
             for out_name, (in_name, alpha) in specs:
                 xs = pdf[in_name].to_numpy(dtype=np.float64, na_value=np.nan)
                 xmat = np.full((n_segs, max_len), np.nan)
@@ -1098,23 +1149,42 @@ def _kalman_kernel():
             extend(int((offsets + seg_lens).max()))
             n_segs = len(starts)
             max_len = int(seg_lens.max())
-            seg_of_row = np.repeat(np.arange(n_segs), seg_lens)
-            pos_of_row = np.arange(n) - starts[seg_of_row]
-            ymat = np.full((n_segs, max_len), np.nan)
-            ymat[seg_of_row, pos_of_row] = ys
-            lmat = np.empty_like(ymat)
-            lprev = np.zeros(n_segs)
-            if keys[0] == carry_key:  # seg 0 continues the last batch
-                lprev[0] = carry_lvl
-            for t in range(max_len):
-                y = ymat[:, t]
-                rn_t = offsets + t + 1
-                k = k_tab[np.minimum(rn_t, len(k_tab) - 1)]
-                lvl = np.where(rn_t == 1, y, lprev + k * (y - lprev))
-                lvl = np.where(t < seg_lens, lvl, lprev)
-                lmat[:, t] = lvl
-                lprev = lvl
-            out_l = lmat[seg_of_row, pos_of_row]
+            if not _dense_layout_ok(n, n_segs, max_len):
+                # Skewed segment lengths: the padded matrix would be
+                # far larger than the batch — run the level recurrence
+                # as the reference row loop (gains/variances stay
+                # table lookups; identical arithmetic either way).
+                # rn == 1 IS the key-reset marker (row_number per
+                # key), so no key tracking is needed here.
+                out_l = np.empty(n, dtype=np.float64)
+                lvl = carry_lvl
+                for i in range(n):
+                    rn = rns[i]
+                    y = ys[i]
+                    if rn == 1:
+                        lvl = y
+                    else:
+                        k = k_tab[rn]
+                        lvl = lvl + k * (y - lvl)
+                    out_l[i] = lvl
+            else:
+                seg_of_row = np.repeat(np.arange(n_segs), seg_lens)
+                pos_of_row = np.arange(n) - starts[seg_of_row]
+                ymat = np.full((n_segs, max_len), np.nan)
+                ymat[seg_of_row, pos_of_row] = ys
+                lmat = np.empty_like(ymat)
+                lprev = np.zeros(n_segs)
+                if keys[0] == carry_key:  # seg 0 continues last batch
+                    lprev[0] = carry_lvl
+                for t in range(max_len):
+                    y = ymat[:, t]
+                    rn_t = offsets + t + 1
+                    k = k_tab[np.minimum(rn_t, len(k_tab) - 1)]
+                    lvl = np.where(rn_t == 1, y, lprev + k * (y - lprev))
+                    lvl = np.where(t < seg_lens, lvl, lprev)
+                    lmat[:, t] = lvl
+                    lprev = lvl
+                out_l = lmat[seg_of_row, pos_of_row]
             out_p = p_tab[rns]
             out_k = k_tab[rns]
             carry_key = keys[-1]

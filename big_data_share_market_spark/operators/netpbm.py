@@ -83,12 +83,28 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
 
     if kind in (1, 2, 3):  # ASCII rasters
         if kind == 1:
-            # P1 allows unseparated digits ('0110'); tokenize bytes.
-            bits = [c - 0x30 for c in payload[pos:]
-                    if c in (0x30, 0x31)]
+            # P1 allows unseparated digits ('0110') — but '#'
+            # comments remain legal wherever whitespace is, and any
+            # character other than 0/1/whitespace/comment is an
+            # error, so walk the bytes instead of filtering digits.
+            bits: list[int] = []
+            i = pos
+            ln = len(payload)
+            while i < ln and len(bits) < n_samples:
+                c = payload[i]
+                if c == 0x23:  # '#': comment to EOL
+                    while i < ln and payload[i] not in (0x0A, 0x0D):
+                        i += 1
+                elif c in (0x30, 0x31):
+                    bits.append(c - 0x30)
+                    i += 1
+                elif payload[i:i + 1].isspace():
+                    i += 1
+                else:
+                    raise _bad(f"invalid P1 raster byte {c:#x}")
             if len(bits) < n_samples:
                 raise _bad("truncated P1 raster")
-            samples = np.array(bits[:n_samples], dtype=np.uint16)
+            samples = np.array(bits, dtype=np.uint16)
         else:
             vals, _ = _tokens(payload, n_samples, pos)
             samples = np.array(vals, dtype=np.uint16)

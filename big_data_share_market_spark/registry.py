@@ -51,7 +51,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:       cosine_topk shares the re-shaped numpy twin's oracle;
 #:       stream_upsert_idempotent re-anchors the upsert sink the
 #:       restart test exercises;
-#:   (d) rotation: 32 of the 42 queries whose last green driver row
+#:   (d) rotation: 30 of the 42 queries whose last green driver row
 #:       is STILL round 1 (the relational/TPC-H family).
 #:
 #: ROUND-8 ROTATION NOTE: rotate the 12 deferred r1 rows

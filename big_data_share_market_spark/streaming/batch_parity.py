@@ -649,6 +649,11 @@ ORDER BY q_id, cosine DESC, vec_id
 #: Scratch-dir ring for q_stream_mv_merge generations.
 _MV_RUNS: dict[str, list[str]] = {}
 
+#: Separate ring for q_stream_quantile_sketch: the rings are per
+#: QUERY (keyed by sf_dir within each), so one query's invocations
+#: can never evict another query's still-readable lazy results.
+_QSK_RUNS: dict[str, list[str]] = {}
+
 #: Partial-state sum width: Spark's SUM over DECIMAL(25,6) yields
 #: DECIMAL(35,6); the state keeps that width so merge adds stay exact.
 _MV_DEC = "decimal(35,6)"
@@ -832,11 +837,11 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import uuid
 
-    from ..operators.sketches import _QSK_W, _qsk_hist, qsk_quantiles
+    from ..operators.sketches import _qsk_hist, qsk_quantiles
 
     root = ("/tmp/bdsm_qsk" + sf_dir.replace("/", "_").replace(".", "_")
             + "_" + uuid.uuid4().hex[:8])
-    _scratch_ring(_MV_RUNS, sf_dir, root)
+    _scratch_ring(_QSK_RUNS, sf_dir, root)
     os.makedirs(root, exist_ok=True)
 
     from ..tables import load_table

@@ -369,3 +369,54 @@ def test_ewm_kernel_bit_equals_scalar_loop():
         np.testing.assert_array_equal(got["e"].to_numpy(), want)
 
     run()
+
+
+def test_skewed_batch_takes_scalar_fallback_bit_equal():
+    """Review fix (r7): a batch with one long key + many singleton
+    keys must NOT materialize the (segments × max_len) padded matrix
+    (quadratic in the batch under skew) — _dense_layout_ok routes it
+    through the scalar loop, and the output must still be
+    bit-identical. Exercises both kernels on a layout where
+    cells = 401 × 2000 ≫ max(4·n, 2^16)."""
+    from big_data_share_market_spark.operators.ewm import (
+        _KAL_Q, _KAL_R, _dense_layout_ok, _ewm_kernel, _kalman_kernel,
+        ewm_mean)
+
+    rng = np.random.default_rng(13)
+    long_key = pd.DataFrame({
+        "user_id": 0, "close": 100 + rng.standard_normal(2000).cumsum()})
+    singles = pd.DataFrame({
+        "user_id": np.arange(1, 401),
+        "close": 100 + rng.standard_normal(400)})
+    pdf = pd.concat([long_key, singles], ignore_index=True)
+    n = len(pdf)
+    assert not _dense_layout_ok(n, 401, 2000)
+    assert _dense_layout_ok(66 * 150, 150, 66)  # fixture shape stays dense
+
+    alpha = 2 / 6
+    got = pd.concat(list(_ewm_kernel([("e", ("close", alpha))], "user_id")(
+        iter([pdf]))), ignore_index=True)
+    want = np.concatenate([
+        ewm_mean(long_key["close"].to_numpy(), alpha),
+        singles["close"].to_numpy(dtype=np.float64)])
+    np.testing.assert_array_equal(got["e"].to_numpy(), want)
+
+    kin = pdf.assign(rn=np.concatenate([np.arange(1, 2001),
+                                        np.ones(400, dtype=int)]))
+    kgot = pd.concat(list(_kalman_kernel()(iter([kin]))),
+                     ignore_index=True)
+    import math
+    lvl, p = None, None
+    want_l = []
+    for y in long_key["close"]:
+        if lvl is None:
+            lvl, p = float(y), 1.0
+        else:
+            pp = p + _KAL_Q
+            k = pp / (pp + _KAL_R)
+            lvl = lvl + k * (float(y) - lvl)
+            p = (1.0 - k) * pp
+        want_l.append(lvl)
+    want_l.extend(float(y) for y in singles["close"])
+    np.testing.assert_array_equal(kgot["kal_level"].to_numpy(),
+                                  np.array(want_l))

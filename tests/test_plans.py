@@ -584,3 +584,64 @@ def test_aqe_skew_join_splits_hot_partitions(spark):
     assert "skew=true" not in base._jdf.queryExecution() \
         .executedPlan().toString()
     assert [tuple(r) for r in rows] == [tuple(r) for r in base_rows]
+
+
+def test_plan_report_dedups_nested_staged_subtrees():
+    """Review fix (r7): a cached relation referenced from INSIDE
+    another cached relation's build subtree must also be counted
+    once — pass 2 recurses into captured bodies. Synthetic plan:
+    main reads cache X twice; X's build reads cache Y twice; Y's
+    build holds one exchange."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_report import count_plan, split_staged_subtrees
+
+    y_build = [
+        "               +- InMemoryRelation [y#5L], StorageLevel(disk, memory, 1 replicas)",
+        "                     +- Exchange hashpartitioning(y#5L, 8), ENSURE_REQUIREMENTS",
+        "                        +- FileScan parquet [y#5L]",
+    ]
+    x_build = [
+        "      +- InMemoryRelation [x#1L], StorageLevel(disk, memory, 1 replicas)",
+        "            +- Union",
+        "               :- InMemoryTableScan [y#5L]",
+        *["   " + ln for ln in ()],  # (structure clarity only)
+        y_build[0].replace("+- ", ":     +- ", 1).replace(
+            "               :", "               :", 1),
+    ]
+    # Build the plan text explicitly: main tree reads X twice.
+    plan = "\n".join([
+        "Union",
+        ":- InMemoryTableScan [x#1L]",
+        ":     +- InMemoryRelation [x#1L], StorageLevel(disk, memory, 1 replicas)",
+        ":           +- Union",
+        ":              :- InMemoryTableScan [y#5L]",
+        ":              :     +- InMemoryRelation [y#5L], StorageLevel(disk, memory, 1 replicas)",
+        ":              :           +- Exchange hashpartitioning(y#5L, 8), ENSURE_REQUIREMENTS",
+        ":              :              +- FileScan parquet [y#5L]",
+        ":              +- InMemoryTableScan [y#5L]",
+        ":                    +- InMemoryRelation [y#5L], StorageLevel(disk, memory, 1 replicas)",
+        ":                          +- Exchange hashpartitioning(y#5L, 8), ENSURE_REQUIREMENTS",
+        ":                             +- FileScan parquet [y#5L]",
+        "+- InMemoryTableScan [x#1L]",
+        "      +- InMemoryRelation [x#1L], StorageLevel(disk, memory, 1 replicas)",
+        "            +- Union",
+        "               :- InMemoryTableScan [y#5L]",
+        "               :     +- InMemoryRelation [y#5L], StorageLevel(disk, memory, 1 replicas)",
+        "               :           +- Exchange hashpartitioning(y#5L, 8), ENSURE_REQUIREMENTS",
+        "               :              +- FileScan parquet [y#5L]",
+        "               +- InMemoryTableScan [y#5L]",
+        "                     +- InMemoryRelation [y#5L], StorageLevel(disk, memory, 1 replicas)",
+        "                           +- Exchange hashpartitioning(y#5L, 8), ENSURE_REQUIREMENTS",
+        "                              +- FileScan parquet [y#5L]",
+    ])
+    main, subtrees = split_staged_subtrees(plan)
+    assert len(subtrees) == 2  # X and Y, once each
+    counts = count_plan(plan)
+    # Exactly ONE exchange total: Y's build, counted once — the raw
+    # text holds four copies of it.
+    assert counts["exch"] == 1, counts
+    # Cache READS stay per-reference: 2 of X in main + 2 of Y inside
+    # X's (deduped) build.
+    assert counts["staged"] == 4, counts

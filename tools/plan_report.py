@@ -50,8 +50,13 @@ def split_staged_subtrees(plan: str) -> tuple[str, dict[str, str]]:
     builds the cache once and reuses one InMemoryTableScan. This
     prunes every InMemoryRelation's child subtree from the main tree
     and returns each DISTINCT staged subtree exactly once (keyed on
-    the relation header with expression ids normalised), matching the
-    executed shape: main tree + one build per staged relation.
+    the exact relation header text — the same cached relation prints
+    the same expression ids at every reference within one plan, while
+    distinct relations sharing column names differ in ids), matching
+    the executed shape: main tree + one build per staged relation.
+    Dedup recurses into captured build subtrees, so a cached relation
+    referenced from inside ANOTHER cached relation's build is also
+    counted once (review fix r7).
     """
     # Pass 1 — drop every `== Initial Plan ==` section: executed
     # AdaptiveSparkPlans (cache materialisations run before explain)
@@ -78,35 +83,38 @@ def split_staged_subtrees(plan: str) -> tuple[str, dict[str, str]]:
         stripped.append(line)
         i += 1
 
-    # Pass 2 — dedupe InMemoryRelation build subtrees.
-    main: list[str] = []
+    # Pass 2 — dedupe InMemoryRelation build subtrees, recursively:
+    # a body captured for a new relation is itself deduped, so nested
+    # cached references inside it collapse into the same dict.
     subtrees: dict[str, str] = {}
-    lines = stripped
-    i = 0
-    while i < len(lines):
-        line = lines[i]
-        depth = _DEPTH.match(line).end()
-        if line[depth:].startswith("InMemoryRelation"):
-            j = i + 1
-            body: list[str] = []
-            while j < len(lines):
-                d2 = _DEPTH.match(lines[j]).end()
-                if d2 <= depth or d2 >= len(lines[j]):
-                    break
-                body.append(lines[j])
-                j += 1
-            # Exact header text: the same cached relation prints the
-            # same expression ids at every reference within one plan,
-            # while distinct relations sharing column NAMES differ in
-            # ids — so no id normalisation.
-            key = line[depth:]
-            subtrees.setdefault(key, "\n".join(body))
-            main.append(line)
-            i = j
-        else:
-            main.append(line)
-            i += 1
-    return "\n".join(main), subtrees
+
+    def dedupe(lines: list[str]) -> list[str]:
+        main: list[str] = []
+        i = 0
+        while i < len(lines):
+            line = lines[i]
+            depth = _DEPTH.match(line).end()
+            if line[depth:].startswith("InMemoryRelation"):
+                j = i + 1
+                body: list[str] = []
+                while j < len(lines):
+                    d2 = _DEPTH.match(lines[j]).end()
+                    if d2 <= depth or d2 >= len(lines[j]):
+                        break
+                    body.append(lines[j])
+                    j += 1
+                key = line[depth:]
+                if key not in subtrees:
+                    subtrees[key] = ""  # claim before recursing (cycles)
+                    subtrees[key] = "\n".join(dedupe(body))
+                main.append(line)
+                i = j
+            else:
+                main.append(line)
+                i += 1
+        return main
+
+    return "\n".join(dedupe(stripped)), subtrees
 
 
 def count_plan(plan: str) -> dict[str, int]:
