@@ -134,6 +134,7 @@ HEADLINE = [
     "quantile_sketch_merge",  # mergeable fixed-bucket quantile summary
     "cosine_topk_numpy",    # numpy shortlist + exact re-rank serving path
     "kmv_distinct_merge",   # mergeable k-minimum-values distinct sketch
+    "grouped_quantile_sketch",  # per-group quantiles, one histogram pass
 ]
 
 

@@ -471,6 +471,110 @@ ORDER BY pick.p
 """
 
 
+def q_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantiles from ONE histogram pass — the grouped
+    generalization of q_quantile_sketch_merge and the shape a corpus
+    dashboard actually renders (p50/p90/p99 per source / per language
+    / per order priority): a single scan builds the (group, bucket)
+    histogram, and every group's quantiles read off its own cumulative
+    slice. The exact alternative (percentile_disc per group) sorts
+    every group's rows; this sorts NOTHING data-sized — the only
+    data-sized work is one map-side-combinable count, then windows
+    over the (groups × ~107)-row histogram.
+
+    Same fixed-boundary bucketing as the merge twin (cent
+    quantization, _QSK_W-wide integer-division buckets), so the
+    output is deterministic integer arithmetic end-to-end:
+    `contains_exact` certifies each group's exact DISC percentile
+    falls inside its reported bucket. o_totalprice is strictly
+    positive, which is what lets the bucket id use integer division
+    (Spark DIV truncates toward zero while DuckDB // floors — they
+    agree only on non-negatives; documented so nobody points this at
+    a signed column)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = (orders.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("vi"))
+        .select("o_orderpriority", F.expr(f"vi DIV {_QSK_W}").alias("bucket"))
+        .groupBy("o_orderpriority", "bucket").count()
+        .withColumnRenamed("count", "n"))
+    wg = (Window.partitionBy("o_orderpriority").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("cum", F.sum("n").over(wg))
+           .withColumn("total", F.sum("n").over(
+               Window.partitionBy("o_orderpriority"))))
+    probes = spark.createDataFrame([(p,) for p in _QSK_PROBES], "p double")
+    picked = (cum.join(F.broadcast(probes),
+                       F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
+              .groupBy("o_orderpriority", "p")
+              .agg(F.min(F.struct("bucket", "n", "cum")).alias("s")))
+    exacts = orders.groupBy("o_orderpriority").agg(F.array(*[
+        F.floor(F.expr(f"percentile_disc({p!r}) WITHIN GROUP "
+                       "(ORDER BY o_totalprice)") * 100).cast("long")
+        for p in _QSK_PROBES]).alias("ex"))
+    idx = F.array(*[F.lit(p) for p in _QSK_PROBES])
+    return (picked.join(F.broadcast(exacts), "o_orderpriority")
+            .select(
+                "o_orderpriority", "p",
+                F.col("s.bucket").alias("bucket"),
+                F.col("s.cum").alias("cum"),
+                (F.col("s.bucket") * _QSK_W).alias("est_lo_cents"),
+                ((F.col("s.bucket") + 1) * _QSK_W).alias("est_hi_cents"),
+                F.col("ex")[F.array_position(idx, F.col("p")) - 1]
+                .alias("exact_cents"))
+            .withColumn("contains_exact",
+                        (F.col("exact_cents") >= F.col("est_lo_cents"))
+                        & (F.col("exact_cents") < F.col("est_hi_cents")))
+            .orderBy("o_orderpriority", "p"))
+
+
+_GROUPED_QSK_SQL = f"""
+WITH q AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) // {_QSK_W} AS bucket
+  FROM orders),
+h AS (SELECT o_orderpriority, bucket, COUNT(*) AS n
+      FROM q GROUP BY o_orderpriority, bucket),
+c AS (SELECT o_orderpriority, bucket, n,
+             SUM(n) OVER (PARTITION BY o_orderpriority
+                          ORDER BY bucket) AS cum,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+      FROM h),
+p AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+pick AS (
+  SELECT c.o_orderpriority, p.p, MIN(c.bucket) AS bucket
+  FROM p JOIN c ON CAST(c.cum AS DOUBLE) >= CEIL(p.p * c.total)
+  GROUP BY c.o_orderpriority, p.p),
+ex AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(quantile_disc(o_totalprice, 0.5) * 100) AS BIGINT)
+           AS e50,
+         CAST(FLOOR(quantile_disc(o_totalprice, 0.9) * 100) AS BIGINT)
+           AS e90,
+         CAST(FLOOR(quantile_disc(o_totalprice, 0.99) * 100) AS BIGINT)
+           AS e99
+  FROM orders GROUP BY o_orderpriority)
+SELECT pick.o_orderpriority, pick.p, pick.bucket,
+       CAST(c.cum AS BIGINT) AS cum,
+       pick.bucket * {_QSK_W} AS est_lo_cents,
+       (pick.bucket + 1) * {_QSK_W} AS est_hi_cents,
+       CASE pick.p WHEN 0.5 THEN ex.e50 WHEN 0.9 THEN ex.e90
+            ELSE ex.e99 END AS exact_cents,
+       CASE pick.p WHEN 0.5 THEN ex.e50 WHEN 0.9 THEN ex.e90
+            ELSE ex.e99 END >= pick.bucket * {_QSK_W}
+         AND CASE pick.p WHEN 0.5 THEN ex.e50 WHEN 0.9 THEN ex.e90
+                  ELSE ex.e99 END < (pick.bucket + 1) * {_QSK_W}
+         AS contains_exact
+FROM pick
+JOIN c ON c.o_orderpriority = pick.o_orderpriority
+      AND c.bucket = pick.bucket
+JOIN ex ON ex.o_orderpriority = pick.o_orderpriority
+ORDER BY pick.o_orderpriority, pick.p
+"""
+
+
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct sketch — deterministic, mergeable
 # ---------------------------------------------------------------------------
@@ -568,6 +672,8 @@ FROM j
 QUERIES = {
     "cms_token_counts": (q_cms_token_counts, _CMS_SQL),
     "quantile_sketch_merge": (q_quantile_sketch_merge, _QSK_SQL),
+    "grouped_quantile_sketch": (q_grouped_quantile_sketch,
+                                _GROUPED_QSK_SQL),
     "kmv_distinct_merge": (q_kmv_distinct_merge, _KMV_SQL),
     "approx_distinct_users": (q_approx_distinct_users, None),
     # Full oracle since r7: exact DISC quantiles + the deterministic

@@ -51,11 +51,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:       cosine_topk shares the re-shaped numpy twin's oracle;
 #:       stream_upsert_idempotent re-anchors the upsert sink the
 #:       restart test exercises;
-#:   (d) rotation: 30 of the 42 queries whose last green driver row
+#:   (d) rotation: 29 of the 42 queries whose last green driver row
 #:       is STILL round 1 (the relational/TPC-H family).
 #:
-#: ROUND-8 ROTATION NOTE: rotate the 12 deferred r1 rows
-#: {important_part_value, promo_revenue, small_quantity_revenue,
+#: ROUND-8 ROTATION NOTE: rotate the 13 deferred r1 rows
+#: {returned_item_revenue, important_part_value, promo_revenue,
+#: small_quantity_revenue,
 #: disjunctive_revenue, high_volume_part_suppliers,
 #: suppliers_kept_waiting, idle_customer_balance, cohort_retention,
 #: zorder_key, salted_skew_agg, orders_grouping_sets,
@@ -66,7 +67,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _FIRST_50 = (
     # --- (a) round-7 additions ---
     "aqe_skew_join", "quantile_sketch_merge", "kmv_distinct_merge",
-    "stream_quantile_sketch",
+    "stream_quantile_sketch", "grouped_quantile_sketch",
     # --- (b) upgraded rows-only -> full oracle ---
     "approx_value_quantiles", "cosine_topk_numpy",
     # --- (c) r7 perf/refactor re-verification ---
@@ -85,7 +86,7 @@ _FIRST_50 = (
     "top_supplier_per_nation", "customer_order_distribution",
     "large_volume_orders", "late_shipment_priorities",
     "forecast_revenue", "bilateral_volume", "market_share",
-    "product_profit", "returned_item_revenue",
+    "product_profit",
 )
 
 

@@ -36,6 +36,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # 1-row sketch summary x 1-row exact-distinct verification
             # crossJoin (r7)
             "kmv_distinct_merge",
+            # broadcast 3-row probe frame range-joined (cum >= target)
+            # onto the (groups x ~107)-row cumulative histogram (r7)
+            "grouped_quantile_sketch",
             # broadcast 1-row query vector onto the quantized scan
             "sq8_topk",
             # broadcast 1-row query (code words + embedding) onto the

@@ -171,3 +171,20 @@ def test_kmv_sketch_merges_exactly(spark):
             per_shard.extend(r.h for r in shard.collect())
         merged = sorted(set(per_shard))[:sketches._KMV_K]
         assert merged == one_pass, n_shards
+
+
+def test_grouped_quantile_sketch_bound_per_group(spark):
+    """Every (group, probe) row must contain its group's exact DISC
+    percentile (the per-group error contract), with 5 priorities x 3
+    probes and monotone bucket picks within each group."""
+    rows = sketches.q_grouped_quantile_sketch(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    by_group: dict = {}
+    for r in rows:
+        assert r.contains_exact, r
+        assert r.est_hi_cents - r.est_lo_cents == sketches._QSK_W
+        by_group.setdefault(r.o_orderpriority, []).append(r)
+    for grp, rs in by_group.items():
+        ps = [r.p for r in rs]
+        assert ps == [0.5, 0.9, 0.99], grp
+        assert rs[0].bucket <= rs[1].bucket <= rs[2].bucket, grp
