@@ -135,6 +135,11 @@ HEADLINE = [
     "cosine_topk_numpy",    # numpy shortlist + exact re-rank serving path
     "kmv_distinct_merge",   # mergeable k-minimum-values distinct sketch
     "grouped_quantile_sketch",  # per-group quantiles, one histogram pass
+    "theil_sen_trend",      # median-of-pairwise-slopes robust trend
+    "kmv_intersection",     # theta-style sketch set intersection
+    "udtf_sessionize",      # Python UDTF PARTITION BY sessionizer
+    "python_datasource_ticks",  # custom Python source, split-planned
+    "python_datasource_sink",   # custom Python sink, manifest commit
 ]
 
 
@@ -173,7 +178,8 @@ def main() -> None:
     stream_timings: dict[str, float] = {}
     for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
                  "stream_ingest_dedup_gate", "stream_atr_per_key",
-                 "stream_bq_topk", "stream_quantile_sketch"):
+                 "stream_bq_topk", "stream_quantile_sketch",
+                 "stream_session_timeout"):
         fn, _ = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

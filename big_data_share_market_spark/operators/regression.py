@@ -130,6 +130,88 @@ FROM mo
 """
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per user: the MEDIAN of all pairwise
+    slopes (value_j − value_i) / Δt_hours over each user's event
+    series — the estimator that shrugs off the outliers an OLS slope
+    chases (up to ~29% contamination). The robust twin of
+    `beta_vs_market` / `ols_price_model` for data-quality trend
+    screens.
+
+    Plan: one self-equi-join on user_id (ts_i < ts_j) fans each key
+    out to its O(n²/2) pairs — bounded, because series length per key
+    is bounded by the fixture design (keys grow with data volume, not
+    series length; see SCALING.md). One window over (user_id) ranks
+    slopes and picks the lower median (percentile_disc semantics) with
+    a deterministic (slope, i, j) tiebreak. For unbounded series,
+    cap pairs per key by striding i — noted, not needed here.
+
+    Cross-engine exactness: slope = double subtraction + one division
+    over identical operands (Δvalue double, Δt exact integer micros
+    cast to double), the same expression text in both engines — every
+    slope is bit-identical, and the discrete median SELECTS one of
+    them, so no rounding is needed anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        # ts is TIMESTAMP_NTZ; the session runs UTC, so the cast to
+        # TIMESTAMP (required by unix_micros) is an exact relabel and
+        # matches DuckDB's epoch_us over the naive timestamp.
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+        F.col("value").alias("v"))
+    return theil_sen_fit(e)
+
+
+def theil_sen_fit(e: DataFrame) -> DataFrame:
+    """Median-of-pairwise-slopes over any (user_id, event_id, t, v)
+    frame (t in integer micros) — split out so the estimator's
+    robustness is testable against a crafted exact-recovery dataset
+    with injected outliers (tests/test_sessions_and_trends.py), not
+    just the noise fixture."""
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.t") < F.col("b.t"))).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("i_id"),
+        F.col("b.event_id").alias("j_id"),
+        ((F.col("b.v") - F.col("a.v"))
+         / ((F.col("b.t") - F.col("a.t")).cast("double") / 3600000000.0)
+         ).alias("slope"))
+    from pyspark.sql import Window
+    wk = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id", "slope",
+        F.row_number().over(
+            wk.orderBy("slope", "i_id", "j_id")).alias("rn"),
+        F.count("*").over(wk).alias("n_pairs"))
+    return (ranked.where(F.expr("rn = (n_pairs + 1) DIV 2"))
+            .select("user_id", "n_pairs",
+                    F.col("slope").alias("slope_per_hour"))
+            .orderBy("user_id"))
+
+
+_THEIL_SEN_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS t, value AS v
+  FROM events),
+pairs AS (
+  SELECT a.user_id, a.event_id AS i_id, b.event_id AS j_id,
+         (b.v - a.v) / (CAST(b.t - a.t AS DOUBLE) / 3600000000.0) AS slope
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND a.t < b.t),
+ranked AS (
+  SELECT user_id, slope,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY slope, i_id, j_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+  FROM pairs)
+SELECT user_id, n_pairs, slope AS slope_per_hour
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ols_price_model": (q_ols_price_model, _OLS_SQL),
+    "theil_sen_trend": (q_theil_sen_trend, _THEIL_SEN_SQL),
 }

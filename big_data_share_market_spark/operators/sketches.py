@@ -669,6 +669,120 @@ FROM j
 """
 
 
+_KMVI_K = 64
+_SRC_A, _SRC_B = "src0", "src1"
+
+
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch SET INTERSECTION estimate (Beyer et al. 2007,
+    public): how much vocabulary two corpus shards share, WITHOUT
+    materializing either vocabulary. Each shard keeps its k smallest
+    distinct 60-bit token hashes; the k smallest of the union form a
+    uniform sample of the union at threshold V_k, and the fraction of
+    that sample present in BOTH sketches (rho) scales the union
+    estimate (k-1)*M/V_k into an intersection estimate — the set-op
+    extension of `kmv_distinct_merge`, closing the sketch algebra at
+    union AND intersect (HLL can only union).
+
+    Everything is deterministic md5 integer arithmetic (the
+    cms_token_counts discipline), so the DuckDB oracle recomputes the
+    ENTIRE pipeline — sketches, rho, estimate — exactly; exact
+    |A∩B| and realized error ride along as verification columns.
+
+    Scale shape: per-shard distinct-hash + k-smallest window (the
+    kmv_distinct_merge shuffle); membership flags are joins against
+    two k-row relations (broadcast); exact intersection is
+    verification-only. Sketches are k rows per shard forever — the
+    100 TB form ships them to the driver, not the vocabularies."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.where(F.col("source").isin(_SRC_A, _SRC_B))
+            .select("source",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("token"))
+            .where(F.col("token") != ""))
+    h = F.expr("CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)")
+    hashes = toks.select("source", h.alias("h")).distinct()
+    wk = Window.partitionBy("source").orderBy("h")
+    sk = (hashes.withColumn("rn", F.row_number().over(wk))
+          .where(F.col("rn") <= _KMVI_K).select("source", "h"))
+    a = sk.where(F.col("source") == _SRC_A).select("h")
+    b = sk.where(F.col("source") == _SRC_B).select("h")
+    union_k = (sk.select("h").distinct()
+               .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+               .where(F.col("rn") <= _KMVI_K))
+    flagged = (union_k
+               .join(a.withColumn("in_a", F.lit(1)), "h", "left")
+               .join(b.withColumn("in_b", F.lit(1)), "h", "left"))
+    s = flagged.agg(
+        F.count("*").alias("k_n"), F.max("h").alias("kth_hash"),
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNotNull(), 1).otherwise(0))
+        .alias("n_both"))
+    exact = (hashes.groupBy("h").agg(F.count("*").alias("c"))
+             .where(F.col("c") == 2).agg(F.count("*").alias("exact_inter")))
+    est_union = F.when(
+        F.col("k_n") < _KMVI_K, F.col("k_n").cast("double")).otherwise(
+        F.lit(float(_KMVI_K - 1)) * F.lit(_KMV_M)
+        / F.col("kth_hash").cast("double"))
+    return (s.crossJoin(F.broadcast(exact))
+            .withColumn("est_union", est_union)
+            .withColumn("rho", F.col("n_both").cast("double")
+                        / F.col("k_n").cast("double"))
+            .withColumn("est_inter", F.col("rho") * F.col("est_union"))
+            .select("k_n", "kth_hash", "n_both", "rho", "est_inter",
+                    "exact_inter",
+                    (F.col("est_inter")
+                     - F.col("exact_inter").cast("double"))
+                    .alias("abs_err")))
+
+
+_KMVI_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT source,
+    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents WHERE source IN ('{_SRC_A}', '{_SRC_B}'))
+  WHERE token <> ''),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM toks) WHERE rn <= {_KMVI_K}),
+u AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= {_KMVI_K}),
+flags AS (
+  SELECT u.h,
+         (a.h IS NOT NULL AND b.h IS NOT NULL) AS both_f
+  FROM u
+  LEFT JOIN (SELECT h FROM sk WHERE source = '{_SRC_A}') a ON u.h = a.h
+  LEFT JOIN (SELECT h FROM sk WHERE source = '{_SRC_B}') b ON u.h = b.h),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_n, MAX(h) AS kth_hash,
+         CAST(SUM(CASE WHEN both_f THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM flags),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM (SELECT h FROM toks GROUP BY h HAVING COUNT(*) = 2)),
+j AS (
+  SELECT s.k_n, s.kth_hash, s.n_both,
+         CASE WHEN s.k_n < {_KMVI_K} THEN CAST(s.k_n AS DOUBLE)
+              ELSE {float(_KMVI_K - 1)!r} * {_KMV_M!r}
+                   / CAST(s.kth_hash AS DOUBLE) END AS est_union,
+         CAST(s.n_both AS DOUBLE) / CAST(s.k_n AS DOUBLE) AS rho,
+         e.exact_inter
+  FROM s, e)
+SELECT k_n, kth_hash, n_both, rho, rho * est_union AS est_inter,
+       exact_inter,
+       rho * est_union - CAST(exact_inter AS DOUBLE) AS abs_err
+FROM j
+"""
+
 QUERIES = {
     "cms_token_counts": (q_cms_token_counts, _CMS_SQL),
     "quantile_sketch_merge": (q_quantile_sketch_merge, _QSK_SQL),
@@ -682,4 +796,5 @@ QUERIES = {
                                _APPROX_QUANTILES_SQL),
     "hll_merge_consistency": (q_hll_merge_consistency, None),
     "heavy_hitters": (q_heavy_hitters, _HEAVY_HITTERS_SQL),
+    "kmv_intersection": (q_kmv_intersection, _KMVI_SQL),
 }

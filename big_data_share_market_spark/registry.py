@@ -54,13 +54,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (d) rotation: 29 of the 42 queries whose last green driver row
 #:       is STILL round 1 (the relational/TPC-H family).
 #:
-#: ROUND-8 ROTATION NOTE: rotate the 13 deferred r1 rows
+#: ROUND-8 ROTATION NOTE: rotate the 20 deferred r1 rows
 #: {returned_item_revenue, important_part_value, promo_revenue,
 #: small_quantity_revenue,
 #: disjunctive_revenue, high_volume_part_suppliers,
 #: suppliers_kept_waiting, idle_customer_balance, cohort_retention,
 #: zorder_key, salted_skew_agg, orders_grouping_sets,
-#: top_revenue_supplier} first, then the r2 family (streams,
+#: top_revenue_supplier, forecast_revenue, bilateral_volume,
+#: market_share, product_profit, late_shipment_priorities,
+#: large_volume_orders, customer_order_distribution — the last seven
+#: bumped from the r7 window by the third-wave additions} first, then the r2 family (streams,
 #: strategies, patterns, heikin_ashi/renko/raindrop, exact-dedup
 #: siblings) — plus, as always, front-load r8 additions and anything
 #: r8 code changes touch.
@@ -68,6 +71,12 @@ _FIRST_50 = (
     # --- (a) round-7 additions ---
     "aqe_skew_join", "quantile_sketch_merge", "kmv_distinct_merge",
     "stream_quantile_sketch", "grouped_quantile_sketch",
+    # (a, continued) r7 third wave: timeout sessionization A/B/C,
+    # Spark-4 extensibility APIs (custom Python data source, UDTF),
+    # robust regression, sketch set-ops.
+    "stream_session_timeout", "udtf_sessionize",
+    "python_datasource_ticks", "stream_python_datasource",
+    "python_datasource_sink", "theil_sen_trend", "kmv_intersection",
     # --- (b) upgraded rows-only -> full oracle ---
     "approx_value_quantiles", "cosine_topk_numpy",
     # --- (c) r7 perf/refactor re-verification ---
@@ -83,10 +92,7 @@ _FIRST_50 = (
     "order_fill_outer", "union_account_holders", "parts_never_ordered",
     "events_pivot", "orders_rollup", "asof_last_signup",
     "range_join_pairs", "minmax_per_key", "trend_per_key",
-    "top_supplier_per_nation", "customer_order_distribution",
-    "large_volume_orders", "late_shipment_priorities",
-    "forecast_revenue", "bilateral_volume", "market_share",
-    "product_profit",
+    "top_supplier_per_nation",
 )
 
 
@@ -105,10 +111,12 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.dedup", "operators.similarity",
                  "operators.graph", "operators.regression",
                  "operators.text", "operators.corpus", "operators.bpe",
+                 "operators.udtfs",
                  "operators.retrieval",
                  "operators.multimodal",
                  "operators.sampling", "operators.warehouse",
                  "sources.json_io", "sources.formats",
+                 "sources.pydatasource",
                  "streaming.batch_parity"):
         modpath = f"{__package__}.{name}"
         try:

@@ -1094,6 +1094,43 @@ def _stream_transitions_sql() -> str:
     return _TRANSITIONS_SQL
 
 
+def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (4 h inactivity gap) as an EVENT-TIME-TIMEOUT
+    keyed state machine (`streaming/state.sessions_per_key`) — the
+    custom-operator twin of `stream_session_windows`' built-in
+    `F.session_window`, and the only registry query exercising
+    `GroupStateTimeout.EventTimeTimeout`: sessions closed by in-batch
+    evidence emit immediately; each key's final open session is
+    emitted by the TIMEOUT callback once the watermark (driven past
+    end-of-replay by the flush sentinel) passes last event + gap.
+    Append mode throughout — every session emits exactly once.
+
+    Oracle = the same gaps-and-islands SQL as `udtf_sessionize`
+    (deliberate A/B/C across built-in aggregation / UDTF / stateful
+    timeout). The sentinel key (user_id = -1) arms a timeout past
+    FLUSH_TS that never fires; its state dies with the replay and a
+    post-materialization filter keeps it out of the result."""
+    from .pipeline import events_stream_flushed, with_watermark
+    from .state import sessions_per_key
+
+    sdf = with_watermark(events_stream_flushed(spark, sf_dir))
+    sdf = sdf.withColumn(
+        "value_u6",
+        (F.col("value").cast("decimal(25,6)") * 1000000).cast("long"))
+    out = run_available_now(sessions_per_key(sdf), spark,
+                            output_mode="append")
+    return (out.where(F.col("user_id") >= 0)
+            .select("user_id", "session_start", "session_end", "n_events",
+                    (F.col("sum_u6").cast("double") / 1000000.0)
+                    .alias("sum_value"))
+            .orderBy("user_id", "session_start"))
+
+
+def _stream_session_timeout_sql() -> str:
+    from ..operators.udtfs import _UDTF_SESSION_SQL
+    return _UDTF_SESSION_SQL
+
+
 QUERIES = {
     "stream_holt_per_key": (q_stream_holt_per_key, _stream_holt_sql()),
     "stream_atr_per_key": (q_stream_atr_per_key, _STREAM_ATR_SQL),
@@ -1127,4 +1164,6 @@ QUERIES = {
                               _stream_kalman_sql()),
     "stream_mv_merge": (q_stream_mv_merge, _STREAM_MV_SQL),
     "stream_quantile_sketch": (q_stream_quantile_sketch, _stream_qsk_sql()),
+    "stream_session_timeout": (q_stream_session_timeout,
+                               _stream_session_timeout_sql()),
 }

@@ -657,3 +657,108 @@ def _drawdown_per_key_v2(sdf: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven sessionization (event-time timeouts)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_DDL = ("user_id BIGINT, session_start TIMESTAMP, "
+                      "session_end TIMESTAMP, n_events BIGINT, "
+                      "sum_u6 BIGINT")
+#: One OPEN session per key: bounds in int64 micros (state schemas
+#: hold no TimestampType), event count, exact 1e-6-unit value sum.
+SESSION_STATE_DDL = ("start_us BIGINT, last_us BIGINT, n BIGINT, "
+                     "sum_u6 BIGINT")
+
+#: Inactivity gap (micros) — matches stream_session_windows /
+#: udtf_sessionize: a new session starts where gap >= 4 h.
+_SESSION_GAP_US = 4 * 3600 * 1_000_000
+
+
+def _session_timeout_fn(gap_us: int):
+    """Session state machine with EVENT-TIME TIMEOUTS — the one
+    GroupStateTimeout mode no other operator in this module exercises
+    (they are all NoTimeout). Sessions closed by in-batch evidence (a
+    later event >= gap after) emit immediately; the final open session
+    per key can only be proven closed by the CLOCK, so the state
+    carries a timeout at last_event + gap and Spark calls back with
+    `state.hasTimedOut` once the watermark passes it — state is then
+    emitted and removed, exactly the eviction contract
+    `F.session_window` implements internally (and the reason a finite
+    replay needs the flush sentinel to drive the watermark past the
+    last real event)."""
+    gap_ms = gap_us // 1000
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+
+        def _emit(start_us, last_us, n, sum_u6):
+            return pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                "n_events": [n],
+                "sum_u6": [sum_u6],
+            })
+
+        if state.hasTimedOut:
+            start_us, last_us, n, sum_u6 = state.get
+            state.remove()
+            yield _emit(start_us, last_us, n, sum_u6)
+            return
+
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            if state.exists:  # keep the pending timeout armed
+                state.setTimeoutTimestamp(state.get[1] // 1000 + gap_ms)
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        u6 = pdf["value_u6"].tolist()
+
+        if state.exists:
+            start_us, last_us, n, sum_u6 = state.get
+        else:
+            start_us = last_us = ts_us[0]
+            n, sum_u6 = 0, 0
+
+        out = []
+        for t, v in zip(ts_us, u6):
+            if n and t - last_us >= gap_us:
+                out.append(_emit(start_us, last_us, n, sum_u6))
+                start_us, n, sum_u6 = t, 0, 0
+            elif n == 0:
+                start_us = t
+            last_us = t
+            n += 1
+            sum_u6 += int(v)
+
+        # The still-open session waits for the clock: fire when the
+        # event-time watermark passes last event + gap.
+        state.update((start_us, last_us, n, sum_u6))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def sessions_per_key(sdf: DataFrame,
+                     gap_us: int = _SESSION_GAP_US) -> DataFrame:
+    """Streaming sessionization via event-time-timeout keyed state.
+    `sdf` must carry a watermark on `ts` (EventTimeTimeout requires
+    one) and a pre-quantized `value_u6` column (exact integer 1e-6
+    units — the functions.dsum discipline, summed as Python ints)."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value_u6")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn(gap_us),
+            outputStructType=SESSION_OUTPUT_DDL,
+            stateStructType=SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

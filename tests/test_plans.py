@@ -36,6 +36,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # 1-row sketch summary x 1-row exact-distinct verification
             # crossJoin (r7)
             "kmv_distinct_merge",
+            # same shape: 1-row union-sketch summary x 1-row exact
+            # intersection verification crossJoin (r7 third wave)
+            "kmv_intersection",
             # broadcast 3-row probe frame range-joined (cum >= target)
             # onto the (groups x ~107)-row cumulative histogram (r7)
             "grouped_quantile_sketch",
@@ -648,3 +651,34 @@ def test_plan_report_dedups_nested_staged_subtrees():
     # Cache READS stay per-reference: 2 of X in main + 2 of Y inside
     # X's (deduped) build.
     assert counts["staged"] == 4, counts
+
+
+def test_udtf_sessionize_planner_supplies_shuffle_and_sort(spark):
+    """The UDTF's PARTITION BY/ORDER BY contract must be satisfied by
+    the PLANNER (hash exchange on the key + in-partition sort feeding
+    the Python node), with column pruning reaching the scan — if the
+    UDTF node ever loses its required distribution the sessionizer
+    silently degrades to per-task sessions."""
+    fn, _ = _QUERIES["udtf_sessionize"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert "BatchEvalPythonUDTF" in plan, plan[:2000]
+    udtf_pos = plan.index("BatchEvalPythonUDTF")
+    below = plan[udtf_pos:]
+    assert "Exchange hashpartitioning(partition_by_0" in below, below[:2000]
+    assert "Sort [partition_by_0" in below, below[:2000]
+    # Pruned scan: the UDTF input never reads event_type/props.
+    assert "event_type" not in plan and "props" not in plan
+
+
+def test_theil_sen_equi_join_single_window_exchange(spark):
+    """The pair fanout must stay an EQUI join on user_id (the t<t
+    bound as a residual condition) — a pure theta join would be a
+    cartesian at scale — and both ranking windows must share ONE hash
+    exchange on user_id."""
+    fn, _ = _QUERIES["theil_sen_trend"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert ("BroadcastHashJoin [user_id" in plan
+            or "SortMergeJoin [user_id" in plan
+            or "ShuffledHashJoin [user_id" in plan), plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]

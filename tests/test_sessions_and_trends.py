@@ -1,0 +1,162 @@
+"""Direct unit tests for the r7 third-wave operators, independent of
+the fixture parity harness:
+
+- the UDTF sessionizer class (pure Python — eval/terminate driven by
+  hand, boundary gaps, single-event sessions);
+- the EventTimeTimeout session state machine (fake GroupState — the
+  timeout branch, in-batch closure, the empty-iterator re-arm path);
+- Theil–Sen exact recovery with injected outliers (Spark).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from big_data_share_market_spark.operators.udtfs import _GAP, _SessionizeUDTF
+from big_data_share_market_spark.streaming.state import (
+    _SESSION_GAP_US, _session_timeout_fn)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _row(uid, ts, u6):
+    return Row(user_id=uid, ts=ts, value_u6=u6)
+
+
+def _run_udtf(rows):
+    u = _SessionizeUDTF()
+    out = []
+    for r in rows:
+        out.extend(u.eval(r))
+    out.extend(u.terminate())
+    return out
+
+
+def test_udtf_single_session():
+    rows = [_row(1, T0 + dt.timedelta(hours=i), 1_000_000)
+            for i in range(3)]
+    (s,) = _run_udtf(rows)
+    assert s == (1, T0, T0 + dt.timedelta(hours=2) + _GAP, 3, 3_000_000)
+
+
+def test_udtf_gap_exactly_at_threshold_splits():
+    # Gap >= 4 h starts a new session (the oracle's >= rule).
+    rows = [_row(1, T0, 5), _row(1, T0 + _GAP, 7)]
+    s1, s2 = _run_udtf(rows)
+    assert s1 == (1, T0, T0 + _GAP, 1, 5)
+    assert s2 == (1, T0 + _GAP, T0 + 2 * _GAP, 1, 7)
+
+
+def test_udtf_gap_just_under_threshold_merges():
+    eps = dt.timedelta(microseconds=1)
+    rows = [_row(1, T0, 5), _row(1, T0 + _GAP - eps, 7)]
+    (s,) = _run_udtf(rows)
+    assert s[3] == 2 and s[4] == 12
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the state fn by hand."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _us(ts: dt.datetime) -> int:
+    return int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+
+def _batch(rows):
+    return pd.DataFrame({
+        "ts": pd.Series([r[0] for r in rows], dtype="datetime64[us]"),
+        "event_id": [r[1] for r in rows],
+        "value_u6": [r[2] for r in rows],
+    })
+
+
+def test_state_fn_closes_in_batch_and_arms_timeout():
+    fn = _session_timeout_fn(_SESSION_GAP_US)
+    state = _FakeState()
+    rows = [(T0, 1, 10), (T0 + dt.timedelta(hours=1), 2, 20),
+            (T0 + dt.timedelta(hours=9), 3, 30)]  # 8 h gap -> closure
+    (out,) = list(fn((7,), iter([_batch(rows)]), state))
+    assert len(out) == 1  # first session closed by in-batch evidence
+    assert out.loc[0, "n_events"] == 2 and out.loc[0, "sum_u6"] == 30
+    # Open session (the 3rd event) in state, timeout at last + gap.
+    start_us, last_us, n, sum_u6 = state.get
+    assert n == 1 and sum_u6 == 30
+    assert state.timeout_ms == last_us // 1000 + _SESSION_GAP_US // 1000
+
+
+def test_state_fn_timeout_branch_emits_and_removes():
+    fn = _session_timeout_fn(_SESSION_GAP_US)
+    start = _us(T0)
+    last = _us(T0 + dt.timedelta(hours=1))
+    state = _FakeState(value=(start, last, 2, 99), timed_out=True)
+    (out,) = list(fn((7,), iter([]), state))
+    assert state.removed
+    assert out.loc[0, "n_events"] == 2 and out.loc[0, "sum_u6"] == 99
+    assert out.loc[0, "session_start"] == pd.Timestamp(T0)
+    assert (out.loc[0, "session_end"]
+            == pd.Timestamp(T0 + dt.timedelta(hours=1) + _GAP))
+
+
+def test_state_fn_empty_iterator_rearms_timeout():
+    fn = _session_timeout_fn(_SESSION_GAP_US)
+    last = _us(T0)
+    state = _FakeState(value=(last, last, 1, 5))
+    assert list(fn((7,), iter([]), state)) == []
+    assert state.timeout_ms == last // 1000 + _SESSION_GAP_US // 1000
+    assert state.get == (last, last, 1, 5)  # untouched
+
+
+def test_state_fn_session_spans_batches():
+    fn = _session_timeout_fn(_SESSION_GAP_US)
+    state = _FakeState()
+    list(fn((7,), iter([_batch([(T0, 1, 10)])]), state))
+    rows2 = [(T0 + dt.timedelta(hours=1), 2, 20)]
+    assert list(fn((7,), iter([_batch(rows2)]), state)) == []
+    # Merged into ONE open session across the batch boundary.
+    start_us, last_us, n, sum_u6 = state.get
+    assert (start_us, n, sum_u6) == (_us(T0), 2, 30)
+
+
+@pytest.mark.usefixtures("spark")
+def test_theil_sen_exact_recovery_with_outliers(spark):
+    """y = 2.5 * hours exactly, plus 2 gross outliers out of 12 points:
+    the median pairwise slope must still be exactly 2.5 (OLS would be
+    dragged). 12 points -> 66 pairs, 21 touched by outliers — the
+    median lands in the clean majority."""
+    from big_data_share_market_spark.operators.regression import theil_sen_fit
+
+    hour_us = 3_600_000_000
+    pts = [(1, i, i * hour_us, 2.5 * i) for i in range(10)]
+    pts += [(1, 100, 10 * hour_us, 1e6), (1, 101, 11 * hour_us, -1e6)]
+    e = spark.createDataFrame(pts, "user_id long, event_id long,"
+                                   " t long, v double")
+    (row,) = theil_sen_fit(e).collect()
+    assert row.n_pairs == 66
+    assert row.slope_per_hour == 2.5
