@@ -140,6 +140,8 @@ HEADLINE = [
     "udtf_sessionize",      # Python UDTF PARTITION BY sessionizer
     "python_datasource_ticks",  # custom Python source, split-planned
     "python_datasource_sink",   # custom Python sink, manifest commit
+    "lateral_topk_orders",  # decorrelated LATERAL -> WindowGroupLimit
+    "rolling_24h_value",    # event-time RANGE frame rolling metrics
 ]
 
 

@@ -29,7 +29,8 @@ from typing import Any
 
 
 def _cache_registries() -> list[tuple[str, dict]]:
-    from .operators import bpe, dedup, graph, similarity, text, transforms
+    from .operators import (bpe, dedup, graph, similarity, sqlfeatures,
+                            text, transforms)
 
     return [
         ("transforms.bars", transforms._BARS_CACHE),
@@ -38,6 +39,7 @@ def _cache_registries() -> list[tuple[str, dict]]:
         ("dedup.minhash_sigs", dedup._MH_CACHE),
         ("dedup.simhash_table", dedup._SIMHASH_CACHE),
         ("text.tokens", text._TOK_CACHE),
+        ("sqlfeatures.rcte_ranked", sqlfeatures._RCTE_CACHE),
         ("text.tfidf_index", text._TFIDF_VEC_CACHE),
         ("graph.adjacency", graph._EDGE_CACHE),
         ("graph.oriented", graph._TRI_CACHE),

@@ -682,3 +682,27 @@ def test_theil_sen_equi_join_single_window_exchange(spark):
             or "ShuffledHashJoin [user_id" in plan), plan[:2000]
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY..LIMIT subquery must DECORRELATE: a
+    map-side Partial WindowGroupLimit before the shuffle, a Final one
+    after, then one hash join back to customer — never per-outer-row
+    re-execution (which would read as a nested-loop/cartesian)."""
+    fn, _ = _QUERIES["lateral_topk_orders"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1][:400] or \
+        plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_24h_single_exchange_range_frame(spark):
+    """The event-time RANGE frame must run in ONE hash exchange on
+    user_id with a RangeFrame window (not a self-join reformulation)."""
+    fn, _ = _QUERIES["rolling_24h_value"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "specifiedwindowframe(RangeFrame" in plan, plan[:2000]
+    assert "Join" not in plan
