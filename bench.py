@@ -142,6 +142,9 @@ HEADLINE = [
     "python_datasource_sink",   # custom Python sink, manifest commit
     "lateral_topk_orders",  # decorrelated LATERAL -> WindowGroupLimit
     "rolling_24h_value",    # event-time RANGE frame rolling metrics
+    "mann_kendall_trend",   # pairwise-sign trend significance test
+    "ks_two_sample",        # exact-integer KS drift statistic
+    "cusum_changepoint",    # decimal-exact CUSUM level-shift locator
 ]
 
 

@@ -54,7 +54,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (d) rotation: 29 of the 42 queries whose last green driver row
 #:       is STILL round 1 (the relational/TPC-H family).
 #:
-#: ROUND-8 ROTATION NOTE: rotate the 23 deferred r1 rows
+#: ROUND-8 ROTATION NOTE: rotate the 26 deferred r1 rows
 #: {returned_item_revenue, important_part_value, promo_revenue,
 #: small_quantity_revenue,
 #: disjunctive_revenue, high_volume_part_suppliers,
@@ -63,8 +63,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: top_revenue_supplier, forecast_revenue, bilateral_volume,
 #: market_share, product_profit, late_shipment_priorities,
 #: large_volume_orders, customer_order_distribution, minmax_per_key,
-#: trend_per_key, top_supplier_per_nation — the last ten bumped from
-#: the r7 window by the third/fourth-wave additions} first, then the
+#: trend_per_key, top_supplier_per_nation, orders_rollup,
+#: asof_last_signup, range_join_pairs — the last thirteen bumped from
+#: the r7 window by the third/fourth/fifth-wave additions} first, then the
 #: r2 family (streams,
 #: strategies, patterns, heikin_ashi/renko/raindrop, exact-dedup
 #: siblings) — plus, as always, front-load r8 additions and anything
@@ -82,6 +83,9 @@ _FIRST_50 = (
     # (a, continued) r7 fourth wave: the Spark-4 SQL surface —
     # recursive CTE, decorrelated LATERAL top-k, RANGE time frames.
     "recursive_cte_kalman", "lateral_topk_orders", "rolling_24h_value",
+    # (a, continued) r7 fifth wave: the statistical QA layer —
+    # trend significance, distribution drift, changepoint location.
+    "mann_kendall_trend", "ks_two_sample", "cusum_changepoint",
     # --- (b) upgraded rows-only -> full oracle ---
     "approx_value_quantiles", "cosine_topk_numpy",
     # --- (c) r7 perf/refactor re-verification ---
@@ -95,8 +99,7 @@ _FIRST_50 = (
     "distinct_sort", "grouped_events", "top_orders",
     "topk_per_group", "semi_join_high_orders", "anti_join_no_orders",
     "order_fill_outer", "union_account_holders", "parts_never_ordered",
-    "events_pivot", "orders_rollup", "asof_last_signup",
-    "range_join_pairs",
+    "events_pivot",
 )
 
 
@@ -116,6 +119,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
                  "operators.graph", "operators.regression",
                  "operators.text", "operators.corpus", "operators.bpe",
                  "operators.udtfs", "operators.sqlfeatures",
+                 "operators.stats",
                  "operators.retrieval",
                  "operators.multimodal",
                  "operators.sampling", "operators.warehouse",

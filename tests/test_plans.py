@@ -39,6 +39,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # same shape: 1-row union-sketch summary x 1-row exact
             # intersection verification crossJoin (r7 third wave)
             "kmv_intersection",
+            # 1-row totals frame broadcast onto the ECDF cum stream
+            # before the final max (r7 fifth wave)
+            "ks_two_sample",
             # broadcast 3-row probe frame range-joined (cum >= target)
             # onto the (groups x ~107)-row cumulative histogram (r7)
             "grouped_quantile_sketch",
@@ -705,4 +708,24 @@ def test_rolling_24h_single_exchange_range_frame(spark):
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "specifiedwindowframe(RangeFrame" in plan, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_mann_kendall_equi_join_pair_fanout(spark):
+    """The S-statistic pair fanout must stay an EQUI join on user_id
+    (theta bound as residual) — same contract as theil_sen_trend."""
+    fn, _ = _QUERIES["mann_kendall_trend"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert ("BroadcastHashJoin [user_id" in plan
+            or "SortMergeJoin [user_id" in plan
+            or "ShuffledHashJoin [user_id" in plan), plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_key_exchange(spark):
+    """All three window passes (cum, rank, per-key stats) must share
+    ONE hash exchange on user_id."""
+    fn, _ = _QUERIES["cusum_changepoint"]
+    plan = explain_str(fn(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan
