@@ -184,7 +184,8 @@ def main() -> None:
     for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
                  "stream_ingest_dedup_gate", "stream_atr_per_key",
                  "stream_bq_topk", "stream_quantile_sketch",
-                 "stream_session_timeout"):
+                 "stream_session_timeout",
+                 "stream_python_datasource_sink"):
         fn, _ = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -161,29 +161,73 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_fit(e)
 
 
+#: Two-phase median bucketization: unit-width slope buckets clamped
+#: to ±512 per hour (the fixture's slopes live well inside). Bucket
+#: id is monotone in slope, so global rank = strictly-lower-bucket
+#: count + in-bucket rank — EXACT, with the degenerate all-one-bucket
+#: case falling back to the full per-key sort for that key only.
+_TS_BMAX = 512
+
+
 def theil_sen_fit(e: DataFrame) -> DataFrame:
     """Median-of-pairwise-slopes over any (user_id, event_id, t, v)
     frame (t in integer micros) — split out so the estimator's
     robustness is testable against a crafted exact-recovery dataset
     with injected outliers (tests/test_sessions_and_trends.py), not
-    just the noise fixture."""
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-                   & (F.col("a.t") < F.col("b.t"))).select(
-        F.col("a.user_id").alias("user_id"),
-        F.col("a.event_id").alias("i_id"),
-        F.col("b.event_id").alias("j_id"),
-        ((F.col("b.v") - F.col("a.v"))
-         / ((F.col("b.t") - F.col("a.t")).cast("double") / 3600000000.0)
-         ).alias("slope"))
+    just the noise fixture.
+
+    TWO-PHASE exact median, because the naive formulation (shuffle
+    every pair, sort within key, row_number) must move and sort ALL
+    O(n²/2-per-key) pairs — measured as the repo's only one-box cliff
+    at sf10 (322 M pair rows thrash an 8-48 g heap; SCALING.md
+    addendum 15). Phase 1 re-aggregates the pair stream MAP-SIDE into
+    per-(key, unit-width-slope-bucket) counts — the shuffle carries
+    keys×buckets rows, not pairs — and a buckets-sized window locates
+    each key's median bucket and the rank remaining inside it.
+    Phase 2 recomputes the same pair join (CPU is cheap; bytes are
+    not) but keeps ONLY pairs landing in their key's median bucket —
+    a broadcast semi-filter applied before any exchange — and sorts
+    those few per key to pick the exact element. Same deterministic
+    (slope, i_id, j_id) tiebreak; the oracle stays the flat global
+    formulation, so the equivalence is value-verified per row. The
+    median-bucket relation is keys-sized (broadcast here; at 10⁹ keys
+    make it a shuffle join on (user_id, bkt))."""
     from pyspark.sql import Window
+
+    def pairs_frame():
+        a, b = e.alias("a"), e.alias("b")
+        return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                       & (F.col("a.t") < F.col("b.t")))
+                .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("i_id"),
+            F.col("b.event_id").alias("j_id"),
+            ((F.col("b.v") - F.col("a.v"))
+             / ((F.col("b.t") - F.col("a.t")).cast("double")
+                / 3600000000.0)).alias("slope"))
+                .withColumn("bkt", F.least(
+                    F.greatest(F.floor("slope"), F.lit(-_TS_BMAX)),
+                    F.lit(_TS_BMAX - 1))))
+
     wk = Window.partitionBy("user_id")
-    ranked = pairs.select(
-        "user_id", "slope",
-        F.row_number().over(
-            wk.orderBy("slope", "i_id", "j_id")).alias("rn"),
-        F.count("*").over(wk).alias("n_pairs"))
-    return (ranked.where(F.expr("rn = (n_pairs + 1) DIV 2"))
+    hist = (pairs_frame().groupBy("user_id", "bkt")
+            .agg(F.count("*").alias("c"))
+            .withColumn("cum", F.sum("c").over(
+                wk.orderBy("bkt").rowsBetween(
+                    Window.unboundedPreceding, 0)))
+            .withColumn("n_pairs", F.sum("c").over(wk))
+            .withColumn("target", F.expr("(n_pairs + 1) DIV 2")))
+    med_bucket = (hist.where((F.col("cum") >= F.col("target"))
+                             & (F.col("cum") - F.col("c")
+                                < F.col("target")))
+                  .select("user_id", "bkt",
+                          (F.col("cum") - F.col("c")).alias("below"),
+                          "n_pairs", "target"))
+    in_bucket = pairs_frame().join(F.broadcast(med_bucket),
+                                   ["user_id", "bkt"])
+    ranked = in_bucket.withColumn("rn", F.row_number().over(
+        wk.orderBy("slope", "i_id", "j_id")))
+    return (ranked.where(F.col("rn") == F.col("target") - F.col("below"))
             .select("user_id", "n_pairs",
                     F.col("slope").alias("slope_per_hour"))
             .orderBy("user_id"))

@@ -92,7 +92,16 @@ def q_recursive_cte_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL-surface parity demo, priced honestly in BENCH_NOTES."""
     from ..operators.ewm import _KAL_Q, _KAL_R
 
-    _rcte_ranked(spark, sf_dir).createOrReplaceTempView("rcte_kalman_s")
+    ranked = _rcte_ranked(spark, sf_dir)
+    ranked.createOrReplaceTempView("rcte_kalman_s")
+    # The linked-list recursion emits exactly one row per input row,
+    # so Spark's runaway-recursion safety valve (cteRecursionRowLimit,
+    # default 1e6 — trips at sf >= 1.0) can be sized from DATA, not
+    # guessed: the level limit (default 100 > max series length ~66)
+    # remains the structural bound. The count is free — the relation
+    # is staged/persisted.
+    spark.conf.set("spark.sql.cteRecursionRowLimit",
+                   str(max(2_000_000, int(ranked.count() * 2))))
     q, r = f"CAST({_KAL_Q} AS DOUBLE)", f"CAST({_KAL_R} AS DOUBLE)"
     # The recursion body mirrors _stream_kalman_sql verbatim, with the
     # base CTE swapped for the staged view.

@@ -54,7 +54,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (d) rotation: 29 of the 42 queries whose last green driver row
 #:       is STILL round 1 (the relational/TPC-H family).
 #:
-#: ROUND-8 ROTATION NOTE: rotate the 26 deferred r1 rows
+#: ROUND-8 ROTATION NOTE: rotate the 27 deferred r1 rows
 #: {returned_item_revenue, important_part_value, promo_revenue,
 #: small_quantity_revenue,
 #: disjunctive_revenue, high_volume_part_suppliers,
@@ -64,7 +64,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: market_share, product_profit, late_shipment_priorities,
 #: large_volume_orders, customer_order_distribution, minmax_per_key,
 #: trend_per_key, top_supplier_per_nation, orders_rollup,
-#: asof_last_signup, range_join_pairs — the last thirteen bumped from
+#: asof_last_signup, range_join_pairs, events_pivot — the last
+#: fourteen bumped from
 #: the r7 window by the third/fourth/fifth-wave additions} first, then the
 #: r2 family (streams,
 #: strategies, patterns, heikin_ashi/renko/raindrop, exact-dedup
@@ -79,7 +80,8 @@ _FIRST_50 = (
     # robust regression, sketch set-ops.
     "stream_session_timeout", "udtf_sessionize",
     "python_datasource_ticks", "stream_python_datasource",
-    "python_datasource_sink", "theil_sen_trend", "kmv_intersection",
+    "python_datasource_sink", "stream_python_datasource_sink",
+    "theil_sen_trend", "kmv_intersection",
     # (a, continued) r7 fourth wave: the Spark-4 SQL surface —
     # recursive CTE, decorrelated LATERAL top-k, RANGE time frames.
     "recursive_cte_kalman", "lateral_topk_orders", "rolling_24h_value",
@@ -99,7 +101,6 @@ _FIRST_50 = (
     "distinct_sort", "grouped_events", "top_orders",
     "topk_per_group", "semi_join_high_orders", "anti_join_no_orders",
     "order_fill_outer", "union_account_holders", "parts_never_ordered",
-    "events_pivot",
 )
 
 

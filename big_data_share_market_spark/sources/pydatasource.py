@@ -412,3 +412,156 @@ def q_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["python_datasource_sink"] = (q_python_datasource_sink, _TICKS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python STREAMING sink: per-batch commit protocol
+# ---------------------------------------------------------------------------
+
+
+def make_tick_stream_sink_datasource():
+    """The custom sink's STREAMING form (DataSourceStreamWriter) —
+    the fourth corner of the extensibility matrix (batch source /
+    stream source / batch sink / stream sink). Identical task-level
+    write contract to the batch sink, but `commit` receives the
+    micro-batch id and publishes one `_MANIFEST-<batchId>` per batch:
+    a restart that replays batch N overwrites N's manifest with the
+    identical (deterministic) part list instead of double-counting —
+    the same batch-id-anchored exactly-once idea as the MV-merge
+    sink (`streaming/batch_parity.q_stream_mv_merge`), expressed at
+    the source-API layer where Spark calls it ONCE per batch after
+    all tasks succeed."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (DataSource, DataSourceStreamWriter,
+                                        WriterCommitMessage)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, filename: str, n_rows: int):
+            self.filename = filename
+            self.n_rows = n_rows
+
+    class _TickStreamSinkWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, name), "w") as fh:
+                for row in iterator:
+                    ts = (row.ts if row.ts.tzinfo is not None
+                          else row.ts.replace(tzinfo=dt.timezone.utc))
+                    fh.write(json.dumps({
+                        "symbol": row.symbol, "seq": row.seq,
+                        "ts_us": int(ts.timestamp()) * 1_000_000
+                        + ts.microsecond,
+                        "price": row.price, "size": row.size}) + "\n")
+                    n += 1
+            return _Msg(name, n)
+
+        def commit(self, messages, batchId):
+            manifest = {
+                "batch_id": batchId,
+                "parts": sorted(m.filename for m in messages if m),
+                "n_rows": sum(m.n_rows for m in messages if m),
+            }
+            tmp = os.path.join(self.path, f"_MANIFEST-{batchId}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, os.path.join(self.path,
+                                         f"_MANIFEST-{batchId}"))
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except FileNotFoundError:
+                        pass
+
+    class TickStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "bdsm_tick_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _TickStreamSinkWriter(self.options)
+
+    return TickStreamSinkDataSource
+
+
+def q_stream_python_datasource_sink(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """End-to-end custom STREAM → custom STREAM SINK: the
+    offset-managed tick stream (4 rate-limited micro-batches) writes
+    through the per-batch-manifest sink; the read-back unions exactly
+    the parts listed by the committed `_MANIFEST-<batchId>` files
+    (an orphan part is planted to prove uncommitted data is ignored)
+    and rolls up per symbol — the same output and oracle as the
+    batch-source twin, so all four extensibility corners certify each
+    other against ONE regenerating oracle. `sf_dir` unused."""
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import dsum
+
+    spark.dataSource.register(make_tick_stream_datasource())
+    spark.dataSource.register(make_tick_stream_sink_datasource())
+    out_dir = f"/tmp/bdsm_pystreamsink_{_uuid.uuid4().hex[:8]}"
+    try:
+        sdf = spark.readStream.format("bdsm_ticks_stream").load()
+        q = (sdf.writeStream.format("bdsm_tick_stream_sink")
+             .option("path", out_dir)
+             .option("checkpointLocation", f"{out_dir}/_ckpt")
+             .outputMode("append").trigger(processingTime="0 seconds")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        with open(os.path.join(out_dir, "part-orphan.jsonl"), "w") as fh:
+            fh.write(json.dumps({"symbol": "BOGUS", "seq": -1,
+                                 "ts_us": 0, "price": 0.0,
+                                 "size": 1}) + "\n")
+
+        paths = []
+        n_batches = 0
+        for mpath in sorted(glob.glob(os.path.join(out_dir,
+                                                   "_MANIFEST-*"))):
+            with open(mpath) as fh:
+                manifest = json.load(fh)
+            n_batches += 1
+            paths += [os.path.join(out_dir, p)
+                      for p in manifest["parts"]]
+        assert n_batches >= 2, (
+            f"expected multiple micro-batch manifests, got {n_batches}")
+        back = (spark.read.schema("symbol STRING, seq BIGINT,"
+                                  " ts_us BIGINT, price DOUBLE,"
+                                  " size BIGINT")
+                .json(paths)
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
+        return (back.groupBy("symbol")
+                .agg(F.count("*").alias("n_ticks"),
+                     F.min("ts").alias("first_ts"),
+                     F.max("ts").alias("last_ts"),
+                     (dsum(F.col("price") * F.col("size"))
+                      / F.sum("size")).alias("vwap"),
+                     F.sum(F.col("seq") * F.col("size"))
+                     .alias("size_checksum"))
+                .orderBy("symbol")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+QUERIES["stream_python_datasource_sink"] = (
+    q_stream_python_datasource_sink, _TICKS_SQL)

@@ -673,18 +673,32 @@ def test_udtf_sessionize_planner_supplies_shuffle_and_sort(spark):
     assert "event_type" not in plan and "props" not in plan
 
 
-def test_theil_sen_equi_join_single_window_exchange(spark):
-    """The pair fanout must stay an EQUI join on user_id (the t<t
-    bound as a residual condition) — a pure theta join would be a
-    cartesian at scale — and both ranking windows must share ONE hash
-    exchange on user_id."""
+def test_theil_sen_two_phase_median_prunes_before_shuffle(spark):
+    """The pair fanout must stay an EQUI join on user_id (theta bound
+    residual — a pure theta join would be a cartesian at scale), and
+    the two-phase median must hold: (1) the phase-1 histogram
+    aggregates the pair stream MAP-SIDE (partial HashAggregate below
+    its exchange), (2) the phase-2 in-bucket sort is fed by the
+    (user_id, bkt) median-bucket join BEFORE any exchange — i.e. only
+    median-bucket pairs ever shuffle. The naive all-pairs
+    shuffle+sort was the repo's one-box sf10 cliff (SCALING.md
+    addendum 15)."""
     fn, _ = _QUERIES["theil_sen_trend"]
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert ("BroadcastHashJoin [user_id" in plan
             or "SortMergeJoin [user_id" in plan
             or "ShuffledHashJoin [user_id" in plan), plan[:2000]
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # the (user_id, bkt) median-bucket filter join exists
+    assert ", bkt" in plan.split("BroadcastHashJoin", 1)[1][:120] or \
+        any(", bkt" in seg[:120]
+            for seg in plan.split("BroadcastHashJoin")[1:]), plan[:3000]
+    # phase-1 histogram: partial aggregate below its exchange
+    assert "HashAggregate" in plan
+    # the full-pair window sort is gone: every Sort sits above the
+    # bucket-filter join (textually, the plan prints top-down, so the
+    # join must appear after the in-bucket Sort)
+    assert plan.index("Sort [user_id") < plan.index(", bkt")
 
 
 def test_lateral_topk_decorrelates_to_window_group_limit(spark):
