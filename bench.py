@@ -144,6 +144,7 @@ HEADLINE = [
     "rolling_24h_value",    # event-time RANGE frame rolling metrics
     "mann_kendall_trend",   # pairwise-sign trend significance test
     "ks_two_sample",        # exact-integer KS drift statistic
+    "mannwhitney_u",        # exact-integer rank-sum location test
     "cusum_changepoint",    # decimal-exact CUSUM level-shift locator
 ]
 

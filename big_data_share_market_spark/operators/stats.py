@@ -122,13 +122,14 @@ _KS_A, _KS_B = "click", "purchase"
 _KS_W = 16.0
 
 
-def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov D between '{a}' and '{b}' event
-    values, exact-integer numerator. Distributed ECDF: per distinct
-    value counts → two-level prefix sum (in-bucket window + bucket
-    offset window) → max over INTEGER |cum_a·n_b − cum_b·n_a|; the
-    single division happens on the one-row result.""".format(
-        a=_KS_A, b=_KS_B)
+def _two_sample_cum(spark: SparkSession, sf_dir: str):
+    """Shared distributed two-sample ECDF machinery: per distinct
+    value counts (ca, cb) with INCLUSIVE cumulative counts computed
+    two-level (fixed-width value buckets: in-bucket window + a
+    buckets-sized offset window broadcast back) — the
+    token_budget_mixture prefix-sum shape, so no global
+    single-partition window at any scale. Returns (per-value frame
+    with ca/cb/cum_a/cum_b, one-row totals frame)."""
     e = (load_table(spark, sf_dir, "events")
          .where(F.col("event_type").isin(_KS_A, _KS_B))
          .select("value", (F.col("event_type") == _KS_A).alias("is_a")))
@@ -154,10 +155,21 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             F.lit(0)))
                .select("bucket", "oa", "ob"))
     cum = (in_bucket.join(F.broadcast(offsets), "bucket")
-           .select((F.col("oa") + F.col("ia")).alias("cum_a"),
+           .select("value", "ca", "cb",
+                   (F.col("oa") + F.col("ia")).alias("cum_a"),
                    (F.col("ob") + F.col("ib")).alias("cum_b")))
     tot = e.agg(F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
                 F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"))
+    return cum, tot
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between '{a}' and '{b}' event
+    values, exact-integer numerator. Distributed ECDF via
+    `_two_sample_cum` → max over INTEGER |cum_a·n_b − cum_b·n_a|; the
+    single division happens on the one-row result.""".format(
+        a=_KS_A, b=_KS_B)
+    cum, tot = _two_sample_cum(spark, sf_dir)
     return (cum.crossJoin(F.broadcast(tot))
             .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
                  F.max(F.abs(F.col("cum_a") * F.col("n_b")
@@ -195,6 +207,89 @@ SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
 FROM cum c, tot t
 GROUP BY t.n_a, t.n_b
 """
+
+
+_VAR_U = ("CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+          " / CAST(12 AS DOUBLE)"
+          " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+          "    - CAST(tie_sum AS DOUBLE)"
+          "      / (CAST(n_a + n_b AS DOUBLE)"
+          "         * CAST(n_a + n_b - 1 AS DOUBLE)))")
+_Z_U = ("CAST(u2_a - n_a * n_b AS DOUBLE)"
+        " / (CAST(2 AS DOUBLE) * sqrt(var_u))")
+
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the same two
+    cohorts as `ks_two_sample` — the LOCATION test next to KS's shape
+    test (the standard two-sample pairing). Rank sums stay EXACT
+    integers by working in doubled units: a tie group of size c
+    starting after `start` rows has doubled-average-rank
+    2·start + c + 1, so 2·R_A and 2·U_A are integers even with ties.
+    The tie-corrected normal approximation
+    z = (2U − n_a·n_b·? … written as (2U_A − n_a n_b)/(2√Var) — one
+    sqrt + one division over identical operands in both engines.
+    Shares `_two_sample_cum`'s two-level distributed prefix sums."""
+    cum, tot = _two_sample_cum(spark, sf_dir)
+    per = cum.select(
+        "ca", "cb",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        (F.col("cum_a") + F.col("cum_b")
+         - F.col("ca") - F.col("cb")).alias("start"))
+    agg = per.agg(
+        F.sum(F.col("ca") * (2 * F.col("start") + F.col("c") + 1))
+        .alias("ra2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("tie_sum"))
+    out = (agg.crossJoin(F.broadcast(tot))
+           .withColumn("u2_a", F.expr("ra2 - n_a * (n_a + 1)"))
+           .withColumn("var_u", F.expr(_VAR_U))
+           .withColumn("z", F.expr(_Z_U)))
+    return out.select("n_a", "n_b", "u2_a",
+                      (F.col("u2_a").cast("double")
+                       / F.lit(2.0)).alias("u_a"),
+                      "var_u", "z")
+
+
+_MWU_SQL = f"""
+WITH e AS (
+  SELECT value, event_type = '{_KS_A}' AS is_a FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+per_val AS (
+  SELECT value,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+  FROM e GROUP BY value),
+cum AS (
+  SELECT ca, cb, ca + cb AS c,
+         SUM(ca + cb) OVER (ORDER BY value
+                            ROWS UNBOUNDED PRECEDING)
+           - (ca + cb) AS start
+  FROM per_val),
+agg AS (
+  SELECT CAST(SUM(ca * (2 * start + c + 1)) AS BIGINT) AS ra2,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+  FROM cum),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM e),
+j AS (
+  SELECT t.n_a, t.n_b,
+         CAST(a.ra2 - t.n_a * (t.n_a + 1) AS BIGINT) AS u2_a,
+         a.tie_sum
+  FROM agg a, tot t),
+k AS (
+  SELECT n_a, n_b, u2_a,
+         {_VAR_U} AS var_u
+  FROM j)
+SELECT n_a, n_b, u2_a,
+       CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+       var_u,
+       {_Z_U} AS z
+FROM k
+"""
+
 
 
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,5 +355,6 @@ ORDER BY user_id
 QUERIES = {
     "mann_kendall_trend": (q_mann_kendall_trend, _MK_SQL),
     "ks_two_sample": (q_ks_two_sample, _KS_SQL),
+    "mannwhitney_u": (q_mannwhitney_u, _MWU_SQL),
     "cusum_changepoint": (q_cusum_changepoint, _CUSUM_SQL),
 }

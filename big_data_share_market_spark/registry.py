@@ -54,7 +54,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (d) rotation: 29 of the 42 queries whose last green driver row
 #:       is STILL round 1 (the relational/TPC-H family).
 #:
-#: ROUND-8 ROTATION NOTE: rotate the 27 deferred r1 rows
+#: ROUND-8 ROTATION NOTE: rotate the 28 deferred r1 rows
 #: {returned_item_revenue, important_part_value, promo_revenue,
 #: small_quantity_revenue,
 #: disjunctive_revenue, high_volume_part_suppliers,
@@ -64,8 +64,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: market_share, product_profit, late_shipment_priorities,
 #: large_volume_orders, customer_order_distribution, minmax_per_key,
 #: trend_per_key, top_supplier_per_nation, orders_rollup,
-#: asof_last_signup, range_join_pairs, events_pivot — the last
-#: fourteen bumped from
+#: asof_last_signup, range_join_pairs, events_pivot,
+#: parts_never_ordered — the last fifteen bumped from
 #: the r7 window by the third/fourth/fifth-wave additions} first, then the
 #: r2 family (streams,
 #: strategies, patterns, heikin_ashi/renko/raindrop, exact-dedup
@@ -87,7 +87,8 @@ _FIRST_50 = (
     "recursive_cte_kalman", "lateral_topk_orders", "rolling_24h_value",
     # (a, continued) r7 fifth wave: the statistical QA layer —
     # trend significance, distribution drift, changepoint location.
-    "mann_kendall_trend", "ks_two_sample", "cusum_changepoint",
+    "mann_kendall_trend", "ks_two_sample", "mannwhitney_u",
+    "cusum_changepoint",
     # --- (b) upgraded rows-only -> full oracle ---
     "approx_value_quantiles", "cosine_topk_numpy",
     # --- (c) r7 perf/refactor re-verification ---
@@ -100,7 +101,7 @@ _FIRST_50 = (
     "shipping_priority", "region_revenue", "filter_project",
     "distinct_sort", "grouped_events", "top_orders",
     "topk_per_group", "semi_join_high_orders", "anti_join_no_orders",
-    "order_fill_outer", "union_account_holders", "parts_never_ordered",
+    "order_fill_outer", "union_account_holders",
 )
 
 

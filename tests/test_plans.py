@@ -42,6 +42,8 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # 1-row totals frame broadcast onto the ECDF cum stream
             # before the final max (r7 fifth wave)
             "ks_two_sample",
+            # 1-row rank-sum aggregate x 1-row totals crossJoin
+            "mannwhitney_u",
             # broadcast 3-row probe frame range-joined (cum >= target)
             # onto the (groups x ~107)-row cumulative histogram (r7)
             "grouped_quantile_sketch",

@@ -99,3 +99,35 @@ def test_cusum_finds_planted_level_shift(spark, monkeypatch):
     assert row.argmax_rank == 10
     assert row.argmax_event_id == 9
     assert row.max_abs_cusum == 50.0
+
+
+def _mwu_brute(xs, ys):
+    """2*U_A and tie-corrected Var(U) by definition."""
+    u2 = 0
+    for x in xs:
+        for y in ys:
+            u2 += 2 if x > y else (1 if x == y else 0)
+    n_a, n_b = len(xs), len(ys)
+    n = n_a + n_b
+    from collections import Counter
+    tie_sum = sum(c ** 3 - c for c in Counter(xs + ys).values())
+    var = n_a * n_b / 12 * ((n + 1) - tie_sum / (n * (n - 1)))
+    return u2, var
+
+
+def test_mannwhitney_matches_brute_force(spark, monkeypatch):
+    from big_data_share_market_spark.operators import stats
+
+    xs = [1.0, 2.5, 2.5, 7.0, 40.0, 41.5, 300.0, 2.5]
+    ys = [0.5, 2.5, 3.0, 18.0, 40.0, 200.0, 310.0, 5.0, 41.5]
+    rows = ([(1, i, 0, v) for i, v in enumerate(xs)]
+            + [(2, 100 + i, 0, v) for i, v in enumerate(ys)])
+    df = _mk_events(spark, rows).withColumn(
+        "event_type",
+        F.when(F.col("user_id") == 1, "click").otherwise("purchase"))
+    monkeypatch.setattr(stats, "load_table", lambda *_: df)
+    (row,) = stats.q_mannwhitney_u(spark, "unused").collect()
+    u2, var = _mwu_brute(xs, ys)
+    assert (row.n_a, row.n_b) == (len(xs), len(ys))
+    assert row.u2_a == u2
+    assert abs(row.var_u - var) < 1e-9
