@@ -71,6 +71,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: strategies, patterns, heikin_ashi/renko/raindrop, exact-dedup
 #: siblings) — plus, as always, front-load r8 additions and anything
 #: r8 code changes touch.
+#:
+#: R8 CANDIDATE CAPABILITY SPACE (surveyed at the end of r7; all of
+#: the obvious operator families are now covered, so these are the
+#: remaining genuinely-new seams): a streaming CUSUM/Page-Hinkley
+#: drift detector (live twin of cusum_changepoint; running-mean
+#: recursion has a recursive-CTE oracle), Arrow-optimized UDTF
+#: (useArrow=True) A/B against the row UDTF, a Wilcoxon SIGNED-rank
+#: test (paired twin of mannwhitney_u), per-key seasonal
+#: decomposition by day-of-week means (oracle-friendly), and pair
+#: subsampling for theil_sen on UNBOUNDED series (hash-stride the
+#: (i, j) lattice — the documented production fallback).
 _FIRST_50 = (
     # --- (a) round-7 additions ---
     "aqe_skew_join", "quantile_sketch_merge", "kmv_distinct_merge",
