@@ -100,8 +100,19 @@ def q_recursive_cte_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guessed: the level limit (default 100 > max series length ~66)
     # remains the structural bound. The count is free — the relation
     # is staged/persisted.
-    spark.conf.set("spark.sql.cteRecursionRowLimit",
-                   str(max(2_000_000, int(ranked.count() * 2))))
+    #
+    # The raise is MONOTONE and deliberate, not save/restored: the
+    # returned DataFrame is lazy and reads the session conf at
+    # EXECUTION time, so restoring the old value here (before the
+    # caller ever runs the query) would reinstate the low limit and
+    # fail the recursion. Never lower an already-raised limit (another
+    # in-flight recursive query may depend on it); the valve stays
+    # armed at the data-derived bound (2× the staged row count).
+    needed = max(2_000_000, int(ranked.count() * 2))
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit",
+                                 "1000000"))
+    if needed > current:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(needed))
     q, r = f"CAST({_KAL_Q} AS DOUBLE)", f"CAST({_KAL_R} AS DOUBLE)"
     # The recursion body mirrors _stream_kalman_sql verbatim, with the
     # base CTE swapped for the staged view.

@@ -164,11 +164,11 @@ def _two_sample_cum(spark: SparkSession, sf_dir: str):
 
 
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov D between '{a}' and '{b}' event
-    values, exact-integer numerator. Distributed ECDF via
-    `_two_sample_cum` → max over INTEGER |cum_a·n_b − cum_b·n_a|; the
-    single division happens on the one-row result.""".format(
-        a=_KS_A, b=_KS_B)
+    """Two-sample Kolmogorov–Smirnov D between the `_KS_A` ('click')
+    and `_KS_B` ('purchase') event values, exact-integer numerator.
+    Distributed ECDF via `_two_sample_cum` → max over INTEGER
+    |cum_a·n_b − cum_b·n_a|; the single division happens on the
+    one-row result."""
     cum, tot = _two_sample_cum(spark, sf_dir)
     return (cum.crossJoin(F.broadcast(tot))
             .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),

@@ -116,14 +116,19 @@ def q_udtf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UDTF_SESSION_SQL = """
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS value_u6,
          CASE WHEN ts - lag(ts) OVER w >= INTERVAL 4 HOUR
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 islands AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  -- ORDER BY (ts, event_id) — the SAME total order new_session was
+  -- computed over — so session ids stay deterministic even with
+  -- duplicate (user_id, ts) rows (peer order would otherwise be
+  -- engine-arbitrary).
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked)
 SELECT user_id, MIN(ts) AS session_start,

@@ -173,9 +173,23 @@ def make_tick_stream_datasource():
     `latestOffset` admits `_BATCH_SEQS` new seqs per micro-batch (rate
     limiting — the maxFilesPerTrigger of a custom source), `partitions`
     plans one split per symbol per range, and `commit` is where a real
-    source would ack upstream. Exactly-once comes from determinism:
-    replaying (start, end) regenerates identical rows, the same
-    contract a Kafka offset range gives the built-in source."""
+    source would ack upstream. WITHIN a run, exactly-once comes from
+    determinism: replaying (start, end) regenerates identical rows,
+    the same contract a Kafka offset range gives the built-in source.
+
+    ACROSS a process restart the rate-limit cursor must not regress
+    below the checkpoint's committed offset (a fresh reader starts at
+    0; Spark never tells `latestOffset` where the offset log left
+    off): pass `progress_path=<file>` and `commit()` persists the
+    committed seq there, `__init__` restores it — the source-side
+    progress store a real connector keeps in the upstream system
+    (Kafka: the broker IS that store). Without `progress_path` the
+    restart contract is scoped to FRESH checkpoints (the demo-query
+    configuration); the in-run monotone clamps in `partitions` still
+    prevent a regressed cursor from ever re-emitting a committed
+    range."""
+    import os
+
     from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                         InputPartition)
 
@@ -193,7 +207,14 @@ def make_tick_stream_datasource():
                 options.get("start", _START.isoformat()))
             self.interval_s = int(options.get("interval_s", _INTERVAL_S))
             self.batch = int(options.get("batch_seqs", _BATCH_SEQS))
+            self.progress_path = options.get("progress_path")
             self._cur = 0
+            if self.progress_path and os.path.exists(self.progress_path):
+                # Restart: resume the rate-limit cursor from the last
+                # COMMITTED offset so latestOffset never regresses
+                # below what the checkpoint already processed.
+                with open(self.progress_path) as fh:
+                    self._cur = int(fh.read().strip() or 0)
 
         def initialOffset(self) -> dict:
             return {"seq": 0}
@@ -204,8 +225,15 @@ def make_tick_stream_datasource():
             return {"seq": self._cur}
 
         def partitions(self, start: dict, end: dict):
-            return [_RangePartition(s, start["seq"], end["seq"])
-                    for s in self.symbols]
+            # The planner's offsets are authoritative (they come from
+            # the checkpoint's offset log): never let the in-memory
+            # cursor sit below a range Spark has already planned, and
+            # never plan a negative range (end < start can only mean
+            # the cursor regressed — emit nothing rather than
+            # re-emitting a committed span).
+            self._cur = max(self._cur, start["seq"], end["seq"])
+            lo, hi = start["seq"], max(end["seq"], start["seq"])
+            return [_RangePartition(s, lo, hi) for s in self.symbols]
 
         def read(self, partition):
             for seq in range(partition.lo, partition.hi):
@@ -213,9 +241,15 @@ def make_tick_stream_datasource():
                             self.interval_s)
 
         def commit(self, end: dict) -> None:
-            # A real source acks upstream here; the generator has
-            # nothing to release.
-            pass
+            # A real source acks upstream here; the generator's only
+            # upstream is the optional progress file (atomic
+            # write+rename so a kill mid-commit leaves the old value).
+            self._cur = max(self._cur, end["seq"])
+            if self.progress_path:
+                tmp = f"{self.progress_path}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(str(end["seq"]))
+                os.replace(tmp, self.progress_path)
 
     class TickStreamDataSource(DataSource):
         @classmethod

@@ -728,10 +728,18 @@ def _session_timeout_fn(gap_us: int):
         for t, v in zip(ts_us, u6):
             if n and t - last_us >= gap_us:
                 out.append(_emit(start_us, last_us, n, sum_u6))
-                start_us, n, sum_u6 = t, 0, 0
+                start_us, last_us, n, sum_u6 = t, t, 0, 0
             elif n == 0:
-                start_us = t
-            last_us = t
+                start_us = last_us = t
+            else:
+                # A cross-batch out-of-order event (legal within the
+                # watermark delay; in-batch rows are sorted above) must
+                # not REGRESS the session bounds: a regressed last_us
+                # would falsely split the next session and arm a stale
+                # timeout, a regressed start_us would misreport the
+                # session start. Absorb it monotonically instead.
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
             n += 1
             sum_u6 += int(v)
 

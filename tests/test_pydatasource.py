@@ -54,3 +54,47 @@ def test_tick_is_deterministic():
     t2 = _tick("AAPL", 7, start, 60)
     assert t1 == t2
     assert t1[2] == start + dt.timedelta(seconds=420)
+
+
+def _stream_reader(options):
+    from big_data_share_market_spark.sources.pydatasource import (
+        make_tick_stream_datasource)
+    ds_cls = make_tick_stream_datasource()
+    return ds_cls(options).streamReader(None)
+
+
+def test_stream_reader_cursor_never_regresses_after_restart(tmp_path):
+    """A RESTARTED reader (fresh process, existing checkpoint) must
+    not plan a range below the committed offset. Drives the offset
+    lifecycle directly: run 1 commits up to seq 192 via progress_path;
+    run 2's reader must resume its cursor there, and a planner-fed
+    range is clamped non-negative."""
+    progress = str(tmp_path / "progress")
+    r1 = _stream_reader({"progress_path": progress, "batch_seqs": "64",
+                         "n_per_symbol": "256"})
+    assert r1.initialOffset() == {"seq": 0}
+    for expect in (64, 128, 192):
+        assert r1.latestOffset() == {"seq": expect}
+        r1.commit({"seq": expect})
+
+    # Fresh reader, same progress file == process restart.
+    r2 = _stream_reader({"progress_path": progress, "batch_seqs": "64",
+                         "n_per_symbol": "256"})
+    assert r2.latestOffset() == {"seq": 256}  # resumes PAST 192
+    parts = r2.partitions({"seq": 192}, {"seq": 256})
+    assert all(p.lo == 192 and p.hi == 256 for p in parts)
+
+
+def test_stream_reader_clamps_regressed_range_without_progress():
+    """Without progress_path (the fresh-checkpoint demo config), a
+    restarted reader's first latestOffset CAN sit below the
+    checkpoint's start — partitions must then plan an EMPTY range,
+    never a negative one and never a re-emit of the committed span."""
+    r = _stream_reader({"batch_seqs": "64", "n_per_symbol": "256"})
+    assert r.latestOffset() == {"seq": 64}
+    parts = r.partitions({"seq": 192}, {"seq": 64})
+    assert all(p.lo == 192 and p.hi == 192 for p in parts)  # empty
+    assert sum(1 for p in parts for _ in r.read(p)) == 0
+    # The planned range advanced the cursor: the NEXT trigger resumes
+    # from past the committed offset instead of crawling from 64.
+    assert r.latestOffset() == {"seq": 256}

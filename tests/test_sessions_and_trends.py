@@ -144,6 +144,33 @@ def test_state_fn_session_spans_batches():
     assert (start_us, n, sum_u6) == (_us(T0), 2, 30)
 
 
+def test_state_fn_cross_batch_disorder_does_not_regress_bounds():
+    """A cross-batch OUT-OF-ORDER event (legal within the watermark
+    delay) must be absorbed monotonically: last_us must not regress
+    (a regressed last would falsely split the next session and arm a
+    stale timeout) and start_us must not move forward."""
+    fn = _session_timeout_fn(_SESSION_GAP_US)
+    state = _FakeState()
+    list(fn((7,), iter([_batch([(T0, 1, 10),
+                                (T0 + dt.timedelta(hours=2), 2, 20)])]),
+            state))
+    # Late arrival BETWEEN the two seen events.
+    late = [(T0 + dt.timedelta(hours=1), 3, 5)]
+    assert list(fn((7,), iter([_batch(late)]), state)) == []
+    start_us, last_us, n, sum_u6 = state.get
+    assert start_us == _us(T0)                          # unchanged
+    assert last_us == _us(T0 + dt.timedelta(hours=2))   # NOT regressed
+    assert (n, sum_u6) == (3, 35)
+    assert state.timeout_ms == last_us // 1000 + _SESSION_GAP_US // 1000
+    # An event even EARLIER than the session start widens it backward.
+    earlier = [(T0 - dt.timedelta(hours=1), 4, 1)]
+    assert list(fn((7,), iter([_batch(earlier)]), state)) == []
+    start_us, last_us, n, sum_u6 = state.get
+    assert start_us == _us(T0 - dt.timedelta(hours=1))
+    assert last_us == _us(T0 + dt.timedelta(hours=2))
+    assert (n, sum_u6) == (4, 36)
+
+
 @pytest.mark.usefixtures("spark")
 def test_theil_sen_exact_recovery_with_outliers(spark):
     """y = 2.5 * hours exactly, plus 2 gross outliers out of 12 points:
