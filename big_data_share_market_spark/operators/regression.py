@@ -143,8 +143,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the fixture design (keys grow with data volume, not
     series length; see SCALING.md). One window over (user_id) ranks
     slopes and picks the lower median (percentile_disc semantics) with
-    a deterministic (slope, i, j) tiebreak. For unbounded series,
-    cap pairs per key by striding i — noted, not needed here.
+    a deterministic (slope, i, j) tiebreak. For unbounded series, the
+    stride-capped twin `stats.q_theil_sen_capped` (built on
+    `stats.stride_sampled_pairs`) bounds pair generation per key.
 
     Cross-engine exactness: slope = double subtraction + one division
     over identical operands (Δvalue double, Δt exact integer micros

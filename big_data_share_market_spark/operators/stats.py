@@ -27,10 +27,13 @@ exact distributed algebra with a full DuckDB oracle:
   locator), deterministic argmax tiebreak to the earliest position.
 
 Scale notes: mann_kendall shares theil_sen's bounded pair fanout
-(series length per key is bounded by fixture design; cap pairs for
-unbounded series). ks_two_sample shuffles counts per distinct value
-(≤ one row per distinct value per bucket); cusum is one hash exchange
-on the key.
+(series length per key is bounded by fixture design); for UNBOUNDED
+series both carry stride-capped twins (`mann_kendall_capped`,
+`theil_sen_capped`) built on `stride_sampled_pairs` — deterministic
+systematic anchor subsampling that bounds pair GENERATION (not just
+output) to `_PAIR_CAP` per key. ks_two_sample shuffles counts per
+distinct value (≤ one row per distinct value per bucket); cusum is
+one hash exchange on the key.
 """
 
 from __future__ import annotations
@@ -352,9 +355,361 @@ ORDER BY user_id
 """
 
 
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon SIGNED-rank test — the PAIRED twin of `mannwhitney_u`
+    (that one asks "are two independent cohorts at the same level?";
+    this one asks "did the same subjects shift?"). Pairs the i-th
+    'click' with the i-th 'purchase' per user (both ranked by
+    (ts, event_id)), takes d = v_click − v_purchase, drops the exact
+    zeros, ranks |d| with AVERAGE ranks for ties — kept EXACT by the
+    same doubled-rank integer trick as `mannwhitney_u`: a tie group of
+    size c starting after `start` rows has doubled-average-rank
+    2·start + c + 1, so 2·W⁺ is an integer. Tie-corrected normal
+    approximation: Var(W⁺) = [2n(n+1)(2n+1) − Σ(c³−c)]/48 and
+    z = (2W⁺ − n(n+1)/2) / (2√Var) — integer numerators, one sqrt +
+    one division over identical operands in both engines.
+
+    Scale shape: pairing is one row_number window + one equi-join on
+    (user_id, rn); the |d| ranking reuses the two-level bucketed
+    prefix-sum discipline (per-|d| counts, never a global
+    single-partition window over raw rows)."""
+    e = (load_table(spark, sf_dir, "events")
+         .where(F.col("event_type").isin(_KS_A, _KS_B))
+         .select("user_id", "event_id", "ts",
+                 (F.col("event_type") == _KS_A).alias("is_a"),
+                 F.col("value").alias("v")))
+    w = Window.partitionBy("user_id", "is_a").orderBy("ts", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    a = r.where(F.col("is_a")).select("user_id", "rn",
+                                      F.col("v").alias("va"))
+    b = r.where(~F.col("is_a")).select("user_id", "rn",
+                                       F.col("v").alias("vb"))
+    d = (a.join(b, ["user_id", "rn"])
+         .select((F.col("va") - F.col("vb")).alias("d"))
+         .where(F.col("d") != 0))
+    per_val = (d.groupBy(F.abs("d").alias("ad"))
+               .agg(F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+                    .alias("cp"),
+                    F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+                    .alias("cn"))
+               .withColumn("bucket", F.floor(F.col("ad") / _KS_W)))
+    win = (Window.partitionBy("bucket").orderBy("ad")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    in_bucket = per_val.withColumn(
+        "ic", F.sum(F.col("cp") + F.col("cn")).over(win))
+    per_bucket = (per_val.groupBy("bucket")
+                  .agg(F.sum(F.col("cp") + F.col("cn")).alias("bc")))
+    bwin = (Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (per_bucket
+               .withColumn("oc", F.coalesce(F.sum("bc").over(bwin),
+                                            F.lit(0)))
+               .select("bucket", "oc"))
+    cum = (in_bucket.join(F.broadcast(offsets), "bucket")
+           .select("cp", "cn",
+                   (F.col("cp") + F.col("cn")).alias("c"),
+                   (F.col("oc") + F.col("ic")
+                    - F.col("cp") - F.col("cn")).alias("start")))
+    agg = cum.agg(
+        F.sum(F.col("cp") * (2 * F.col("start") + F.col("c") + 1))
+        .alias("w2_plus"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("tie_sum"),
+        F.sum("c").alias("n_nonzero"))
+    return agg.select(
+        "n_nonzero", "w2_plus",
+        (F.col("w2_plus").cast("double") / F.lit(2.0)).alias("w_plus"),
+        F.expr(
+            "CAST(2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1)"
+            " - tie_sum AS DOUBLE) / CAST(48.0 AS DOUBLE)")
+        .alias("var_w"),
+        F.expr(
+            "CAST(w2_plus - ((n_nonzero * (n_nonzero + 1)) DIV 2)"
+            " AS DOUBLE)"
+            " / (CAST(2 AS DOUBLE) * sqrt("
+            "CAST(2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1)"
+            " - tie_sum AS DOUBLE) / CAST(48.0 AS DOUBLE)))")
+        .alias("z"))
+
+
+_WILCOXON_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type = '{_KS_A}' AS is_a,
+         value AS v
+  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+r AS (
+  SELECT user_id, is_a, v,
+         row_number() OVER (PARTITION BY user_id, is_a
+                            ORDER BY ts, event_id) AS rn
+  FROM e),
+d AS (
+  SELECT a.v - b.v AS d
+  FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn = b.rn
+  WHERE a.is_a AND NOT b.is_a AND a.v - b.v <> 0),
+per_val AS (
+  SELECT ABS(d) AS ad,
+         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp,
+         SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS cn
+  FROM d GROUP BY ABS(d)),
+cum AS (
+  SELECT cp, cn, cp + cn AS c,
+         SUM(cp + cn) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+           - (cp + cn) AS start
+  FROM per_val),
+agg AS (
+  SELECT CAST(SUM(cp * (2 * start + c + 1)) AS BIGINT) AS w2_plus,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum,
+         CAST(SUM(c) AS BIGINT) AS n_nonzero
+  FROM cum)
+SELECT n_nonzero, w2_plus,
+       CAST(w2_plus AS DOUBLE) / 2.0 AS w_plus,
+       CAST(2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1)
+            - tie_sum AS DOUBLE) / CAST(48.0 AS DOUBLE) AS var_w,
+       CAST(w2_plus - ((n_nonzero * (n_nonzero + 1)) // 2) AS DOUBLE)
+         / (CAST(2 AS DOUBLE) * sqrt(
+             CAST(2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1)
+                  - tie_sum AS DOUBLE) / CAST(48.0 AS DOUBLE))) AS z
+FROM agg
+"""
+
+
+def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key seasonal decomposition by DAY-OF-WEEK means — the
+    weekly-seasonality screen a data pipeline runs before trusting a
+    trend test (a pure Mon-vs-Sun effect would otherwise read as
+    drift): daily per-user value totals → per-(user, dow) mean daily
+    total (the seasonal component) vs the user's overall mean daily
+    total (the level), effect = dow_mean − user_mean. Pure window
+    algebra over decimal-exact daily sums; the only doubles are the
+    two final divisions, identical expression text in both engines.
+    Day-of-week is pinned 0=Monday in both (Spark `weekday`, DuckDB
+    `isodow − 1`).
+
+    Scale shape: one groupBy (user, day), one groupBy (user, dow)
+    (49 rows per user max after the first agg), one per-user window
+    over ≤7 rows — no global window, no self-join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.col("value").cast(DEC)).alias("day_sum")))
+    bydow = (daily.withColumn("dow", F.expr("weekday(day)"))
+             .groupBy("user_id", "dow")
+             .agg(F.count("*").alias("n_days"),
+                  F.sum("day_sum").alias("dow_sum")))
+    wk = Window.partitionBy("user_id")
+    out = (bydow
+           .withColumn("user_sum", F.sum("dow_sum").over(wk))
+           .withColumn("user_days", F.sum("n_days").over(wk))
+           .withColumn("dow_mean", F.col("dow_sum").cast("double")
+                       / F.col("n_days"))
+           .withColumn("user_mean", F.col("user_sum").cast("double")
+                       / F.col("user_days"))
+           .withColumn("seasonal_effect",
+                       F.col("dow_mean") - F.col("user_mean")))
+    return out.select("user_id", "dow", "n_days", "dow_mean",
+                      "user_mean", "seasonal_effect").orderBy(
+        "user_id", "dow")
+
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(25,6))) AS day_sum
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+bydow AS (
+  SELECT user_id, isodow(day) - 1 AS dow,
+         COUNT(*) AS n_days, SUM(day_sum) AS dow_sum
+  FROM daily GROUP BY user_id, isodow(day) - 1),
+win AS (
+  SELECT user_id, CAST(dow AS INTEGER) AS dow,
+         CAST(n_days AS BIGINT) AS n_days,
+         CAST(dow_sum AS DOUBLE) / n_days AS dow_mean,
+         CAST(SUM(dow_sum) OVER (PARTITION BY user_id) AS DOUBLE)
+           / SUM(n_days) OVER (PARTITION BY user_id) AS user_mean
+  FROM bydow)
+SELECT user_id, dow, n_days, dow_mean, user_mean,
+       dow_mean - user_mean AS seasonal_effect
+FROM win ORDER BY user_id, dow
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stride-capped pair expansion: bounded per-key work for the O(n²)
+# pairwise statistics on UNBOUNDED series
+# ---------------------------------------------------------------------------
+
+#: Max sampled pairs per key. Deliberately SMALL relative to the
+#: fixture's ~66-event series (66²/2 ≈ 2.2k pairs) so the capped path
+#: actually engages in every driver run (stride ≈ 5 at the fixtures),
+#: instead of only on a hypothetical hot key.
+_PAIR_CAP = 512
+
+
+def stride_sampled_pairs(e: DataFrame, cap: int = _PAIR_CAP) -> DataFrame:
+    """Deterministic hash-free stride subsample of the per-key (i, j)
+    pair lattice — the documented production fallback for
+    `mann_kendall_trend` / `theil_sen_trend` on UNBOUNDED series
+    (their full lattices are O(n²) per key, a job-killer under a hot
+    key at 100 TB).
+
+    Stride the i-SIDE: keep anchors where (rn−1) % stride == 0 with
+    stride = max(1, ⌈n²/(2·cap)⌉) (exact integer arithmetic), then
+    join anchors to ALL later events — ≤ cap + n pairs per key (the
+    Σ(n − k·stride) anchor series telescopes to ~n²/(2·stride) ≤ cap,
+    plus the first anchor's inevitable n−1 tail), and because the
+    anchor filter runs BEFORE the join, pair GENERATION is bounded,
+    not just post-filtered. O(cap + n) per key is the right target:
+    the quadratic blowup is gone and a linear pass over a key's
+    events is the floor for ANY per-key statistic. Systematic (every
+    stride-th anchor) beats random here: deterministic ⇒ the DuckDB
+    oracle mirrors it row-for-row, and anchors stay uniform over the
+    series so the slope/sign sample is unbiased for any trend that is
+    stationary in time. stride == 1 ⇒ the EXACT full lattice
+    (property-tested equivalence).
+
+    Input: (user_id, event_id, t, v) with t integer micros. Output
+    pair rows (user_id, n, stride, i_id, j_id, t_i, t_j, v_i, v_j)."""
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wk = Window.partitionBy("user_id")
+    r = (e.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wk))
+         .withColumn("stride", F.expr(
+             f"GREATEST(CAST(1 AS BIGINT),"
+             f" (n * n + {2 * cap - 1}) DIV {2 * cap})")))
+    anchors = (r.where((F.col("rn") - 1) % F.col("stride") == 0)
+               .select("user_id", "n", "stride",
+                       F.col("rn").alias("i_rn"),
+                       F.col("event_id").alias("i_id"),
+                       F.col("t").alias("t_i"), F.col("v").alias("v_i")))
+    later = r.select(F.col("user_id").alias("b_user"),
+                     F.col("rn").alias("j_rn"),
+                     F.col("event_id").alias("j_id"),
+                     F.col("t").alias("t_j"), F.col("v").alias("v_j"))
+    return (anchors.join(later,
+                         (F.col("user_id") == F.col("b_user"))
+                         & (F.col("i_rn") < F.col("j_rn")))
+            .select("user_id", "n", "stride", "i_id", "j_id",
+                    "t_i", "t_j", "v_i", "v_j"))
+
+
+def _stride_pairs_sql(cap: int = _PAIR_CAP) -> str:
+    """Oracle mirror of `stride_sampled_pairs` (same integer stride,
+    same anchor rule, WHERE-filtered instead of pre-join-filtered —
+    identical row set)."""
+    return f"""
+e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value AS v FROM events),
+r AS (
+  SELECT user_id, event_id, t, v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e),
+s AS (
+  SELECT *, GREATEST(1, (n * n + {2 * cap - 1}) // {2 * cap}) AS stride
+  FROM r),
+pairs AS (
+  SELECT a.user_id, a.n, a.stride, a.event_id AS i_id, b.event_id AS j_id,
+         a.t AS t_i, b.t AS t_j, a.v AS v_i, b.v AS v_j
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.rn < b.rn
+  WHERE (a.rn - 1) % a.stride = 0)"""
+
+
+def q_mann_kendall_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend SCREEN over the stride-capped pair lattice —
+    the bounded-work form of `q_mann_kendall_trend` for unbounded
+    series. Reports the sampled sign-sum (an exact integer over the
+    deterministic subsample) plus the truncation stats
+    (n, stride, n_pairs_sampled, n_pairs_total) so a consumer can see
+    exactly how much lattice was dropped. No z-score on purpose: the
+    subsample changes Var(S) and a mislabeled significance would be
+    worse than none — use the exact test when n is bounded."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+        F.col("value").alias("v"))
+    pairs = stride_sampled_pairs(e)
+    return (pairs.groupBy("user_id")
+            .agg(F.max("n").alias("n"),
+                 F.max("stride").alias("stride"),
+                 F.count("*").alias("n_pairs_sampled"),
+                 F.sum(F.signum(F.col("v_j") - F.col("v_i"))
+                       .cast("long")).alias("s_capped"))
+            .withColumn("n_pairs_total",
+                        F.expr("(n * (n - 1)) DIV 2"))
+            .select("user_id", "n", "stride", "n_pairs_total",
+                    "n_pairs_sampled", "s_capped")
+            .orderBy("user_id"))
+
+
+_MK_CAPPED_SQL = f"""
+WITH {_stride_pairs_sql()}
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(stride) AS BIGINT) AS stride,
+       CAST((MAX(n) * (MAX(n) - 1)) // 2 AS BIGINT) AS n_pairs_total,
+       COUNT(*) AS n_pairs_sampled,
+       CAST(SUM(CAST(sign(v_j - v_i) AS BIGINT)) AS BIGINT) AS s_capped
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_theil_sen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope over the stride-capped pair lattice — the
+    bounded-work form of `q_theil_sen_trend` for unbounded series
+    (regression.py's documented fallback, now implemented). Sampled
+    pairs per key are O(`_PAIR_CAP` + n) — linear, never quadratic —
+    so the per-key median is a plain window sort; no two-phase
+    machinery needed, because the CAP (not the data) bounds the
+    quadratic term in what shuffles. Same deterministic
+    (slope, i_id, j_id) lower-median tiebreak as the exact form;
+    stride == 1 degenerates to exactly `theil_sen_trend`
+    (property-tested)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+        F.col("value").alias("v"))
+    pairs = stride_sampled_pairs(e).withColumn(
+        "slope",
+        (F.col("v_j") - F.col("v_i"))
+        / ((F.col("t_j") - F.col("t_i")).cast("double") / 3600000000.0))
+    wk = Window.partitionBy("user_id")
+    ranked = (pairs
+              .withColumn("rn", F.row_number().over(
+                  wk.orderBy("slope", "i_id", "j_id")))
+              .withColumn("n_pairs", F.count("*").over(wk)))
+    return (ranked.where(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+            .select("user_id", "n", "stride", "n_pairs",
+                    F.col("slope").alias("slope_per_hour"))
+            .orderBy("user_id"))
+
+
+_TS_CAPPED_SQL = f"""
+WITH {_stride_pairs_sql()},
+sl AS (
+  SELECT user_id, n, stride, i_id, j_id,
+         (v_j - v_i) / (CAST(t_j - t_i AS DOUBLE) / 3600000000.0) AS slope
+  FROM pairs),
+ranked AS (
+  SELECT user_id, CAST(n AS BIGINT) AS n, CAST(stride AS BIGINT) AS stride,
+         slope,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY slope, i_id, j_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+  FROM sl)
+SELECT user_id, n, stride, n_pairs, slope AS slope_per_hour
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "mann_kendall_trend": (q_mann_kendall_trend, _MK_SQL),
     "ks_two_sample": (q_ks_two_sample, _KS_SQL),
     "mannwhitney_u": (q_mannwhitney_u, _MWU_SQL),
     "cusum_changepoint": (q_cusum_changepoint, _CUSUM_SQL),
+    "wilcoxon_signed_rank": (q_wilcoxon_signed_rank, _WILCOXON_SQL),
+    "seasonal_decompose_dow": (q_seasonal_decompose_dow, _SEASONAL_SQL),
+    "mann_kendall_capped": (q_mann_kendall_capped, _MK_CAPPED_SQL),
+    "theil_sen_capped": (q_theil_sen_capped, _TS_CAPPED_SQL),
 }

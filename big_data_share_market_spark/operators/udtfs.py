@@ -140,6 +140,38 @@ ORDER BY user_id, session_start
 """
 
 
+def q_udtf_sessionize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionizer registered with `useArrow=True` (Spark
+    4's Arrow-optimized UDTF serializer) — the A/B twin of
+    `q_udtf_sessionize`, same class, same SQL text, same oracle.
+    `eval` is still invoked once per row (the UDTF contract is
+    row-wise regardless of serializer), so Arrow buys batched
+    JVM↔Python TRANSFER, not vectorized eval: the A/B isolates how
+    much of the row-UDTF lane's cost is serialization vs Python
+    dispatch (measured in BENCH_NOTES; the Arrow kernel `ewm.py`
+    lane remains the production path either way)."""
+    from pyspark.sql.functions import udtf
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "udtf_events_src_arrow")
+    spark.udtf.register(
+        "sessionize_udtf_arrow",
+        udtf(_SessionizeUDTF, returnType=_SESSION_DDL, useArrow=True))
+    return spark.sql("""
+        SELECT user_id, session_start, session_end, n_events,
+               CAST(sum_u6 AS DOUBLE) / 1000000.0 AS sum_value
+        FROM sessionize_udtf_arrow(
+          TABLE(
+            SELECT user_id, ts, event_id,
+                   CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+                     AS value_u6
+            FROM udtf_events_src_arrow)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        ORDER BY user_id, session_start
+    """)
+
+
 QUERIES = {
     "udtf_sessionize": (q_udtf_sessionize, _UDTF_SESSION_SQL),
+    "udtf_sessionize_arrow": (q_udtf_sessionize_arrow, _UDTF_SESSION_SQL),
 }

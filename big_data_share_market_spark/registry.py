@@ -35,84 +35,60 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Remaining slots rotate long-unverified r1/r2 queries (oldest
 #: driver contact first) so no green row goes stale.
 #:
-#: ROUND-7 WINDOW (executed as the r6 rotation note laid out):
-#:   (a) r7 additions — aqe_skew_join (AQE skew-split demo, plan
-#:       pinned) and quantile_sketch_merge (mergeable fixed-bucket
-#:       quantile summary, merge ≡ recompute oracle);
-#:   (b) newly ORACLED formerly-rows-only queries —
-#:       approx_value_quantiles (GK rank-bound emitted as the result)
-#:       and cosine_topk_numpy (exact re-rank of the numpy shortlist,
-#:       shares cosine_topk's oracle). Only the two HLL sketches
-#:       remain rows-only by design;
-#:   (c) re-verification of everything r7 perf/refactor work touched:
-#:       the across-key vectorized Arrow kernels (_ewm_kernel /
-#:       _kalman_kernel rewrite — every _apply_ewm rider) and the
-#:       restart-safe MV-merge sink (batch-id-anchored generations);
-#:       cosine_topk shares the re-shaped numpy twin's oracle;
-#:       stream_upsert_idempotent re-anchors the upsert sink the
-#:       restart test exercises;
-#:   (d) rotation: 29 of the 42 queries whose last green driver row
-#:       is STILL round 1 (the relational/TPC-H family).
+#: ROUND-8 WINDOW (executed as the r7 rotation note laid out): the
+#: r8 additions close the last surveyed capability seams — Wilcoxon
+#: signed-rank (paired twin of mannwhitney_u), day-of-week seasonal
+#: decomposition, the live CUSUM/Page drift detector (restart-tested),
+#: the Arrow-UDTF A/B twin, and the stride-capped bounded-work forms
+#: of the two O(n²) pair statistics — then everything r8 review fixes
+#: touched, then the 28 deferred r1 relational rows, then the start
+#: of the r2 family.
 #:
-#: ROUND-8 ROTATION NOTE: rotate the 28 deferred r1 rows
-#: {returned_item_revenue, important_part_value, promo_revenue,
-#: small_quantity_revenue,
-#: disjunctive_revenue, high_volume_part_suppliers,
-#: suppliers_kept_waiting, idle_customer_balance, cohort_retention,
-#: zorder_key, salted_skew_agg, orders_grouping_sets,
-#: top_revenue_supplier, forecast_revenue, bilateral_volume,
-#: market_share, product_profit, late_shipment_priorities,
-#: large_volume_orders, customer_order_distribution, minmax_per_key,
-#: trend_per_key, top_supplier_per_nation, orders_rollup,
-#: asof_last_signup, range_join_pairs, events_pivot,
-#: parts_never_ordered — the last fifteen bumped from
-#: the r7 window by the third/fourth/fifth-wave additions} first, then the
-#: r2 family (streams,
-#: strategies, patterns, heikin_ashi/renko/raindrop, exact-dedup
-#: siblings) — plus, as always, front-load r8 additions and anything
-#: r8 code changes touch.
-#:
-#: R8 CANDIDATE CAPABILITY SPACE (surveyed at the end of r7; all of
-#: the obvious operator families are now covered, so these are the
-#: remaining genuinely-new seams): a streaming CUSUM/Page-Hinkley
-#: drift detector (live twin of cusum_changepoint; running-mean
-#: recursion has a recursive-CTE oracle), Arrow-optimized UDTF
-#: (useArrow=True) A/B against the row UDTF, a Wilcoxon SIGNED-rank
-#: test (paired twin of mannwhitney_u), per-key seasonal
-#: decomposition by day-of-week means (oracle-friendly), and pair
-#: subsampling for theil_sen on UNBOUNDED series (hash-stride the
-#: (i, j) lattice — the documented production fallback).
+#: ROUND-9 ROTATION NOTE: continue the r2 family — the remaining
+#: streams {stream_signal_bars, stream_sliding_bars,
+#: stream_session_windows, stream_ema_per_key,
+#: stream_dedup_within_watermark, stream_static_enrich,
+#: stream_interval_join, stream_left_outer_interval_join}, the
+#: strategy/pattern family {range_trading_strategy, momentum_strategy,
+#: breakout_strategy, ascending_triangle, descending_triangle,
+#: rounding_bottom}, chart transforms {ohlc_bars, candle_color,
+#: last_per_key, dedup_upsert, latest_n_per_key, flatten_nested,
+#: json_envelope_roundtrip, jsonl_corrupt_tolerant_scan,
+#: props_json_extract}, and the r3+ dedup/text/similarity families
+#: oldest-first — plus, as always, front-load r9 additions and
+#: anything r9 code changes touch.
 _FIRST_50 = (
-    # --- (a) round-7 additions ---
-    "aqe_skew_join", "quantile_sketch_merge", "kmv_distinct_merge",
-    "stream_quantile_sketch", "grouped_quantile_sketch",
-    # (a, continued) r7 third wave: timeout sessionization A/B/C,
-    # Spark-4 extensibility APIs (custom Python data source, UDTF),
-    # robust regression, sketch set-ops.
-    "stream_session_timeout", "udtf_sessionize",
+    # --- (a) round-8 additions ---
+    # Statistical-QA completions: the paired-location test, weekly
+    # seasonality screen, the live drift detector, and the
+    # stride-capped bounded-work twins of the O(n²) pair statistics.
+    "wilcoxon_signed_rank", "seasonal_decompose_dow",
+    "stream_cusum_drift", "mann_kendall_capped", "theil_sen_capped",
+    # Arrow-serializer UDTF A/B twin.
+    "udtf_sessionize_arrow",
+    # --- (b) re-verification of everything r8 code touched ---
+    # udtfs.py oracle tie-order fix; state.py session disorder fix;
+    # sqlfeatures.py conf handling; pydatasource.py restart cursor;
+    # stats.py docstring + new shared helpers next to the r7 tests.
+    "udtf_sessionize", "stream_session_timeout", "recursive_cte_kalman",
     "python_datasource_ticks", "stream_python_datasource",
     "python_datasource_sink", "stream_python_datasource_sink",
-    "theil_sen_trend", "kmv_intersection",
-    # (a, continued) r7 fourth wave: the Spark-4 SQL surface —
-    # recursive CTE, decorrelated LATERAL top-k, RANGE time frames.
-    "recursive_cte_kalman", "lateral_topk_orders", "rolling_24h_value",
-    # (a, continued) r7 fifth wave: the statistical QA layer —
-    # trend significance, distribution drift, changepoint location.
-    "mann_kendall_trend", "ks_two_sample", "mannwhitney_u",
-    "cusum_changepoint",
-    # --- (b) upgraded rows-only -> full oracle ---
-    "approx_value_quantiles", "cosine_topk_numpy",
-    # --- (c) r7 perf/refactor re-verification ---
-    "ema", "macd", "tsi", "adx", "dashboard_snapshot",
-    "atr_wilder", "chandelier_exit", "force_index", "elder_ray",
-    "chaikin_oscillator", "kalman_level", "cosine_topk",
-    "stream_mv_merge", "stream_upsert_idempotent",
-    # --- (d) rotation: last green row is r1 ---
-    "pricing_summary", "order_quantiles", "orders_cube",
-    "shipping_priority", "region_revenue", "filter_project",
-    "distinct_sort", "grouped_events", "top_orders",
-    "topk_per_group", "semi_join_high_orders", "anti_join_no_orders",
-    "order_fill_outer", "union_account_holders",
+    "ks_two_sample", "mann_kendall_trend", "theil_sen_trend",
+    # --- (c) rotation: the 28 deferred r1 rows (last driver contact
+    # round 1; staging/session/plan-report code has changed since) ---
+    "returned_item_revenue", "important_part_value", "promo_revenue",
+    "small_quantity_revenue", "disjunctive_revenue",
+    "high_volume_part_suppliers", "suppliers_kept_waiting",
+    "idle_customer_balance", "cohort_retention", "zorder_key",
+    "salted_skew_agg", "orders_grouping_sets", "top_revenue_supplier",
+    "forecast_revenue", "bilateral_volume", "market_share",
+    "product_profit", "late_shipment_priorities", "large_volume_orders",
+    "customer_order_distribution", "minmax_per_key", "trend_per_key",
+    "top_supplier_per_nation", "orders_rollup", "asof_last_signup",
+    "range_join_pairs", "events_pivot", "parts_never_ordered",
+    # --- (d) rotation: start of the r2 family (oldest next) ---
+    "stream_ohlc_bars", "stream_last20_per_key", "scalping_strategy",
+    "heikin_ashi", "renko", "raindrop",
 )
 
 

@@ -1131,6 +1131,54 @@ def _stream_session_timeout_sql() -> str:
     return _UDTF_SESSION_SQL
 
 
+def q_stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM/Page drift detection as a LIVE operator —
+    the streaming twin of operators/stats.q_cusum_changepoint
+    (batch locates the shift in a closed series; this flags it while
+    the stream runs). Per-key (i, running mean, S⁺, S⁻) state in the
+    checkpoint (`streaming/state.cusum_per_key`), one update per
+    event; closes the statistical-QA family batch+live like every
+    other family in the tree. Oracle = the same running-mean
+    recursion as a recursive CTE — identical IEEE double op order, so
+    trajectories AND drift booleans match bit-for-bit."""
+    from .state import cusum_per_key
+
+    sdf = events_stream(spark, sf_dir)
+    return run_available_now(cusum_per_key(sdf), spark,
+                             output_mode="append")
+
+
+def _stream_cusum_sql() -> str:
+    from .state import CUSUM_H, CUSUM_K
+    k = f"CAST({CUSUM_K} AS DOUBLE)"
+    h = f"CAST({CUSUM_H} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+hrec AS (
+  SELECT user_id, event_id, ts, rn, y, y AS mean,
+         CAST(0.0 AS DOUBLE) AS s_pos, CAST(0.0 AS DOUBLE) AS s_neg
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT q2.user_id, q2.event_id, q2.ts, q2.rn, q2.y,
+         q2.mean + q2.dev / CAST(q2.rn AS DOUBLE) AS mean,
+         greatest(CAST(0.0 AS DOUBLE), q2.s_pos + q2.dev - {k}) AS s_pos,
+         greatest(CAST(0.0 AS DOUBLE), q2.s_neg - q2.dev - {k}) AS s_neg
+  FROM (
+    SELECT s.user_id, s.event_id, s.ts, s.rn, s.y,
+           hrec.mean, hrec.s_pos, hrec.s_neg,
+           s.y - hrec.mean AS dev
+    FROM hrec JOIN s
+      ON s.user_id = hrec.user_id AND s.rn = hrec.rn + 1) q2)
+SELECT user_id, event_id, ts, y AS value, mean AS run_mean,
+       s_pos, s_neg, (s_pos > {h} OR s_neg > {h}) AS drift
+FROM hrec
+"""
+
+
 QUERIES = {
     "stream_holt_per_key": (q_stream_holt_per_key, _stream_holt_sql()),
     "stream_atr_per_key": (q_stream_atr_per_key, _STREAM_ATR_SQL),
@@ -1166,4 +1214,5 @@ QUERIES = {
     "stream_quantile_sketch": (q_stream_quantile_sketch, _stream_qsk_sql()),
     "stream_session_timeout": (q_stream_session_timeout,
                                _stream_session_timeout_sql()),
+    "stream_cusum_drift": (q_stream_cusum_drift, _stream_cusum_sql()),
 }

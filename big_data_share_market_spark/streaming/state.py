@@ -660,6 +660,104 @@ def _drawdown_per_key_v2(sdf: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming CUSUM / Page-Hinkley drift detector
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_DDL = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                    "value DOUBLE, run_mean DOUBLE, s_pos DOUBLE, "
+                    "s_neg DOUBLE, drift BOOLEAN")
+CUSUM_STATE_DDL = "i BIGINT, mean DOUBLE, s_pos DOUBLE, s_neg DOUBLE"
+
+#: Allowance (dead band) and decision threshold for the two-sided
+#: Page test — in the fixture's value units. Shared with the oracle
+#: via the `_cusum_drift_sql` constants injection.
+CUSUM_K = 5.0
+CUSUM_H = 500.0
+
+
+def _cusum_fn(k_allow: float, h_thresh: float):
+    """Checkpointed continuation of the two-sided Page/CUSUM drift
+    recursion — the LIVE twin of operators/stats.q_cusum_changepoint
+    (that one locates a shift in a CLOSED series; this one flags it
+    while the stream runs). Per key:
+
+        i=1:  mean = y,  S⁺ = S⁻ = 0
+        i≥2:  dev = y − mean_{i−1}
+              S⁺ = max(0, S⁺ + dev − k)
+              S⁻ = max(0, S⁻ − dev − k)
+              mean = mean_{i−1} + dev / i     (running-mean recursion)
+              drift = S⁺ > h OR S⁻ > h
+
+    Exact stream/oracle agreement: every step is the same IEEE double
+    expression order as the recursive-CTE oracle (dev before clamps,
+    clamps before the mean update), so trajectories — and therefore
+    the drift booleans — are bit-identical."""
+
+    def fn(key: tuple, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            i, mean, s_pos, s_neg = state.get
+        else:
+            i, mean, s_pos, s_neg = 0, 0.0, 0.0, 0.0
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            state.update((i, mean, s_pos, s_neg))
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out = {"run_mean": [], "s_pos": [], "s_neg": [], "drift": []}
+        for y in vals:
+            y = float(y)
+            if i == 0:
+                i, mean, s_pos, s_neg = 1, y, 0.0, 0.0
+            else:
+                i += 1
+                dev = y - mean
+                s_pos = max(0.0, s_pos + dev - k_allow)
+                s_neg = max(0.0, s_neg - dev - k_allow)
+                mean = mean + dev / float(i)
+            out["run_mean"].append(mean)
+            out["s_pos"].append(s_pos)
+            out["s_neg"].append(s_neg)
+            out["drift"].append(s_pos > h_thresh or s_neg > h_thresh)
+        state.update((i, mean, s_pos, s_neg))
+        yield pd.DataFrame({
+            "user_id": user_id,
+            "event_id": pdf["event_id"].astype("int64"),
+            "ts": pdf["ts"],
+            "value": vals,
+            "run_mean": out["run_mean"],
+            "s_pos": out["s_pos"],
+            "s_neg": out["s_neg"],
+            "drift": out["drift"],
+        })
+
+    return fn
+
+
+def cusum_per_key(sdf: DataFrame, k_allow: float = CUSUM_K,
+                  h_thresh: float = CUSUM_H) -> DataFrame:
+    """Streaming two-sided CUSUM drift detector per user_id with
+    checkpointed (i, mean, S⁺, S⁻) state — O(n_keys × 4 scalars).
+    NULL values are dropped before the kernel (the kalman_per_key
+    contract: a NULL would poison the checkpointed state while the
+    oracle filters them)."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cusum_fn(k_allow, h_thresh),
+            outputStructType=CUSUM_OUTPUT_DDL,
+            stateStructType=CUSUM_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Timeout-driven sessionization (event-time timeouts)
 # ---------------------------------------------------------------------------
 

@@ -131,3 +131,92 @@ def test_mannwhitney_matches_brute_force(spark, monkeypatch):
     assert (row.n_a, row.n_b) == (len(xs), len(ys))
     assert row.u2_a == u2
     assert abs(row.var_u - var) < 1e-9
+
+
+def _wilcoxon_brute(ds):
+    """(n_nonzero, W+, tie-corrected Var, z) by definition."""
+    from collections import Counter
+    ds = [d for d in ds if d != 0]
+    n = len(ds)
+    counts = Counter(abs(d) for d in ds)
+    ranks, start = {}, 0
+    for v, c in sorted(counts.items()):
+        ranks[v] = start + (c + 1) / 2  # average rank
+        start += c
+    w_plus = sum(ranks[abs(d)] for d in ds if d > 0)
+    tie_sum = sum(c ** 3 - c for c in counts.values())
+    var = (2 * n * (n + 1) * (2 * n + 1) - tie_sum) / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    return n, w_plus, var, z
+
+
+def test_wilcoxon_matches_brute_force(spark, monkeypatch):
+    from big_data_share_market_spark.operators import stats
+
+    # Pairs with a zero diff (dropped), heavy |d| ties, both signs.
+    xs = [5.0, 3.0, 8.0, 2.0, 7.0, 6.0, 4.0, 9.0, 1.0, 3.0]
+    ys = [3.0, 3.0, 6.0, 4.0, 5.0, 8.0, 2.0, 4.0, 2.0, 2.0]
+    rows = ([(1, i, i, v) for i, v in enumerate(xs)]
+            + [(1, 100 + i, i, v) for i, v in enumerate(ys)])
+    df = _mk_events(spark, rows).withColumn(
+        "event_type",
+        F.when(F.col("event_id") < 100, "click").otherwise("purchase"))
+    monkeypatch.setattr(stats, "load_table", lambda *_: df)
+    (row,) = stats.q_wilcoxon_signed_rank(spark, "unused").collect()
+    n, w_plus, var, z = _wilcoxon_brute(
+        [x - y for x, y in zip(xs, ys)])
+    assert row.n_nonzero == n
+    assert row.w_plus == w_plus
+    assert row.w2_plus == int(2 * w_plus)
+    assert abs(row.var_w - var) < 1e-9
+    assert abs(row.z - z) < 1e-12
+
+
+def test_stride_capped_equals_exact_when_cap_covers(spark, monkeypatch):
+    """stride == 1 (series shorter than the cap allows) must reproduce
+    the EXACT estimators bit-for-bit — the equivalence that certifies
+    the capped forms as degenerating to the full lattice."""
+    from big_data_share_market_spark.operators import regression, stats
+
+    series = {1: [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0],
+              2: [float((7 * i) % 13) for i in range(20)]}
+    rows = [(u, 100 * u + i, i, v)
+            for u, vs in series.items() for i, v in enumerate(vs)]
+    df = _mk_events(spark, rows)
+    monkeypatch.setattr(stats, "load_table", lambda *_: df)
+    monkeypatch.setattr(regression, "load_table", lambda *_: df)
+
+    capped = {r.user_id: r for r in
+              stats.q_theil_sen_capped(spark, "unused").collect()}
+    exact = {r.user_id: r for r in
+             regression.q_theil_sen_trend(spark, "unused").collect()}
+    for u in series:
+        assert capped[u].stride == 1
+        assert capped[u].n_pairs == exact[u].n_pairs
+        assert capped[u].slope_per_hour == exact[u].slope_per_hour, u
+
+    mk_capped = {r.user_id: r for r in
+                 stats.q_mann_kendall_capped(spark, "unused").collect()}
+    mk_exact = {r.user_id: r for r in
+                stats.q_mann_kendall_trend(spark, "unused").collect()}
+    for u in series:
+        assert mk_capped[u].stride == 1
+        assert mk_capped[u].n_pairs_sampled == mk_capped[u].n_pairs_total
+        assert mk_capped[u].s_capped == mk_exact[u].s_stat, u
+
+
+def test_stride_cap_bounds_pair_generation_on_long_series(spark):
+    """The scale guarantee: a deliberately UNBOUNDED series (3000
+    events on one hot key — n(n-1)/2 = 4.5M full-lattice pairs) must
+    generate O(cap + n) pairs, never the quadratic lattice."""
+    from big_data_share_market_spark.operators.stats import (
+        _PAIR_CAP, stride_sampled_pairs)
+
+    for n in (200, 3000):
+        df = spark.createDataFrame(
+            [(1, i, i * 1_000_000, float((17 * i) % 101))
+             for i in range(n)],
+            "user_id long, event_id long, t long, v double")
+        cnt = stride_sampled_pairs(df).count()
+        assert 0 < cnt <= _PAIR_CAP + n, (n, cnt)
+        assert cnt < n * (n - 1) // 2, (n, cnt)

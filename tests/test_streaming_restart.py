@@ -226,3 +226,58 @@ def test_upsert_restart_replays_idempotently(spark, scratch):
                      "props")
              .orderBy("user_id", "ts", "event_id")).collect()]
     assert got == want and len(got) > 0
+
+
+def test_cusum_state_survives_restart(spark, scratch):
+    """The STATEFUL-OPERATOR restart proof (the two above cover the
+    sink families): kill a live CUSUM drift query mid-replay, resume
+    from the checkpoint, and the concatenated output must equal the
+    uninterrupted run's — i.e. the checkpointed (i, mean, S+, S-)
+    state continues the recursion exactly where the crash left it,
+    and the replayed batch recomputes from the last COMMITTED state
+    snapshot, producing bit-identical rows (full-row distinct
+    collapses them; a diverged replay would survive the distinct and
+    fail the compare)."""
+    from big_data_share_market_spark.streaming.state import cusum_per_key
+
+    events = load_table(spark, SF_DIR, "events")
+    src = f"{scratch}/events_src"
+    _stage_multifile(spark, events, src, 3)
+    cols = ["user_id", "event_id", "ts", "value",
+            "run_mean", "s_pos", "s_neg", "drift"]
+
+    def writer(path):
+        def fn(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(path)
+        return fn
+
+    # Uninterrupted reference run.
+    ref_out = f"{scratch}/ref_out"
+    _run_to_end(cusum_per_key(_stream(spark, src, _EVENTS_DDL)),
+                writer(ref_out), f"{scratch}/ref_ckpt")
+
+    # Crash-injected run: batch 2's output lands but its checkpoint
+    # offset (and state snapshot) never commits -> replayed on resume.
+    out = f"{scratch}/out"
+    inner, calls = writer(out), {"n": 0}
+
+    def crash_after_write(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _InjectedCrash("crash after output write, before "
+                                 "state/offset checkpoint commit")
+
+    ckpt = f"{scratch}/ckpt"
+    _run_to_crash(cusum_per_key(_stream(spark, src, _EVENTS_DDL)),
+                  crash_after_write, ckpt)
+    _run_to_end(cusum_per_key(_stream(spark, src, _EVENTS_DDL)),
+                writer(out), ckpt)
+
+    got = [tuple(r) for r in (spark.read.parquet(out)
+                              .select(*cols).distinct()
+                              .orderBy("user_id", "event_id")).collect()]
+    want = [tuple(r) for r in (spark.read.parquet(ref_out)
+                               .select(*cols)
+                               .orderBy("user_id", "event_id")).collect()]
+    assert got == want and len(got) > 0
