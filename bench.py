@@ -146,7 +146,54 @@ HEADLINE = [
     "ks_two_sample",        # exact-integer KS drift statistic
     "mannwhitney_u",        # exact-integer rank-sum location test
     "cusum_changepoint",    # decimal-exact CUSUM level-shift locator
+    "wilcoxon_signed_rank", # paired doubled-rank location test
+    "seasonal_decompose_dow",  # day-of-week seasonal/level split
+    "mann_kendall_capped",  # stride-capped bounded-work trend screen
+    "theil_sen_capped",     # stride-capped robust slope
+    # udtf_sessionize_arrow is registry-green but EXCLUDED here, like
+    # recursive_cte_kalman: the r8 A/B measured Spark 4.1's Arrow
+    # UDTF serializer ~2.8x SLOWER than row pickling for this shape
+    # (20.7 s vs 7.4 s at sf0.1 — per-row eval dispatch dominates and
+    # Arrow adds per-row batch overhead); it exists to RECORD that
+    # finding (BENCH_NOTES), not to route traffic.
 ]
+
+
+def _normalization_controls(spark) -> dict:
+    """Fixed workloads timed EVERY bench run so cross-round per-query
+    deltas can be de-noised against host drift instead of asserted
+    (the r7 bench recorded 2-3x suite-wide swings on untouched,
+    plan-pinned queries — environmental, but unprovable without a
+    control in the artifact).
+
+    - cpu_control_sec: single-threaded pure-numpy sorts over a SEEDED
+      array — no Spark, no JVM, no I/O; pure host-CPU speed.
+    - spark_control_sec: a constant pinned JVM-side aggregation over
+      spark.range (no parquet, no Python workers) — JVM scheduling +
+      codegen + task dispatch at the session's parallelism. Median of
+      3 like every headline query.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(2_000_000)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(8):
+        y = np.sort(x)
+        acc += float(y[::97].sum())
+    cpu = time.perf_counter() - t0
+    assert acc == acc  # keep the work observable
+
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(0, 100_000_000, 1, 32)
+         .selectExpr("sum(id * 2654435761 % 1000003) AS s")
+         .write.format("noop").mode("overwrite").save())
+        reps.append(time.perf_counter() - t0)
+    return {"cpu_control_sec": round(cpu, 3),
+            "spark_control_sec": round(sorted(reps)[1], 3)}
 
 
 def main() -> None:
@@ -160,10 +207,17 @@ def main() -> None:
         fn, _ = queries[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    controls = _normalization_controls(spark)
+
     # Median of 3 timed reps per query: single-shot timings on a busy
     # JVM (post-warmup GC, lingering Python workers) can wobble 2-4x;
     # the median is the steady-state number the engine actually earns.
+    # Minima and raw reps are RECORDED (BENCH_DETAIL.json), not prose:
+    # the r7 verdict's one finding was a min-matches-steady-state
+    # claim with no artifact behind it.
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_reps: dict[str, list] = {}
     for name in HEADLINE:
         fn, _ = queries[name]
         reps = []
@@ -172,6 +226,8 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
         timings[name] = round(sorted(reps)[1], 3)
+        timings_min[name] = round(min(reps), 3)
+        timings_reps[name] = [round(r, 3) for r in reps]
 
     # Streaming freshness probe (BASELINE.md envelope: <= 60 s from
     # event to queryable row at sf0.1): timed available-now replays of
@@ -185,7 +241,7 @@ def main() -> None:
     for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
                  "stream_ingest_dedup_gate", "stream_atr_per_key",
                  "stream_bq_topk", "stream_quantile_sketch",
-                 "stream_session_timeout",
+                 "stream_session_timeout", "stream_cusum_drift",
                  "stream_python_datasource_sink"):
         fn, _ = queries[name]
         t0 = time.perf_counter()
@@ -210,16 +266,22 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "queries_reps": timings_reps,
         "stream_suite_seconds": round(sum(stream_timings.values()), 3),
         "stream_queries": stream_timings,
         "sf": sf,
         "n_queries": len(timings),
+        **controls,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1)
     compact = dict(full)
+    # Per-run minima/reps live in the detail file only — the compact
+    # line must fit the driver's 2000-byte stdout tail.
+    del compact["queries_min"], compact["queries_reps"]
     compact["queries"] = {n: timings[n] for n in core + rest}
     compact["detail"] = "BENCH_DETAIL.json"
     line = json.dumps(compact, separators=(",", ":"))

@@ -134,6 +134,16 @@ def _apply_ewm(df: DataFrame, order_cols: list[str], value_cols: dict[str, tuple
     return res
 
 
+#: Driver-side A/B switch (tools/ab_ewm_kernel.py): when True, kernel
+#: FACTORIES capture a force-scalar flag into the closure they ship to
+#: the workers, routing every batch through the scalar reference loop.
+#: A closure-captured value is the only reliable transport — workers
+#: re-import this module, so a driver-side monkeypatch never reaches
+#: them. Bit-identical output either way (the property tests pin it);
+#: this only selects which CPU path computes it.
+FORCE_SCALAR_KERNEL = False
+
+
 def _dense_layout_ok(n: int, n_segs: int, max_len: int) -> bool:
     """Guard for the across-key matrix layout: a (segments × max_len)
     NaN-padded matrix is O(segments · longest-segment) cells, which
@@ -178,6 +188,7 @@ def _ewm_kernel(specs: list[tuple[str, tuple[str, float]]], key_col: str):
     factory so tests/test_pandas_parity.py can drive it directly with
     synthetic batch splits and assert bit-equality against
     :func:`ewm_mean`."""
+    force_scalar = FORCE_SCALAR_KERNEL  # captured at plan-build time
 
     def kernel(batches):
         carry_key = None
@@ -194,7 +205,7 @@ def _ewm_kernel(specs: list[tuple[str, tuple[str, float]]], key_col: str):
             max_len = int(seg_lens.max())
             continues = keys[0] == carry_key
             outs = {}
-            if not _dense_layout_ok(n, n_segs, max_len):
+            if force_scalar or not _dense_layout_ok(n, n_segs, max_len):
                 for out_name, (in_name, alpha) in specs:
                     xs = pdf[in_name].to_numpy(dtype=np.float64,
                                                na_value=np.nan)
@@ -1103,6 +1114,7 @@ def _kalman_kernel():
     docstring for the vectorization argument). Module-level factory so
     tests/test_pandas_parity.py can drive it directly with synthetic
     batch splits and assert bit-equality against the scalar loop."""
+    force_scalar = FORCE_SCALAR_KERNEL  # captured at plan-build time
 
     def kernel(batches):
         q_noise, r_noise = _KAL_Q, _KAL_R
@@ -1149,7 +1161,7 @@ def _kalman_kernel():
             extend(int((offsets + seg_lens).max()))
             n_segs = len(starts)
             max_len = int(seg_lens.max())
-            if not _dense_layout_ok(n, n_segs, max_len):
+            if force_scalar or not _dense_layout_ok(n, n_segs, max_len):
                 # Skewed segment lengths: the padded matrix would be
                 # far larger than the batch — run the level recurrence
                 # as the reference row loop (gains/variances stay

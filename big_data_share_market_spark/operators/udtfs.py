@@ -148,8 +148,16 @@ def q_udtf_sessionize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-wise regardless of serializer), so Arrow buys batched
     JVM↔Python TRANSFER, not vectorized eval: the A/B isolates how
     much of the row-UDTF lane's cost is serialization vs Python
-    dispatch (measured in BENCH_NOTES; the Arrow kernel `ewm.py`
-    lane remains the production path either way)."""
+    dispatch.
+
+    MEASURED OUTCOME (r8, sf0.1, local[32]): ~2.8× SLOWER than the
+    row-pickling UDTF (20.7 s vs 7.4 s) — with a generator `eval`
+    yielding one small tuple per session, Spark 4.1's Arrow UDTF
+    serializer pays per-call Arrow conversion overhead that dwarfs
+    the pickle savings. Recorded in BENCH_NOTES; excluded from the
+    bench HEADLINE (this query exists to record the finding). The
+    Arrow kernel `ewm.py` lane remains the production path for
+    per-key sequential logic either way."""
     from pyspark.sql.functions import udtf
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
