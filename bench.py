@@ -147,6 +147,8 @@ HEADLINE = [
     "mannwhitney_u",        # exact-integer rank-sum location test
     "cusum_changepoint",    # decimal-exact CUSUM level-shift locator
     "wilcoxon_signed_rank", # paired doubled-rank location test
+    "spearman_corr",        # doubled-rank Pearson, HUGEINT-safe moments
+    "kendall_tau_pairs",    # per-user tau-b concordance
     "seasonal_decompose_dow",  # day-of-week seasonal/level split
     "mann_kendall_capped",  # stride-capped bounded-work trend screen
     "theil_sen_capped",     # stride-capped robust slope

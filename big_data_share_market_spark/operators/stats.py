@@ -355,6 +355,61 @@ ORDER BY user_id
 """
 
 
+#: Staged paired-cohort relation per (applicationId, sf_dir) — the
+#: staging.py "compute once, sweep many" pattern: `spearman_corr`
+#: alone references the pairing 3× (the pair stream + both rank-map
+#: builds) and Spark re-executes unpersisted common subtrees per
+#: reference (18 exchanges → 8 once staged).
+_PAIRED_CACHE: dict = {}
+
+
+def _paired_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subject pairing shared by the paired statistics
+    (`wilcoxon_signed_rank`, `spearman_corr`, `kendall_tau_pairs`):
+    the i-th `_KS_A` ('click') event paired with the i-th `_KS_B`
+    ('purchase') event per user, both ranked by (ts, event_id) — one
+    row_number window + one equi-join on (user_id, rn), unmatched
+    tails dropped. Returns (user_id, rn, va, vb), STAGED (persisted
+    once per session/fixture; see `_PAIRED_CACHE`)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = (load_table(spark, sf_dir, "events")
+         .where(F.col("event_type").isin(_KS_A, _KS_B))
+         .select("user_id", "event_id", "ts",
+                 (F.col("event_type") == _KS_A).alias("is_a"),
+                 F.col("value").alias("v")))
+    w = Window.partitionBy("user_id", "is_a").orderBy("ts", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    a = r.where(F.col("is_a")).select("user_id", "rn",
+                                      F.col("v").alias("va"))
+    b = r.where(~F.col("is_a")).select("user_id", "rn",
+                                       F.col("v").alias("vb"))
+    from pyspark import StorageLevel
+    p = a.join(b, ["user_id", "rn"]).persist(StorageLevel.MEMORY_AND_DISK)
+    _PAIRED_CACHE[key] = p
+    return p
+
+
+#: Oracle mirror of `_paired_values` — a WITH-clause fragment ending
+#: in the CTE `p(user_id, rn, va, vb)`.
+_PAIRED_SQL = f"""
+e AS (
+  SELECT user_id, event_id, ts, event_type = '{_KS_A}' AS is_a,
+         value AS v
+  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+r AS (
+  SELECT user_id, is_a, v,
+         row_number() OVER (PARTITION BY user_id, is_a
+                            ORDER BY ts, event_id) AS rn
+  FROM e),
+p AS (
+  SELECT a.user_id, a.rn, a.v AS va, b.v AS vb
+  FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn = b.rn
+  WHERE a.is_a AND NOT b.is_a)"""
+
+
 def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon SIGNED-rank test — the PAIRED twin of `mannwhitney_u`
     (that one asks "are two independent cohorts at the same level?";
@@ -373,18 +428,7 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, rn); the |d| ranking reuses the two-level bucketed
     prefix-sum discipline (per-|d| counts, never a global
     single-partition window over raw rows)."""
-    e = (load_table(spark, sf_dir, "events")
-         .where(F.col("event_type").isin(_KS_A, _KS_B))
-         .select("user_id", "event_id", "ts",
-                 (F.col("event_type") == _KS_A).alias("is_a"),
-                 F.col("value").alias("v")))
-    w = Window.partitionBy("user_id", "is_a").orderBy("ts", "event_id")
-    r = e.withColumn("rn", F.row_number().over(w))
-    a = r.where(F.col("is_a")).select("user_id", "rn",
-                                      F.col("v").alias("va"))
-    b = r.where(~F.col("is_a")).select("user_id", "rn",
-                                       F.col("v").alias("vb"))
-    d = (a.join(b, ["user_id", "rn"])
+    d = (_paired_values(spark, sf_dir)
          .select((F.col("va") - F.col("vb")).alias("d"))
          .where(F.col("d") != 0))
     per_val = (d.groupBy(F.abs("d").alias("ad"))
@@ -433,19 +477,9 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WILCOXON_SQL = f"""
-WITH e AS (
-  SELECT user_id, event_id, ts, event_type = '{_KS_A}' AS is_a,
-         value AS v
-  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
-r AS (
-  SELECT user_id, is_a, v,
-         row_number() OVER (PARTITION BY user_id, is_a
-                            ORDER BY ts, event_id) AS rn
-  FROM e),
+WITH {_PAIRED_SQL},
 d AS (
-  SELECT a.v - b.v AS d
-  FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn = b.rn
-  WHERE a.is_a AND NOT b.is_a AND a.v - b.v <> 0),
+  SELECT va - vb AS d FROM p WHERE va - vb <> 0),
 per_val AS (
   SELECT ABS(d) AS ad,
          SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp,
@@ -529,6 +563,171 @@ win AS (
 SELECT user_id, dow, n_days, dow_mean, user_mean,
        dow_mean - user_mean AS seasonal_effect
 FROM win ORDER BY user_id, dow
+"""
+
+
+def _doubled_ranks(df: DataFrame, col: str) -> DataFrame:
+    """Map each distinct value of `col` to its DOUBLED average rank
+    over the whole frame (a tie group of size c starting after
+    `start` rows has doubled-average-rank 2·start + c + 1 — an exact
+    integer, the `mannwhitney_u` trick), computed with the two-level
+    bucketed prefix sum (per-distinct-value counts only; no global
+    window over raw rows). Returns (col, r2)."""
+    per = (df.groupBy(col).agg(F.count("*").alias("c"))
+           .withColumn("bucket", F.floor(F.col(col) / _KS_W)))
+    win = (Window.partitionBy("bucket").orderBy(col)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    in_b = per.withColumn("ic", F.sum("c").over(win))
+    per_b = per.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    bwin = (Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = (per_b.withColumn("oc", F.coalesce(F.sum("bc").over(bwin),
+                                             F.lit(0)))
+           .select("bucket", "oc"))
+    return (in_b.join(F.broadcast(off), "bucket")
+            .select(col,
+                    (2 * (F.col("oc") + F.col("ic") - F.col("c"))
+                     + F.col("c") + 1).alias("r2")))
+
+
+#: Pearson-over-integer-moments correlation, one expression text for
+#: both engines. Moments arrive as DOUBLE already converted through
+#: VARCHAR (exact decimal parse — the HUGEINT→DOUBLE 1-ulp gotcha).
+_PEARSON = ("(n * sxy - sx * sy)"
+            " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the paired cohorts — the
+    MONOTONE-association screen next to `wilcoxon_signed_rank`'s
+    location test (Pearson answers 'linear?', Spearman answers 'same
+    ordering?'). Exact under ties: both sides are average-ranked in
+    DOUBLED units (`_doubled_ranks` — exact integers), so every
+    moment (Σr, Σr², Σr_a·r_b) is an exact integer accumulated in
+    DECIMAL(38,0)/HUGEINT and converted to DOUBLE through VARCHAR
+    (correctly-rounded decimal parse in both engines; the direct
+    HUGEINT→DOUBLE cast drifts 1 ulp past 2^53). The final Pearson
+    over doubled ranks equals Pearson over ranks (scale-invariant),
+    one expression text both engines.
+
+    Scale shape: rank maps are per-distinct-value frames built with
+    bucketed two-level prefix sums; two equi-joins decorate the pair
+    stream; ONE single-row moment aggregate. No global raw-row
+    window, no pair lattice."""
+    p = _paired_values(spark, sf_dir)
+    ra = _doubled_ranks(p, "va").withColumnRenamed("r2", "ra2")
+    rb = _doubled_ranks(p, "vb").withColumnRenamed("r2", "rb2")
+    j = p.join(ra, "va").join(rb, "vb")
+
+    def _m(expr):
+        return F.expr(f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,0)))"
+                      f" AS STRING) AS DOUBLE)")
+
+    mo = j.agg(F.count("*").cast("double").alias("n"),
+               _m("ra2").alias("sx"), _m("rb2").alias("sy"),
+               _m("ra2 * ra2").alias("sxx"),
+               _m("rb2 * rb2").alias("syy"),
+               _m("ra2 * rb2").alias("sxy"))
+    return mo.select(F.col("n").cast("long").alias("n_pairs"),
+                     F.expr(_PEARSON).alias("rho"))
+
+
+_SPEARMAN_SQL = f"""
+WITH {_PAIRED_SQL},
+ra AS (
+  SELECT va, 2 * (SUM(c) OVER (ORDER BY va ROWS UNBOUNDED PRECEDING)
+                  - c) + c + 1 AS ra2
+  FROM (SELECT va, COUNT(*) AS c FROM p GROUP BY va)),
+rb AS (
+  SELECT vb, 2 * (SUM(c) OVER (ORDER BY vb ROWS UNBOUNDED PRECEDING)
+                  - c) + c + 1 AS rb2
+  FROM (SELECT vb, COUNT(*) AS c FROM p GROUP BY vb)),
+j AS (
+  SELECT ra.ra2, rb.rb2 FROM p
+  JOIN ra ON p.va = ra.va JOIN rb ON p.vb = rb.vb),
+mo AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(ra2 AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(rb2 AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(ra2 AS HUGEINT) * ra2) AS VARCHAR) AS DOUBLE)
+           AS sxx,
+         CAST(CAST(SUM(CAST(rb2 AS HUGEINT) * rb2) AS VARCHAR) AS DOUBLE)
+           AS syy,
+         CAST(CAST(SUM(CAST(ra2 AS HUGEINT) * rb2) AS VARCHAR) AS DOUBLE)
+           AS sxy
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n_pairs, {_PEARSON} AS rho
+FROM mo
+"""
+
+
+def q_kendall_tau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b PER USER between the paired cohorts — the
+    rank-concordance twin of `spearman_corr` at per-key granularity
+    (tau is more robust to a few gross outliers; per-user because the
+    pair lattice is O(n²) and per-user n is bounded, exactly the
+    `mann_kendall_trend` fanout argument — for unbounded keys route
+    through `stride_sampled_pairs`). C − D = Σ over i<j of
+    sign(va_i−va_j)·sign(vb_i−vb_j) is an exact integer; tie terms
+    n1 = Σ t(t−1)/2 over va groups (n2 over vb) are exact integers;
+    tau_b = (C−D)/√((n0−n1)(n0−n2)) is one sqrt + one division over
+    identical operands, NULL when either side is fully tied (the
+    denominator would be 0 — guarded identically in both engines)."""
+    p = _paired_values(spark, sf_dir)
+    a, b = p.alias("a"), p.alias("b")
+    cd = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                 & (F.col("a.rn") < F.col("b.rn")))
+          .groupBy(F.col("a.user_id").alias("user_id"))
+          .agg(F.sum((F.signum(F.col("a.va") - F.col("b.va"))
+                      * F.signum(F.col("a.vb") - F.col("b.vb")))
+                     .cast("long")).alias("cd")))
+    n = p.groupBy("user_id").agg(F.count("*").alias("n"))
+    t1 = (p.groupBy("user_id", "va").agg(F.count("*").alias("t"))
+          .groupBy("user_id")
+          .agg(F.sum(F.expr("(t * (t - 1)) DIV 2")).alias("n1")))
+    t2 = (p.groupBy("user_id", "vb").agg(F.count("*").alias("t"))
+          .groupBy("user_id")
+          .agg(F.sum(F.expr("(t * (t - 1)) DIV 2")).alias("n2")))
+    out = (n.join(cd, "user_id").join(t1, "user_id").join(t2, "user_id")
+           .withColumn("n0", F.expr("(n * (n - 1)) DIV 2"))
+           .withColumn("tau_b", F.expr(
+               "CASE WHEN n0 > n1 AND n0 > n2 THEN CAST(cd AS DOUBLE)"
+               " / sqrt(CAST(n0 - n1 AS DOUBLE)"
+               "        * CAST(n0 - n2 AS DOUBLE))"
+               " ELSE CAST(NULL AS DOUBLE) END")))
+    return out.select("user_id", "n", "n0", "n1", "n2", "cd",
+                      "tau_b").orderBy("user_id")
+
+
+_KENDALL_SQL = f"""
+WITH {_PAIRED_SQL},
+cd AS (
+  SELECT a.user_id,
+         CAST(SUM(CAST(sign(a.va - b.va) * sign(a.vb - b.vb) AS BIGINT))
+              AS BIGINT) AS cd
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.rn < b.rn
+  GROUP BY a.user_id),
+n AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id),
+t1 AS (
+  SELECT user_id, CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS n1
+  FROM (SELECT user_id, va, COUNT(*) AS t FROM p GROUP BY user_id, va)
+  GROUP BY user_id),
+t2 AS (
+  SELECT user_id, CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS n2
+  FROM (SELECT user_id, vb, COUNT(*) AS t FROM p GROUP BY user_id, vb)
+  GROUP BY user_id),
+j AS (
+  SELECT n.user_id, n.n, (n.n * (n.n - 1)) // 2 AS n0,
+         t1.n1, t2.n2, cd.cd
+  FROM n JOIN cd ON n.user_id = cd.user_id
+  JOIN t1 ON n.user_id = t1.user_id
+  JOIN t2 ON n.user_id = t2.user_id)
+SELECT user_id, n, CAST(n0 AS BIGINT) AS n0, n1, n2, cd,
+       CASE WHEN n0 > n1 AND n0 > n2 THEN CAST(cd AS DOUBLE)
+              / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+            ELSE CAST(NULL AS DOUBLE) END AS tau_b
+FROM j
+ORDER BY user_id
 """
 
 
@@ -709,6 +908,8 @@ QUERIES = {
     "mannwhitney_u": (q_mannwhitney_u, _MWU_SQL),
     "cusum_changepoint": (q_cusum_changepoint, _CUSUM_SQL),
     "wilcoxon_signed_rank": (q_wilcoxon_signed_rank, _WILCOXON_SQL),
+    "spearman_corr": (q_spearman_corr, _SPEARMAN_SQL),
+    "kendall_tau_pairs": (q_kendall_tau_pairs, _KENDALL_SQL),
     "seasonal_decompose_dow": (q_seasonal_decompose_dow, _SEASONAL_SQL),
     "mann_kendall_capped": (q_mann_kendall_capped, _MK_CAPPED_SQL),
     "theil_sen_capped": (q_theil_sen_capped, _TS_CAPPED_SQL),

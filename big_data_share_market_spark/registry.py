@@ -44,8 +44,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: touched, then the 28 deferred r1 relational rows, then the start
 #: of the r2 family.
 #:
-#: ROUND-9 ROTATION NOTE: continue the r2 family — the remaining
-#: streams {stream_signal_bars, stream_sliding_bars,
+#: ROUND-9 ROTATION NOTE: continue the r2 family — renko + raindrop
+#: (bumped from the r8 window by the wave-2 correlation additions),
+#: then the remaining streams {stream_signal_bars, stream_sliding_bars,
 #: stream_session_windows, stream_ema_per_key,
 #: stream_dedup_within_watermark, stream_static_enrich,
 #: stream_interval_join, stream_left_outer_interval_join}, the
@@ -64,6 +65,9 @@ _FIRST_50 = (
     # stride-capped bounded-work twins of the O(n²) pair statistics.
     "wilcoxon_signed_rank", "seasonal_decompose_dow",
     "stream_cusum_drift", "mann_kendall_capped", "theil_sen_capped",
+    # Wave 2: the nonparametric correlation pair on the shared
+    # subject pairing.
+    "spearman_corr", "kendall_tau_pairs",
     # Arrow-serializer UDTF A/B twin.
     "udtf_sessionize_arrow",
     # --- (b) re-verification of everything r8 code touched ---
@@ -88,7 +92,7 @@ _FIRST_50 = (
     "range_join_pairs", "events_pivot", "parts_never_ordered",
     # --- (d) rotation: start of the r2 family (oldest next) ---
     "stream_ohlc_bars", "stream_last20_per_key", "scalping_strategy",
-    "heikin_ashi", "renko", "raindrop",
+    "heikin_ashi",
 )
 
 

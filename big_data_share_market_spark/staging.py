@@ -30,9 +30,10 @@ from typing import Any
 
 def _cache_registries() -> list[tuple[str, dict]]:
     from .operators import (bpe, dedup, graph, similarity, sqlfeatures,
-                            text, transforms)
+                            stats, text, transforms)
 
     return [
+        ("stats.paired_values", stats._PAIRED_CACHE),
         ("transforms.bars", transforms._BARS_CACHE),
         ("dedup.shingles", dedup._SH_CACHE),
         ("dedup.shingle_df", dedup._DF_CACHE),

@@ -220,3 +220,71 @@ def test_stride_cap_bounds_pair_generation_on_long_series(spark):
         cnt = stride_sampled_pairs(df).count()
         assert 0 < cnt <= _PAIR_CAP + n, (n, cnt)
         assert cnt < n * (n - 1) // 2, (n, cnt)
+
+
+def _avg_ranks(vals):
+    from collections import Counter
+    counts = Counter(vals)
+    ranks, start = {}, 0
+    for v, c in sorted(counts.items()):
+        ranks[v] = start + (c + 1) / 2
+        start += c
+    return [ranks[v] for v in vals]
+
+
+def test_spearman_matches_brute_force(spark, monkeypatch):
+    import numpy as np
+
+    from big_data_share_market_spark.operators import stats
+
+    # Same-user pairing, heavy ties on both sides.
+    xs = [5.0, 3.0, 8.0, 2.0, 7.0, 6.0, 4.0, 9.0, 1.0, 3.0, 5.0]
+    ys = [3.0, 3.0, 6.0, 4.0, 5.0, 8.0, 2.0, 4.0, 2.0, 2.0, 3.0]
+    rows = ([(1, i, i, v) for i, v in enumerate(xs)]
+            + [(1, 100 + i, i, v) for i, v in enumerate(ys)])
+    df = _mk_events(spark, rows).withColumn(
+        "event_type",
+        F.when(F.col("event_id") < 100, "click").otherwise("purchase"))
+    monkeypatch.setattr(stats, "load_table", lambda *_: df)
+    (row,) = stats.q_spearman_corr(spark, "unused").collect()
+    ra, rb = np.array(_avg_ranks(xs)), np.array(_avg_ranks(ys))
+    want = float(np.corrcoef(ra, rb)[0, 1])
+    assert row.n_pairs == len(xs)
+    assert abs(row.rho - want) < 1e-12
+
+
+def test_kendall_tau_matches_brute_force(spark, monkeypatch):
+    from big_data_share_market_spark.operators import stats
+
+    xs = [5.0, 3.0, 8.0, 2.0, 7.0, 6.0, 4.0, 9.0, 1.0, 3.0]
+    ys = [3.0, 3.0, 6.0, 4.0, 5.0, 8.0, 2.0, 4.0, 2.0, 2.0]
+    rows = ([(1, i, i, v) for i, v in enumerate(xs)]
+            + [(1, 100 + i, i, v) for i, v in enumerate(ys)]
+            # user 2: all va tied -> tau_b must be NULL, not a crash
+            + [(2, 200 + i, i, v) for i, v in enumerate([4.0, 4.0, 4.0])]
+            + [(2, 300 + i, i, v) for i, v in enumerate([1.0, 2.0, 3.0])])
+    df = _mk_events(spark, rows).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 200 < 100, "click")
+        .otherwise("purchase"))
+    monkeypatch.setattr(stats, "load_table", lambda *_: df)
+    got = {r.user_id: r for r in
+           stats.q_kendall_tau_pairs(spark, "unused").collect()}
+
+    # Direct double loop (sign product over i < j).
+    cd = 0
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            sa = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            sb = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            cd += sa * sb
+    from collections import Counter
+    n = len(xs)
+    n0 = n * (n - 1) // 2
+    n1 = sum(c * (c - 1) // 2 for c in Counter(xs).values())
+    n2 = sum(c * (c - 1) // 2 for c in Counter(ys).values())
+    want = cd / math.sqrt((n0 - n1) * (n0 - n2))
+    r1 = got[1]
+    assert (r1.n, r1.n0, r1.n1, r1.n2, r1.cd) == (n, n0, n1, n2, cd)
+    assert abs(r1.tau_b - want) < 1e-12
+    assert got[2].tau_b is None  # fully-tied va side -> NULL guard
