@@ -363,6 +363,138 @@ ORDER BY user_id
 _PAIRED_CACHE: dict = {}
 
 
+def q_cusum_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple changepoints per key by ONE level of binary
+    segmentation over the CUSUM locator — the standard way a single
+    changepoint detector becomes a multiple-changepoint detector
+    (split at the argmax, re-run on each side): the root pass is
+    exactly `q_cusum_changepoint`'s argmax, then each key's series is
+    split at the root changepoint and the SAME decimal-exact CUSUM
+    re-runs independently inside each (key, segment), emitting up to
+    three rows per key (level 0 root, level 1 left/right) with each
+    changepoint's event_id, in-segment rank, segment length and
+    score. Deterministic throughout: the argmax tiebreaks earliest
+    both at the root and in the children, and every float is either a
+    decimal-cast cum or the shared `cum − i·mean` text. Degenerate
+    segments (< 2 rows — no interior point to split at) emit no
+    child row, identically in both engines.
+
+    Scale shape: two window passes over (key) / (key, segment) plus a
+    keys-sized broadcast of the root split points — no extra scan of
+    the fact beyond the second windowing."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("value").alias("v"))
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    cur = (e.withColumn("i", F.row_number().over(w_ord))
+           .withColumn("n", F.count("*").over(wk))
+           .withColumn("cum", F.sum(F.col("v").cast(DEC)).over(
+               w_ord.rowsBetween(Window.unboundedPreceding, 0))
+               .cast("double"))
+           .withColumn("mean", F.expr(
+               "CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER "
+               "(PARTITION BY user_id) AS DOUBLE) / n"))
+           .withColumn("s_i", F.expr("cum - i * mean")))
+    root = (cur.withColumn("rnk", F.row_number().over(
+        wk.orderBy(F.abs("s_i").desc(), "i")))
+        .where(F.col("rnk") == 1)
+        .select("user_id", F.col("i").alias("m1"),
+                F.col("event_id").alias("root_event_id"),
+                F.abs("s_i").alias("root_score"),
+                F.col("n").alias("n_total")))
+    seg = (cur.select("user_id", "event_id", "ts", "v", "i")
+           .join(F.broadcast(root.select("user_id", "m1")), "user_id")
+           .withColumn("seg", F.expr(
+               "CASE WHEN i <= m1 THEN 0 ELSE 1 END")))
+    w_seg = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    wks = Window.partitionBy("user_id", "seg")
+    cur2 = (seg.withColumn("il", F.row_number().over(w_seg))
+            .withColumn("ns", F.count("*").over(wks))
+            .withColumn("cum", F.sum(F.col("v").cast(DEC)).over(
+                w_seg.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double"))
+            .withColumn("mean", F.expr(
+                "CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER "
+                "(PARTITION BY user_id, seg) AS DOUBLE) / ns"))
+            .withColumn("s_i", F.expr("cum - il * mean")))
+    child = (cur2.where(F.col("ns") >= 2)
+             .withColumn("rnk", F.row_number().over(
+                 wks.orderBy(F.abs("s_i").desc(), "il")))
+             .where(F.col("rnk") == 1)
+             .select("user_id",
+                     (F.col("seg") + 1).cast("int").alias("level_seg"),
+                     F.col("ns").alias("seg_n"),
+                     F.col("event_id").alias("cp_event_id"),
+                     F.col("il").alias("cp_rank"),
+                     F.abs("s_i").alias("score")))
+    root_rows = root.select(
+        "user_id", F.lit(0).cast("int").alias("level_seg"),
+        F.col("n_total").alias("seg_n"),
+        F.col("root_event_id").alias("cp_event_id"),
+        F.col("m1").alias("cp_rank"),
+        F.col("root_score").alias("score"))
+    return (root_rows.unionByName(child)
+            .orderBy("user_id", "level_seg"))
+
+
+_CUSUM_SEG_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value AS v FROM events),
+cur AS (
+  SELECT user_id, event_id, ts, v,
+         row_number() OVER w AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+         CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER (
+           PARTITION BY user_id) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id) AS mean
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, cum - i * mean AS s_i FROM cur),
+root AS (
+  SELECT user_id, i AS m1, event_id AS root_event_id,
+         ABS(s_i) AS root_score, n AS n_total
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ABS(s_i) DESC, i) AS rnk FROM s)
+  WHERE rnk = 1),
+seg AS (
+  SELECT s.user_id, s.event_id, s.ts, s.v, s.i,
+         CASE WHEN s.i <= root.m1 THEN 0 ELSE 1 END AS seg
+  FROM s JOIN root ON s.user_id = root.user_id),
+cur2 AS (
+  SELECT user_id, event_id, seg,
+         row_number() OVER w2 AS il,
+         COUNT(*) OVER (PARTITION BY user_id, seg) AS ns,
+         CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER (
+           PARTITION BY user_id, seg ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+         CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER (
+           PARTITION BY user_id, seg) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id, seg) AS mean
+  FROM seg
+  WINDOW w2 AS (PARTITION BY user_id, seg ORDER BY ts, event_id)),
+s2 AS (SELECT *, cum - il * mean AS s_i FROM cur2),
+child AS (
+  SELECT user_id, CAST(seg + 1 AS INTEGER) AS level_seg,
+         CAST(ns AS BIGINT) AS seg_n, event_id AS cp_event_id,
+         CAST(il AS INTEGER) AS cp_rank, ABS(s_i) AS score
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, seg
+                    ORDER BY ABS(s_i) DESC, il) AS rnk
+        FROM s2 WHERE ns >= 2)
+  WHERE rnk = 1)
+SELECT user_id, CAST(0 AS INTEGER) AS level_seg,
+       CAST(n_total AS BIGINT) AS seg_n, root_event_id AS cp_event_id,
+       CAST(m1 AS INTEGER) AS cp_rank, root_score AS score
+FROM root
+UNION ALL
+SELECT user_id, level_seg, seg_n, cp_event_id, cp_rank, score
+FROM child
+ORDER BY user_id, level_seg
+"""
+
+
 def _paired_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subject pairing shared by the paired statistics
     (`wilcoxon_signed_rank`, `spearman_corr`, `kendall_tau_pairs`):
@@ -907,6 +1039,7 @@ QUERIES = {
     "ks_two_sample": (q_ks_two_sample, _KS_SQL),
     "mannwhitney_u": (q_mannwhitney_u, _MWU_SQL),
     "cusum_changepoint": (q_cusum_changepoint, _CUSUM_SQL),
+    "cusum_binary_seg": (q_cusum_binary_seg, _CUSUM_SEG_SQL),
     "wilcoxon_signed_rank": (q_wilcoxon_signed_rank, _WILCOXON_SQL),
     "spearman_corr": (q_spearman_corr, _SPEARMAN_SQL),
     "kendall_tau_pairs": (q_kendall_tau_pairs, _KENDALL_SQL),

@@ -44,8 +44,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: touched, then the 28 deferred r1 relational rows, then the start
 #: of the r2 family.
 #:
-#: ROUND-9 ROTATION NOTE: continue the r2 family — renko + raindrop
-#: (bumped from the r8 window by the wave-2 correlation additions),
+#: ROUND-9 ROTATION NOTE: continue the r2 family — heikin_ashi, renko, raindrop
+#: (bumped from the r8 window by the wave-2/3 additions),
 #: then the remaining streams {stream_signal_bars, stream_sliding_bars,
 #: stream_session_windows, stream_ema_per_key,
 #: stream_dedup_within_watermark, stream_static_enrich,
@@ -67,7 +67,7 @@ _FIRST_50 = (
     "stream_cusum_drift", "mann_kendall_capped", "theil_sen_capped",
     # Wave 2: the nonparametric correlation pair on the shared
     # subject pairing.
-    "spearman_corr", "kendall_tau_pairs",
+    "spearman_corr", "kendall_tau_pairs", "cusum_binary_seg",
     # Arrow-serializer UDTF A/B twin.
     "udtf_sessionize_arrow",
     # --- (b) re-verification of everything r8 code touched ---
@@ -92,7 +92,6 @@ _FIRST_50 = (
     "range_join_pairs", "events_pivot", "parts_never_ordered",
     # --- (d) rotation: start of the r2 family (oldest next) ---
     "stream_ohlc_bars", "stream_last20_per_key", "scalping_strategy",
-    "heikin_ashi",
 )
 
 

@@ -291,3 +291,26 @@ def test_kendall_tau_matches_brute_force(spark, monkeypatch):
     assert (r1.n, r1.n0, r1.n1, r1.n2, r1.cd) == (n, n0, n1, n2, cd)
     assert abs(r1.tau_b - want) < 1e-12
     assert got[2].tau_b is None  # fully-tied va side -> NULL guard
+
+
+def test_binary_seg_finds_both_planted_shifts(spark, monkeypatch):
+    """Two level shifts (0->10 at rank 10, 10->20 at rank 20): the
+    root CUSUM argmax lands on the FIRST boundary (|S| = 100, flat to
+    rank 20, earliest tiebreak), and the right child's re-run finds
+    the second (|S| = 50 at in-segment rank 10). The constant left
+    child emits score 0 at its earliest rank."""
+    from big_data_share_market_spark.operators import stats
+
+    vals = [0.0] * 10 + [10.0] * 10 + [20.0] * 10
+    rows = [(1, i, i % 24, v) for i, v in enumerate(vals)]
+    df = _mk_events(spark, rows).withColumn(
+        "ts", F.expr("ts + make_interval(0, 0, 0, CAST(event_id AS INT)"
+                     " DIV 24, 0, 0, 0)"))
+    monkeypatch.setattr(stats, "load_table", lambda *_: df)
+    got = {r.level_seg: r for r in
+           stats.q_cusum_binary_seg(spark, "unused").collect()}
+    assert got[0].cp_rank == 10 and got[0].score == 100.0
+    assert got[0].seg_n == 30
+    assert got[1].score == 0.0 and got[1].cp_rank == 1  # constant left
+    assert got[2].cp_rank == 10 and got[2].score == 50.0
+    assert got[2].cp_event_id == 19 and got[2].seg_n == 20
