@@ -281,3 +281,70 @@ def test_cusum_state_survives_restart(spark, scratch):
                                .select(*cols)
                                .orderBy("user_id", "event_id")).collect()]
     assert got == want and len(got) > 0
+
+
+def test_python_stream_source_restart_resumes_from_progress(spark, scratch):
+    """END-TO-END restart proof for the custom Python stream source
+    (the lifecycle unit tests in test_pydatasource.py drive the
+    methods; this drives a REAL query): crash the sink after batch 2's
+    output lands but before its offset commits, restart with a FRESH
+    reader instance (a new process in production) sharing only the
+    checkpoint and the progress file. Spark's offset WAL replays the
+    uncommitted batch with its original (start, end) — deterministic
+    regeneration makes the replay identical — and the progress-file
+    cursor resumes PAST the committed offset, so the run completes
+    with zero gaps and duplicates confined to the one replayed
+    batch."""
+    from big_data_share_market_spark.sources.pydatasource import (
+        make_tick_stream_datasource)
+
+    spark.dataSource.register(make_tick_stream_datasource())
+    progress = f"{scratch}/progress"
+    out = f"{scratch}/out"
+    ckpt = f"{scratch}/ckpt"
+    n_per, batch = 256, 64
+
+    def sdf():
+        return (spark.readStream.format("bdsm_ticks_stream")
+                .option("progress_path", progress)
+                .option("batch_seqs", str(batch))
+                .option("n_per_symbol", str(n_per)).load())
+
+    calls = {"n": 0}
+
+    def crash_after_write(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _InjectedCrash("crash after sink write, before "
+                                 "offset commit")
+
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+    q = (sdf().writeStream.foreachBatch(crash_after_write)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+
+    # Fresh reader (new registration == new __init__ on next plan),
+    # same checkpoint + progress file: the production restart.
+    q2 = (sdf().writeStream.foreachBatch(
+        lambda bdf, bid: bdf.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds").start())
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    per_key = (got.groupBy("symbol", "seq").count())
+    n_symbols = got.select("symbol").distinct().count()
+    # Zero gaps: every (symbol, seq) of the full deterministic range.
+    assert per_key.count() == n_symbols * n_per
+    # Duplicates only from the single replayed batch's seq range.
+    dups = per_key.where("count > 1")
+    assert dups.where("count > 2").count() == 0
+    bad = dups.selectExpr("min(seq) AS lo", "max(seq) AS hi").first()
+    if bad.lo is not None:
+        assert bad.lo >= batch and bad.hi < 2 * batch
