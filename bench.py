@@ -150,6 +150,7 @@ HEADLINE = [
     "spearman_corr",        # doubled-rank Pearson, HUGEINT-safe moments
     "kendall_tau_pairs",    # per-user tau-b concordance
     "cusum_binary_seg",     # one-level binary segmentation
+    "seasonal_strength_dow",  # ANOVA eta-squared seasonality score
     "seasonal_decompose_dow",  # day-of-week seasonal/level split
     "mann_kendall_capped",  # stride-capped bounded-work trend screen
     "theil_sen_capped",     # stride-capped robust slope

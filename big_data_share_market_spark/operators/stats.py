@@ -363,6 +363,94 @@ ORDER BY user_id
 _PAIRED_CACHE: dict = {}
 
 
+def q_seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW seasonal is each key? One-way-ANOVA eta² of day-of-week
+    over the daily value totals — the scalar score next to
+    `seasonal_decompose_dow`'s component table: strength =
+    1 − SSW/SST, where SSW = Σ_dow (Σx² − S²/n) is the
+    within-day-of-week variance the seasonal means CANNOT explain and
+    SST the total. 1.0 = perfectly weekly-periodic, 0 = day-of-week
+    explains nothing.
+
+    Exactness discipline: daily totals are exact decimals, their
+    squares exact DECIMAL(37,12), every per-(key, dow) moment an
+    exact decimal sum converted to DOUBLE through VARCHAR (the
+    HUGEINT-cast gotcha); the ≤7 per-dow SSW terms fold in dow ORDER
+    (array_sort + aggregate vs list(ORDER BY) + list_reduce) so the
+    float sum is order-identical across engines — a plain SUM over
+    doubles would be partial-aggregation-order-dependent. NULL when
+    SST == 0 (a constant key), guarded identically in both engines.
+
+    Scale shape: two aggregations (key, day) → (key, dow) → (key);
+    the fold runs over ≤7 elements per key."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.col("value").cast(DEC))
+                  .cast("decimal(18,6)").alias("x")))
+    per_dow = (daily.withColumn("dow", F.expr("weekday(day)"))
+               .groupBy("user_id", "dow")
+               .agg(F.count("*").alias("n_d"),
+                    F.sum("x").alias("s_d"),
+                    F.sum(F.col("x") * F.col("x")).alias("q_d"))
+               .withColumn("sd", F.expr(
+                   "CAST(CAST(s_d AS STRING) AS DOUBLE)"))
+               .withColumn("qd", F.expr(
+                   "CAST(CAST(q_d AS STRING) AS DOUBLE)")))
+    per_user = per_dow.groupBy("user_id").agg(
+        F.sum("n_d").alias("n_days"),
+        F.count("*").alias("n_dows"),
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            "'dow', dow, 'term', qd - sd * sd / n_d))), "
+            "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.term)")
+        .alias("ssw"),
+        F.expr("CAST(CAST(SUM(s_d) AS STRING) AS DOUBLE)").alias("s_tot"),
+        F.expr("CAST(CAST(SUM(q_d) AS STRING) AS DOUBLE)").alias("q_tot"))
+    out = (per_user
+           .withColumn("sst", F.expr(
+               "q_tot - s_tot * s_tot / n_days"))
+           .withColumn("strength", F.expr(
+               "CASE WHEN sst > 0 THEN 1.0 - ssw / sst"
+               " ELSE CAST(NULL AS DOUBLE) END")))
+    return out.select("user_id", "n_days", "n_dows", "ssw", "sst",
+                      "strength").orderBy("user_id")
+
+
+_SEASONAL_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(18,6)) AS x
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+per_dow AS (
+  SELECT user_id, isodow(day) - 1 AS dow,
+         COUNT(*) AS n_d, SUM(x) AS s_d, SUM(x * x) AS q_d
+  FROM daily GROUP BY user_id, isodow(day) - 1),
+conv AS (
+  SELECT user_id, dow, n_d, s_d, q_d,
+         CAST(CAST(s_d AS VARCHAR) AS DOUBLE) AS sd,
+         CAST(CAST(q_d AS VARCHAR) AS DOUBLE) AS qd
+  FROM per_dow),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(n_d) AS BIGINT) AS n_days,
+         COUNT(*) AS n_dows,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(qd - sd * sd / n_d ORDER BY dow)),
+           (acc, t) -> acc + t) AS ssw,
+         CAST(CAST(SUM(s_d) AS VARCHAR) AS DOUBLE) AS s_tot,
+         CAST(CAST(SUM(q_d) AS VARCHAR) AS DOUBLE) AS q_tot
+  FROM conv GROUP BY user_id)
+SELECT user_id, n_days, n_dows, ssw,
+       q_tot - s_tot * s_tot / n_days AS sst,
+       CASE WHEN q_tot - s_tot * s_tot / n_days > 0
+            THEN 1.0 - ssw / (q_tot - s_tot * s_tot / n_days)
+            ELSE CAST(NULL AS DOUBLE) END AS strength
+FROM per_user
+ORDER BY user_id
+"""
+
+
 def q_cusum_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple changepoints per key by ONE level of binary
     segmentation over the CUSUM locator — the standard way a single
@@ -1044,6 +1132,7 @@ QUERIES = {
     "spearman_corr": (q_spearman_corr, _SPEARMAN_SQL),
     "kendall_tau_pairs": (q_kendall_tau_pairs, _KENDALL_SQL),
     "seasonal_decompose_dow": (q_seasonal_decompose_dow, _SEASONAL_SQL),
+    "seasonal_strength_dow": (q_seasonal_strength_dow, _SEASONAL_STRENGTH_SQL),
     "mann_kendall_capped": (q_mann_kendall_capped, _MK_CAPPED_SQL),
     "theil_sen_capped": (q_theil_sen_capped, _TS_CAPPED_SQL),
 }

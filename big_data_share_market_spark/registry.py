@@ -44,8 +44,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: touched, then the 28 deferred r1 relational rows, then the start
 #: of the r2 family.
 #:
-#: ROUND-9 ROTATION NOTE: continue the r2 family — heikin_ashi, renko, raindrop
-#: (bumped from the r8 window by the wave-2/3 additions),
+#: ROUND-9 ROTATION NOTE: continue the r2 family — scalping_strategy, heikin_ashi,
+#: renko, raindrop (bumped from the r8 window by the wave-2/3
+#: additions),
 #: then the remaining streams {stream_signal_bars, stream_sliding_bars,
 #: stream_session_windows, stream_ema_per_key,
 #: stream_dedup_within_watermark, stream_static_enrich,
@@ -68,6 +69,7 @@ _FIRST_50 = (
     # Wave 2: the nonparametric correlation pair on the shared
     # subject pairing.
     "spearman_corr", "kendall_tau_pairs", "cusum_binary_seg",
+    "seasonal_strength_dow",
     # Arrow-serializer UDTF A/B twin.
     "udtf_sessionize_arrow",
     # --- (b) re-verification of everything r8 code touched ---
@@ -91,7 +93,7 @@ _FIRST_50 = (
     "top_supplier_per_nation", "orders_rollup", "asof_last_signup",
     "range_join_pairs", "events_pivot", "parts_never_ordered",
     # --- (d) rotation: start of the r2 family (oldest next) ---
-    "stream_ohlc_bars", "stream_last20_per_key", "scalping_strategy",
+    "stream_ohlc_bars", "stream_last20_per_key",
 )
 
 

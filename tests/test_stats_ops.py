@@ -314,3 +314,37 @@ def test_binary_seg_finds_both_planted_shifts(spark, monkeypatch):
     assert got[1].score == 0.0 and got[1].cp_rank == 1  # constant left
     assert got[2].cp_rank == 10 and got[2].score == 50.0
     assert got[2].cp_event_id == 19 and got[2].seg_n == 20
+
+
+def test_seasonal_strength_eta_squared(spark, monkeypatch):
+    """Planted cases for the ANOVA eta² seasonality score: a
+    perfectly weekly-periodic key scores exactly 1.0, a constant key
+    has SST == 0 and yields NULL, and a noisy key matches the numpy
+    eta² computed from its daily totals."""
+    import numpy as np
+
+    from big_data_share_market_spark.operators import stats
+
+    # 2024-01-01 is a Monday; one event per day, 21 days each.
+    periodic = [float(10 + (i % 7)) for i in range(21)]      # f(dow)
+    constant = [5.0] * 21
+    noisy = [float((3 * i * i + 7 * i) % 13 + 1) for i in range(21)]
+    rows = []
+    for u, series in ((1, periodic), (2, constant), (3, noisy)):
+        rows += [(u, 1000 * u + i, 0, v) for i, v in enumerate(series)]
+    df = _mk_events(spark, rows).withColumn(
+        "ts", F.expr("ts + make_interval(0, 0, 0, "
+                     "CAST(event_id % 1000 AS INT), 0, 0, 0)"))
+    monkeypatch.setattr(stats, "load_table", lambda *_: df)
+    got = {r.user_id: r for r in
+           stats.q_seasonal_strength_dow(spark, "unused").collect()}
+    assert got[1].strength == 1.0 and got[1].ssw == 0.0
+    assert got[2].strength is None                  # SST == 0
+    x = np.array(noisy)
+    dows = np.arange(21) % 7
+    sst = float(((x - x.mean()) ** 2).sum())
+    ssw = float(sum(((x[dows == d] - x[dows == d].mean()) ** 2).sum()
+                    for d in range(7)))
+    assert abs(got[3].strength - (1 - ssw / sst)) < 1e-9
+    assert 0.0 <= got[3].strength <= 1.0
+    assert got[3].n_days == 21 and got[3].n_dows == 7
