@@ -101,22 +101,22 @@ def q_recursive_cte_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remains the structural bound. The count is free — the relation
     # is staged/persisted.
     #
-    # The raise is MONOTONE and deliberate, not save/restored: the
-    # returned DataFrame is lazy and reads the session conf at
-    # EXECUTION time, so restoring the old value here (before the
-    # caller ever runs the query) would reinstate the low limit and
-    # fail the recursion. Never lower an already-raised limit (another
-    # in-flight recursive query may depend on it); the valve stays
-    # armed at the data-derived bound (2× the staged row count).
+    # The raise is SCOPED: the recursion executes eagerly inside the
+    # raised window (localCheckpoint materializes the blocks and
+    # truncates lineage, so the returned frame never re-reads the
+    # conf), then the `finally` restores whatever the session had —
+    # no ratchet left behind for later fixtures or other queries
+    # (tests/test_sqlfeatures_conf.py pins conf-unchanged-after-run).
+    key = "spark.sql.cteRecursionRowLimit"
     needed = max(2_000_000, int(ranked.count() * 2))
-    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit",
-                                 "1000000"))
-    if needed > current:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(needed))
+    prior = spark.conf.get(key, None)
     q, r = f"CAST({_KAL_Q} AS DOUBLE)", f"CAST({_KAL_R} AS DOUBLE)"
-    # The recursion body mirrors _stream_kalman_sql verbatim, with the
-    # base CTE swapped for the staged view.
-    return spark.sql(f"""
+    try:
+        if needed > int(prior or "1000000"):
+            spark.conf.set(key, str(needed))
+        # The recursion body mirrors _stream_kalman_sql verbatim, with
+        # the base CTE swapped for the staged view.
+        return spark.sql(f"""
 WITH RECURSIVE h AS (
   SELECT user_id, event_id, ts, rn, y, y AS l,
          CAST(1.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS k
@@ -135,7 +135,12 @@ WITH RECURSIVE h AS (
 SELECT user_id, event_id, ts, y AS close,
        l AS kal_level, p AS kal_p, k AS kal_gain
 FROM h
-""")
+""").localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 def _recursive_kalman_sql() -> str:

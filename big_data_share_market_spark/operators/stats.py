@@ -839,15 +839,20 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = _doubled_ranks(p, "vb").withColumnRenamed("r2", "rb2")
     j = p.join(ra, "va").join(rb, "vb")
 
+    # One operand is cast to DECIMAL(38,0) BEFORE the product so the
+    # multiply runs in decimal, never int64 — doubled ranks pass ~3e9
+    # at ~1.5e9 pairs and an int64 product would wrap silently while
+    # the oracle multiplies in HUGEINT (HUGEINT-first there too).
     def _m(expr):
-        return F.expr(f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,0)))"
-                      f" AS STRING) AS DOUBLE)")
+        return F.expr(f"CAST(CAST(SUM({expr}) AS STRING) AS DOUBLE)")
 
+    d = "CAST({} AS DECIMAL(38,0))"
     mo = j.agg(F.count("*").cast("double").alias("n"),
-               _m("ra2").alias("sx"), _m("rb2").alias("sy"),
-               _m("ra2 * ra2").alias("sxx"),
-               _m("rb2 * rb2").alias("syy"),
-               _m("ra2 * rb2").alias("sxy"))
+               _m(d.format("ra2")).alias("sx"),
+               _m(d.format("rb2")).alias("sy"),
+               _m(d.format("ra2") + " * ra2").alias("sxx"),
+               _m(d.format("rb2") + " * rb2").alias("syy"),
+               _m(d.format("ra2") + " * rb2").alias("sxy"))
     return mo.select(F.col("n").cast("long").alias("n_pairs"),
                      F.expr(_PEARSON).alias("rho"))
 
@@ -1083,15 +1088,26 @@ def q_theil_sen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term in what shuffles. Same deterministic
     (slope, i_id, j_id) lower-median tiebreak as the exact form;
     stride == 1 degenerates to exactly `theil_sen_trend`
-    (property-tested)."""
+    (property-tested).
+
+    Tied timestamps: pairs with t_i == t_j are EXCLUDED before the
+    slope (the exact form joins on a.t < b.t for the same reason — a
+    tied pair's slope is a division by zero whose NULL would sort
+    differently in Spark vs DuckDB and poison the median row_number).
+    The stride anchors still come from the rn lattice (matching
+    `mann_kendall_capped`'s exact-MK pair rule); only the slope stage
+    drops the zero-Δt pairs."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
         F.col("value").alias("v"))
-    pairs = stride_sampled_pairs(e).withColumn(
-        "slope",
-        (F.col("v_j") - F.col("v_i"))
-        / ((F.col("t_j") - F.col("t_i")).cast("double") / 3600000000.0))
+    pairs = (stride_sampled_pairs(e)
+             .where(F.col("t_i") < F.col("t_j"))
+             .withColumn(
+                 "slope",
+                 (F.col("v_j") - F.col("v_i"))
+                 / ((F.col("t_j") - F.col("t_i")).cast("double")
+                    / 3600000000.0)))
     wk = Window.partitionBy("user_id")
     ranked = (pairs
               .withColumn("rn", F.row_number().over(
@@ -1108,7 +1124,7 @@ WITH {_stride_pairs_sql()},
 sl AS (
   SELECT user_id, n, stride, i_id, j_id,
          (v_j - v_i) / (CAST(t_j - t_i AS DOUBLE) / 3600000000.0) AS slope
-  FROM pairs),
+  FROM pairs WHERE t_i < t_j),
 ranked AS (
   SELECT user_id, CAST(n AS BIGINT) AS n, CAST(stride AS BIGINT) AS stride,
          slope,

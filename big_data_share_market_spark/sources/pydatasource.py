@@ -244,11 +244,14 @@ def make_tick_stream_datasource():
             # A real source acks upstream here; the generator's only
             # upstream is the optional progress file (atomic
             # write+rename so a kill mid-commit leaves the old value).
+            # The persisted value is max-guarded like the in-memory
+            # cursor: an out-of-order or replayed commit must never
+            # regress the progress file a later restart relies on.
             self._cur = max(self._cur, end["seq"])
             if self.progress_path:
                 tmp = f"{self.progress_path}.tmp"
                 with open(tmp, "w") as fh:
-                    fh.write(str(end["seq"]))
+                    fh.write(str(self._cur))
                 os.replace(tmp, self.progress_path)
 
     class TickStreamDataSource(DataSource):

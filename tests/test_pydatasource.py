@@ -85,6 +85,25 @@ def test_stream_reader_cursor_never_regresses_after_restart(tmp_path):
     assert all(p.lo == 192 and p.hi == 256 for p in parts)
 
 
+def test_progress_file_is_monotone_under_replayed_commit(tmp_path):
+    """An out-of-order / replayed commit (Spark CAN re-commit an old
+    batch after recovery) must never regress the persisted cursor a
+    later restart relies on: the file stores max(cursor, end), not
+    the raw end."""
+    progress = str(tmp_path / "progress")
+    r = _stream_reader({"progress_path": progress, "batch_seqs": "64",
+                        "n_per_symbol": "256"})
+    for expect in (64, 128):
+        assert r.latestOffset() == {"seq": expect}
+        r.commit({"seq": expect})
+    r.commit({"seq": 64})  # replayed stale commit
+    with open(progress) as fh:
+        assert int(fh.read()) == 128  # file stayed monotone
+    r2 = _stream_reader({"progress_path": progress, "batch_seqs": "64",
+                         "n_per_symbol": "256"})
+    assert r2.latestOffset() == {"seq": 192}  # resumes from 128, not 64
+
+
 def test_stream_reader_clamps_regressed_range_without_progress():
     """Without progress_path (the fresh-checkpoint demo config), a
     restarted reader's first latestOffset CAN sit below the

@@ -183,6 +183,13 @@ def test_stride_capped_equals_exact_when_cap_covers(spark, monkeypatch):
               2: [float((7 * i) % 13) for i in range(20)]}
     rows = [(u, 100 * u + i, i, v)
             for u, vs in series.items() for i, v in enumerate(vs)]
+    # Key 3 has DUPLICATE timestamps (two events per hour): tied-t
+    # pairs must be excluded from the Theil–Sen slopes (Δt = 0 would
+    # divide by zero and its NULL sorts differently across engines)
+    # while the MK pair rule keeps every rn-lattice pair.
+    tied_vals = [3.0, 7.0, 1.0, 4.0, 9.0, 2.0, 8.0, 5.0]
+    rows += [(3, 300 + i, i // 2, v) for i, v in enumerate(tied_vals)]
+    series[3] = tied_vals
     df = _mk_events(spark, rows)
     monkeypatch.setattr(stats, "load_table", lambda *_: df)
     monkeypatch.setattr(regression, "load_table", lambda *_: df)
