@@ -19,15 +19,17 @@ the standard fix:
   yesterday's, never rescan history).
 
 Correctness strategy: DuckDB's approx sketches are different
-implementations, so raw estimates cannot be hash-matched. Where the
-sketch carries a DETERMINISTIC guarantee we emit the guarantee as the
-result and oracle-check it — `approx_value_quantiles` outputs the
-exact DISC quantiles plus the GK rank-bound boolean (full oracle);
-`heavy_hitters`' exact recount makes it fully exact; `cms_token_counts`
-is deterministic by construction. Only the two HLL queries
-(`approx_distinct_users`, `hll_merge_consistency`) remain rows-only —
-HLL++ register contents are genuinely engine-specific — and
-tests/test_sketches.py asserts their error bounds instead.
+implementations, so raw estimates cannot be hash-matched. Every
+sketch query therefore emits its DETERMINISTIC guarantee as the
+result and oracle-checks it — `approx_value_quantiles` outputs the
+exact DISC quantiles plus the GK rank-bound boolean;
+`approx_distinct_users` / `hll_merge_consistency` output the exact
+counts plus realized-error-bound and merge-consistency booleans (the
+raw HLL estimates live in the `*_detail` frames, measured by
+tests/test_sketches.py); `heavy_hitters`' exact recount makes it
+fully exact; `cms_token_counts` is deterministic by construction.
+Since r9 the registry carries a full DuckDB oracle for every sketch
+query — nothing is rows-only.
 """
 
 from __future__ import annotations
@@ -42,11 +44,21 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 
 
-def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Accepted realized relative error for the HLL++ estimate vs exact:
+#: rsd=0.02 with 5x headroom (the rsd is one standard deviation of a
+#: probabilistic guarantee; 5 sigma makes the boolean stable on any
+#: fixed dataset while still catching a broken sketch outright).
+_HLL_REL_ERR_BOUND = 0.10
+
+
+def approx_distinct_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users: HLL++ estimate (rsd=2%) next to
     the exact count and the realized relative error. The exact branch
     exists to *measure* the sketch; a production 100 TB run keeps only
-    the approx branch and skips the distinct shuffle entirely."""
+    the approx branch and skips the distinct shuffle entirely. The
+    raw estimate is engine-specific (register encodings differ), so
+    this detail frame feeds tests/test_sketches.py; the registered
+    query below projects it to its deterministic contract."""
     ev = load_table(spark, sf_dir, "events")
     agg = (ev.groupBy("event_type")
            .agg(F.count_distinct("user_id").alias("exact_users"),
@@ -56,6 +68,33 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("approx_users") - F.col("exact_users"))
         / F.col("exact_users"))
         .orderBy("event_type"))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract of the HLL++ distinct count: the
+    EXACT per-type count (DuckDB reproduces it bit-for-bit) plus
+    `approx_within_bound`, the deterministic claim that the sketch's
+    realized relative error stays within `_HLL_REL_ERR_BOUND` — the
+    same shape `approx_value_quantiles` uses for its GK rank bound.
+    Spark's HLL++ is a deterministic function of the data (no seed),
+    so the boolean is stable per fixture and the oracle pins it TRUE;
+    the realized-error MEASUREMENT stays in tests/test_sketches.py
+    via `approx_distinct_detail`."""
+    return (approx_distinct_detail(spark, sf_dir)
+            .select("event_type", "exact_users",
+                    (F.col("rel_err") <= F.lit(_HLL_REL_ERR_BOUND))
+                    .alias("approx_within_bound"))
+            .orderBy("event_type"))
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 #: percentile_approx accuracy parameter; the GK sketch guarantees the
@@ -123,24 +162,51 @@ ORDER BY event_type
 """
 
 
-def q_hll_merge_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_merge_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch mergeability — the property incremental pipelines rely
     on: per-type HLL sketches UNIONed must estimate the same global
-    cardinality as one sketch built over all rows. Returns one row
-    with both estimates; tests assert they are identical (same sketch
-    algorithm, associative merge)."""
+    cardinality as one sketch built over all rows. One row with both
+    estimates plus the exact global distinct; feeds both the test
+    (raw estimates) and the registered contract query below."""
     ev = load_table(spark, sf_dir, "events")
     per_type = (ev.groupBy("event_type")
                 .agg(F.hll_sketch_agg("user_id").alias("sk")))
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"))
     direct = ev.agg(
+        F.count_distinct("user_id").alias("exact_users"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
         .alias("direct_estimate"))
     return merged.crossJoin(direct).select(
-        "merged_estimate", "direct_estimate",
+        "exact_users", "merged_estimate", "direct_estimate",
         (F.col("merged_estimate") == F.col("direct_estimate"))
         .alias("consistent"))
+
+
+def q_hll_merge_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract of HLL mergeability: the exact global
+    distinct count (DuckDB reproduces it), `merge_consistent` — the
+    DETERMINISTIC invariant that union-of-partial-sketches estimates
+    identically to the one-pass sketch (associative merge of identical
+    register sets; TRUE on any data, any scale), and the realized
+    error bound of the merged estimate vs exact. The raw estimates
+    are engine-specific and live in `hll_merge_detail` for
+    tests/test_sketches.py."""
+    return (hll_merge_detail(spark, sf_dir)
+            .select("exact_users",
+                    F.col("consistent").alias("merge_consistent"),
+                    ((F.abs(F.col("merged_estimate") - F.col("exact_users"))
+                      / F.col("exact_users"))
+                     <= F.lit(_HLL_REL_ERR_BOUND))
+                    .alias("approx_within_bound")))
+
+
+_HLL_MERGE_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merge_consistent,
+       TRUE AS approx_within_bound
+FROM events
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -591,8 +657,9 @@ def q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketch WITH a full value oracle — the
     deterministic alternative to HLL (whose register encodings are
     engine-specific, which is why `approx_distinct_users` and
-    `hll_merge_consistency` are the registry's only rows-only
-    queries). KMV (Bar-Yossef et al. 2002, public): keep the k
+    `hll_merge_consistency` oracle-check their deterministic bound
+    booleans rather than raw estimates). KMV (Bar-Yossef et al.
+    2002, public): keep the k
     smallest DISTINCT hash values; the k-th smallest V_k estimates
     the cardinality as (k−1)·M/V_k, and sketches MERGE exactly — the
     k smallest of the union of per-shard k-smallest sets IS the k
@@ -789,12 +856,16 @@ QUERIES = {
     "grouped_quantile_sketch": (q_grouped_quantile_sketch,
                                 _GROUPED_QSK_SQL),
     "kmv_distinct_merge": (q_kmv_distinct_merge, _KMV_SQL),
-    "approx_distinct_users": (q_approx_distinct_users, None),
+    # Full oracles since r9: exact counts + deterministic bound
+    # booleans (TRUE on both engines), the approx_value_quantiles
+    # shape — raw HLL estimates stay in the *_detail frames for tests.
+    "approx_distinct_users": (q_approx_distinct_users,
+                              _APPROX_DISTINCT_SQL),
     # Full oracle since r7: exact DISC quantiles + the deterministic
     # GK rank-bound check (TRUE on both engines).
     "approx_value_quantiles": (q_approx_value_quantiles,
                                _APPROX_QUANTILES_SQL),
-    "hll_merge_consistency": (q_hll_merge_consistency, None),
+    "hll_merge_consistency": (q_hll_merge_consistency, _HLL_MERGE_SQL),
     "heavy_hitters": (q_heavy_hitters, _HEAVY_HITTERS_SQL),
     "kmv_intersection": (q_kmv_intersection, _KMVI_SQL),
 }

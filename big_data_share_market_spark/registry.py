@@ -44,56 +44,59 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: touched, then the 28 deferred r1 relational rows, then the start
 #: of the r2 family.
 #:
-#: ROUND-9 ROTATION NOTE: continue the r2 family — scalping_strategy, heikin_ashi,
-#: renko, raindrop (bumped from the r8 window by the wave-2/3
-#: additions),
-#: then the remaining streams {stream_signal_bars, stream_sliding_bars,
-#: stream_session_windows, stream_ema_per_key,
-#: stream_dedup_within_watermark, stream_static_enrich,
-#: stream_interval_join, stream_left_outer_interval_join}, the
-#: strategy/pattern family {range_trading_strategy, momentum_strategy,
-#: breakout_strategy, ascending_triangle, descending_triangle,
-#: rounding_bottom}, chart transforms {ohlc_bars, candle_color,
-#: last_per_key, dedup_upsert, latest_n_per_key, flatten_nested,
-#: json_envelope_roundtrip, jsonl_corrupt_tolerant_scan,
-#: props_json_extract}, and the r3+ dedup/text/similarity families
-#: oldest-first — plus, as always, front-load r9 additions and
-#: anything r9 code changes touch.
+#: ROUND-9 WINDOW (executes the r8 rotation note): after this window
+#: every r2-last-green query has a fresh row — nothing oracle-backed
+#: is older than r3.
+#:
+#: ROUND-10 ROTATION NOTE: the r3 remainder oldest-first — the 44
+#: r3-last-green queries not covered here {ann_lsh_topk,
+#: ann_recall_eval, beta_vs_market, bigram_counts, bigram_lm_score,
+#: bollinger_bands, bucketed_join_revenue, chunk_documents,
+#: corr_pairs, cross_split_contamination, custkeys_intersect,
+#: customer_balance_ranks, dedup_components, doc_fingerprint,
+#: dow_seasonality, incremental_ohlc_rollup, lang_id,
+#: length_histogram, max_drawdown, media_audio_segments,
+#: media_decode_features, media_frame_sample, media_resize,
+#: missing_bars, mixture_sample, nested_array_roundtrip,
+#: ngram_jaccard_capped, ngram_jaccard_dedup, obv, ohlc_day_rollup,
+#: pack_tokens, partition_pruned_agg, pii_scrub, realized_volatility,
+#: rolling_zscore, scd2_order_priority, scd2_snapshot,
+#: source_quality_stats, stochastic_oscillator, stratified_sample,
+#: stream_drawdown_per_key, tfidf_top_terms, vwap_daily,
+#: winnowing_fingerprint}, then the r4 family — plus, as always,
+#: front-load r10 additions and anything r10 code changes touch.
 _FIRST_50 = (
-    # --- (a) round-8 additions ---
-    # Statistical-QA completions: the paired-location test, weekly
-    # seasonality screen, the live drift detector, and the
-    # stride-capped bounded-work twins of the O(n²) pair statistics.
-    "wilcoxon_signed_rank", "seasonal_decompose_dow",
-    "stream_cusum_drift", "mann_kendall_capped", "theil_sen_capped",
-    # Wave 2: the nonparametric correlation pair on the shared
-    # subject pairing.
-    "spearman_corr", "kendall_tau_pairs", "cusum_binary_seg",
-    "seasonal_strength_dow",
-    # Arrow-serializer UDTF A/B twin.
-    "udtf_sessionize_arrow",
-    # --- (b) re-verification of everything r8 code touched ---
-    # udtfs.py oracle tie-order fix; state.py session disorder fix;
-    # sqlfeatures.py conf handling; pydatasource.py restart cursor;
-    # stats.py docstring + new shared helpers next to the r7 tests.
-    "udtf_sessionize", "stream_session_timeout", "recursive_cte_kalman",
-    "python_datasource_ticks", "stream_python_datasource",
-    "python_datasource_sink", "stream_python_datasource_sink",
-    "ks_two_sample", "mann_kendall_trend", "theil_sen_trend",
-    # --- (c) rotation: the 28 deferred r1 rows (last driver contact
-    # round 1; staging/session/plan-report code has changed since) ---
-    "returned_item_revenue", "important_part_value", "promo_revenue",
-    "small_quantity_revenue", "disjunctive_revenue",
-    "high_volume_part_suppliers", "suppliers_kept_waiting",
-    "idle_customer_balance", "cohort_retention", "zorder_key",
-    "salted_skew_agg", "orders_grouping_sets", "top_revenue_supplier",
-    "forecast_revenue", "bilateral_volume", "market_share",
-    "product_profit", "late_shipment_priorities", "large_volume_orders",
-    "customer_order_distribution", "minmax_per_key", "trend_per_key",
-    "top_supplier_per_nation", "orders_rollup", "asof_last_signup",
-    "range_join_pairs", "events_pivot", "parts_never_ordered",
-    # --- (d) rotation: start of the r2 family (oldest next) ---
-    "stream_ohlc_bars", "stream_last20_per_key",
+    # --- (a) round-9 contract changes: the two HLL queries gained
+    # full DuckDB oracles (exact counts + deterministic bound
+    # booleans) — first driver contact ever for both ---
+    "approx_distinct_users", "hll_merge_consistency",
+    # --- (b) re-verification of everything r9 code touched ---
+    # stats.py tied-ts pair fix + decimal-first spearman moments;
+    # sqlfeatures.py scoped recursion-limit conf; pydatasource.py
+    # monotone progress file; state.py session-timeout work.
+    "theil_sen_capped", "spearman_corr", "recursive_cte_kalman",
+    "stream_python_datasource", "stream_python_datasource_sink",
+    "stream_session_timeout",
+    # --- (c) rotation: ALL 37 r2-last-green queries (the r8 note's
+    # r2 remainder — transforms, strategies, patterns, streams,
+    # dedup/corpus/media r2 rows) ---
+    "scalping_strategy", "heikin_ashi", "renko", "raindrop",
+    "ohlc_bars", "last_per_key",
+    "dedup_upsert", "latest_n_per_key", "flatten_nested",
+    "range_trading_strategy", "momentum_strategy", "breakout_strategy",
+    "ascending_triangle", "descending_triangle", "rounding_bottom",
+    "stream_signal_bars", "stream_sliding_bars",
+    "stream_session_windows", "stream_ema_per_key",
+    "stream_dedup_within_watermark", "stream_static_enrich",
+    "stream_interval_join", "stream_left_outer_interval_join",
+    "minhash_lsh_dedup", "hash_split", "simhash_pairs",
+    "repetition_score", "clean_corpus", "corpus_to_training_set",
+    "media_metadata_stats", "sessionize_events", "resample_ffill",
+    "props_map_explode", "funnel_conversion", "dq_profile_lineitem",
+    "late_priority_split", "ann_ivf_topk",
+    # --- (d) fill: oldest r3 rows next ---
+    "json_envelope_roundtrip", "jsonl_corrupt_tolerant_scan",
+    "props_json_extract", "exact_dedup", "token_count",
 )
 
 

@@ -1,8 +1,9 @@
-"""Sketch accuracy bounds: approximate operators register rows-only
-(cross-engine sketch implementations differ), so their correctness
-claim is an asserted error bound against the exact answer computed in
-the same query — plus the merge-consistency invariant HLL pipelines
-rely on."""
+"""Sketch accuracy bounds: cross-engine sketch implementations
+differ, so the registered queries oracle-check deterministic
+contracts (exact counts + bound booleans) while THESE tests measure
+the raw estimates via the *_detail frames — the realized error bound
+against the exact answer, plus the merge-consistency invariant HLL
+pipelines rely on."""
 
 from __future__ import annotations
 
@@ -12,11 +13,15 @@ from .conftest import SF_DIR
 
 
 def test_approx_distinct_within_rsd(spark):
-    rows = sketches.q_approx_distinct_users(spark, SF_DIR).collect()
+    rows = sketches.approx_distinct_detail(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         # rsd=0.02; allow 5x headroom (guarantee is probabilistic).
-        assert r.rel_err <= 0.10, (r.event_type, r.rel_err)
+        assert r.rel_err <= sketches._HLL_REL_ERR_BOUND, (
+            r.event_type, r.rel_err)
+    # The registered contract query mirrors this bound per row.
+    for r in sketches.q_approx_distinct_users(spark, SF_DIR).collect():
+        assert r.approx_within_bound, r.event_type
 
 
 def test_approx_quantiles_close(spark):
@@ -32,8 +37,10 @@ def test_approx_quantiles_close(spark):
 
 
 def test_hll_union_matches_direct(spark):
-    row = sketches.q_hll_merge_consistency(spark, SF_DIR).collect()[0]
+    row = sketches.hll_merge_detail(spark, SF_DIR).collect()[0]
     assert row.consistent, (row.merged_estimate, row.direct_estimate)
+    contract = sketches.q_hll_merge_consistency(spark, SF_DIR).collect()[0]
+    assert contract.merge_consistent and contract.approx_within_bound
 
 
 def test_mg_superset_guarantee():
