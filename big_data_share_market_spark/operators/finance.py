@@ -560,6 +560,97 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Multi-lag autocorrelation function (the ACF table behind AR-order
+# selection — generalizes return_autocorr's single lag)
+# ---------------------------------------------------------------------------
+
+#: ACF horizon. Small on purpose: the ACF is a per-lag Pearson and
+#: lags beyond a few steps are noise at the fixture's series length;
+#: the shape is what matters — K lags cost ONE window pass, not K.
+_ACF_LAGS = 5
+
+
+def q_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of hourly returns at lags 1..5 per
+    key — the AR-order diagnostic table (`return_autocorr` is its
+    lag-1 row; a trader reads the decay profile, an AR fitter reads
+    where it cuts off). Same exact-integer-moment machinery: per
+    (key, lag) Pearson of (ret_t, ret_{t-k}) from DECIMAL(38,0)
+    moments, identical guarded corr text in both engines.
+
+    Scale shape: all K lag columns come from ONE Window pass (same
+    partition/ordering spec ⇒ Spark evaluates every lag in a single
+    WindowExec — no per-lag exchange), the wide row unpivots with
+    `stack` (row-local), and one (key, lag) aggregate finishes. At
+    100 TB: one bar-sized shuffle + one K×-bars-sized map-side-
+    combined agg; K never multiplies the exchange count."""
+    rets = _rets(spark, sf_dir)
+    w = bar_window()
+    lags = [F.lag("ret_i", k).over(w).alias(f"l{k}")
+            for k in range(1, _ACF_LAGS + 1)]
+    wide = rets.select("user_id", "ret_i", *lags)
+    stack_args = ", ".join(f"{k}, l{k}" for k in range(1, _ACF_LAGS + 1))
+    pairs = (wide.select(
+        "user_id", "ret_i",
+        F.expr(f"stack({_ACF_LAGS}, {stack_args}) AS (lag_k, prev_i)"))
+        .filter(F.col("prev_i").isNotNull()))
+    out = (pairs.groupBy("user_id", "lag_k")
+           .agg(F.count("*").alias("n"),
+                _s(F.col("ret_i")).alias("sx"),
+                _s(F.col("prev_i")).alias("sy"),
+                _sq(F.col("ret_i"), F.col("prev_i")).alias("sxy"),
+                _sq(F.col("ret_i"), F.col("ret_i")).alias("sxx"),
+                _sq(F.col("prev_i"), F.col("prev_i")).alias("syy")))
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return (out.select(
+                "user_id", "lag_k", "n",
+                F.when((n >= 3) & (vx > 0) & (vy > 0),
+                       cov / F.sqrt(vx * vy)).alias("acf"))
+            .orderBy("user_id", "lag_k"))
+
+
+def _acf_lag_branch(k: int) -> str:
+    return (f"  SELECT user_id, {k} AS lag_k, ret_i, l{k} AS prev_i"
+            f" FROM w WHERE l{k} IS NOT NULL")
+
+
+_ACF_SQL = f"""
+WITH {_RETS_CTE.strip()},
+w AS (
+  SELECT user_id, ret_i,
+         {", ".join(f"lag(ret_i, {k}) OVER (PARTITION BY user_id"
+                    f" ORDER BY bar_ts) AS l{k}"
+                    for k in range(1, _ACF_LAGS + 1))}
+  FROM rets),
+p AS (
+{" UNION ALL ".join(chr(10) + _acf_lag_branch(k)
+                    for k in range(1, _ACF_LAGS + 1))}),
+mo AS (
+  SELECT user_id, lag_k, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(prev_i AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * prev_i) AS VARCHAR)
+              AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * ret_i) AS VARCHAR)
+              AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(prev_i AS HUGEINT) * prev_i) AS VARCHAR)
+              AS DOUBLE) AS syy
+  FROM p GROUP BY user_id, lag_k)
+SELECT user_id, lag_k, n,
+       CASE WHEN n >= 3 AND (sxx - sx * sx / n) > 0
+                 AND (syy - sy * sy / n) > 0 THEN
+         (sxy - sx * sy / n)
+           / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+       END AS acf
+FROM mo
+ORDER BY user_id, lag_k
+"""
+
+
+# ---------------------------------------------------------------------------
 # SMA-crossover strategy backtest (vectorized PnL over the bar series)
 # ---------------------------------------------------------------------------
 
@@ -690,5 +781,6 @@ QUERIES = {
     "corr_pairs": (q_corr_pairs, _CORR_PAIRS_SQL),
     "var_cvar": (q_var_cvar, _VAR_CVAR_SQL),
     "return_autocorr": (q_return_autocorr, _AUTOCORR_SQL),
+    "acf_multi_lag": (q_acf_multi_lag, _ACF_SQL),
     "sma_crossover_backtest": (q_sma_crossover_backtest, _backtest_sql()),
 }

@@ -133,7 +133,7 @@ FROM spans ORDER BY doc_id
 # Composed pipeline: cleaned corpus -> train split -> chunks
 # ---------------------------------------------------------------------------
 
-def q_corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+def training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline as ONE declarative plan:
 
       quality gate -> exact dedup -> near-dup removal   (clean_corpus)
@@ -146,7 +146,13 @@ def q_corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins all land before the chunk fan-out, so the expensive
     explode runs only on kept train docs. Each stage is the
     oracle-checked operator it reuses — the composition adds no new
-    semantics, just the plan."""
+    semantics, just the plan.
+
+    UNORDERED on purpose: this is the frame a production write
+    consumes (`write_training_shards` — partitionBy sharding needs no
+    global sort; see tools/composed_pipeline_probe.py for the
+    end-to-end sf10 probe). The registry query below adds the
+    deterministic ORDER BY the oracle compare wants."""
     from .dedup import q_clean_corpus
     from .sampling import _TRAIN_LT, hash256
 
@@ -166,8 +172,13 @@ def q_corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("c.ctoks").alias("n_tokens"),
                 F.md5(F.array_join("c.ctoks", " ")).alias("chunk_md5"))
         .filter(F.col("n_tokens") > 0)
-        .orderBy("doc_id", "chunk_id")
     )
+
+
+def q_corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of :func:`training_chunks` with the deterministic
+    sort the DuckDB value compare expects."""
+    return training_chunks(spark, sf_dir).orderBy("doc_id", "chunk_id")
 
 
 def _training_set_sql() -> str:

@@ -343,8 +343,96 @@ ORDER BY l_decade
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit conformity (fabricated/corrupted-feed screen)
+# ---------------------------------------------------------------------------
+
+#: Benford expected P(first digit = d) = log10(1 + 1/d), emitted as
+#: the SAME Python-repr double literals in both engines (a runtime
+#: log10 could differ by 1 ulp between libm and the JVM; a shared
+#: decimal literal parses identically everywhere).
+import math as _math
+
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({_math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+    for d in range(1, 10)) + " END")
+
+#: Per-digit z-score of observed vs Benford proportion under the
+#: normal approximation to the binomial — one expression text, both
+#: engines (single-row float math, no cross-row float sums).
+_BENFORD_Z = ("(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)"
+              " - p_benford)"
+              " / sqrt(p_benford * (CAST(1.0 AS DOUBLE) - p_benford)"
+              "        / CAST(n_total AS DOUBLE))")
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformity of
+    lineitem.l_extendedprice — the classic fabricated-data /
+    corrupted-feed screen (prices spanning several orders of
+    magnitude should be Benford-distributed; a truncated feed, a
+    unit-mix bug, or synthetic padding shows up as digit-1/digit-9
+    excess long before any row-level rule fires). Nine rows out:
+    per digit, the exact observed count, observed vs expected
+    proportion, and the binomial z-score.
+
+    Cross-engine exactness: the first digit comes from the CANONICAL
+    integer-to-string rendering of the exact cent value
+    (round(price × 100) → BIGINT — the explicit round() because the
+    column is DOUBLE and a bare CAST truncates in Spark but rounds in
+    DuckDB; 2-decimal prices never land near .5 in binary, so both
+    round()s agree — no float formatting anywhere); expected
+    proportions are shared literals; z is single-row arithmetic with
+    identical text. No cross-row float sum exists, so no
+    accumulation-order hazard — which is why the output is the
+    9-row digit table rather than a chi-square scalar.
+
+    Scale shape: one row-local digit projection, one 9-group
+    map-side-combined count, one broadcast of the 1-row total.
+    100 TB cost = one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = (li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        .alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.expr(
+            "CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+            .alias("digit")))
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("p_benford", F.expr(_BENFORD_CASE))
+            .withColumn("p_obs", F.expr(
+                "CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)"))
+            .withColumn("z", F.expr(_BENFORD_Z))
+            .select("digit", "n_obs", "n_total", "p_obs", "p_benford", "z")
+            .orderBy("digit"))
+
+
+_BENFORD_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+d AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM c WHERE cents > 0),
+g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM g),
+j AS (
+  SELECT digit, n_obs, n_total, {_BENFORD_CASE} AS p_benford
+  FROM g CROSS JOIN t)
+SELECT digit, n_obs, n_total,
+       CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_obs,
+       p_benford,
+       {_BENFORD_Z} AS z
+FROM j
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "k_anonymity_audit": (q_k_anonymity_audit, _K_ANON_SQL),
+    "benford_prices": (q_benford_prices, _BENFORD_SQL),
     "l_diversity_audit": (q_l_diversity_audit, _L_DIVERSITY_SQL),
     "contract_check_lineitem": (q_contract_check_lineitem, _CONTRACT_SQL),
     "dq_profile_lineitem": (q_dq_profile_lineitem, _DQ_PROFILE_SQL),

@@ -68,7 +68,10 @@ def get_spark(app_name: str = "big_data_share_market_spark",
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for the harness; probes that need the status REST API
+        # (per-stage shuffle bytes — tools/composed_pipeline_probe.py)
+        # opt in with SPARK_GRAFT_UI=true.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

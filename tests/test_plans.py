@@ -44,6 +44,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             "ks_two_sample",
             # 1-row rank-sum aggregate x 1-row totals crossJoin
             "mannwhitney_u",
+            # broadcast 1-row grand total onto the 9-row first-digit
+            # histogram (r9)
+            "benford_prices",
             # broadcast 3-row probe frame range-joined (cum >= target)
             # onto the (groups x ~107)-row cumulative histogram (r7)
             "grouped_quantile_sketch",
