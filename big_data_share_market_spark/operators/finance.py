@@ -651,6 +651,135 @@ ORDER BY user_id, lag_k
 
 
 # ---------------------------------------------------------------------------
+# Ljung–Box whiteness test (the "is it white noise" companion of the
+# ACF table: pooled portmanteau over lags 1..K)
+# ---------------------------------------------------------------------------
+
+#: chi-square 95th percentile at df = _ACF_LAGS (scipy value, shared
+#: literal in both engines).
+_LB_CHI2_95_DF5 = 11.070497693516351
+
+
+def _lb_exprs() -> tuple[str, str]:
+    """(q_lb, guard) expression texts shared by BOTH engines. The
+    Ljung–Box statistic uses the STANDARD acf estimator (global mean,
+    c_k/c0 with the pooled denominator), reconstructed from exact
+    integer sums: per key, with m = s/n,
+
+      c_k·n = p_k − m·(2s − h_k − t_k) + (n−k)·m²
+      c_0·n = ss − s²/n
+      r_k   = (c_k·n)/(c_0·n)
+      Q     = n(n+2) · Σ_k r_k²/(n−k)   (FIXED association: the K=5
+              terms are summed left-to-right in the expression text,
+              so no cross-row float accumulation order exists)
+
+    where p_k = Σ x_t·x_{t−k} (exact), h_k / t_k = exact sums of the
+    first/last k values (the edge corrections for the truncated lag
+    sums)."""
+    m = "(s / n)"
+    den = "(ss - s * s / n)"
+    terms = []
+    for k in range(1, _ACF_LAGS + 1):
+        ck = (f"(p{k} - {m} * (2 * s - h{k} - t{k})"
+              f" + (n - {k}) * {m} * {m})")
+        terms.append(f"(({ck} / {den}) * ({ck} / {den})) / (n - {k})")
+    q = "n * (n + 2) * (" + " + ".join(terms) + ")"
+    guard = f"n > {2 * _ACF_LAGS} AND {den} > 0"
+    return q, guard
+
+
+def q_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per key over hourly returns, lags
+    1..5 — the whiteness screen read NEXT to `acf_multi_lag`: the ACF
+    table shows WHERE correlation lives, Q says whether the pooled
+    autocorrelation is jointly significant (Q > χ²₀.₉₅(5) ⇒ the
+    series is not white noise ⇒ an AR model has something to fit /
+    a residual stream still carries structure).
+
+    Exactness: every input to the float expression is an exact
+    integer sum of quantized returns (Σx, Σx², the five lag products
+    Σ x_t·x_{t−k}, and the first-k/last-k edge sums), accumulated in
+    DECIMAL(38,0)/HUGEINT and converted to double through VARCHAR;
+    Q is ONE shared expression text with fixed association, so both
+    engines run the identical IEEE op sequence on identical inputs.
+
+    Scale shape: one bar-sized window pass produces the 5 lag columns
+    plus rn (all the same window spec ⇒ one WindowExec), then ONE
+    map-side-combined per-key aggregate computes all 13 exact sums;
+    no pair lattice, no second shuffle class."""
+    rets = _rets(spark, sf_dir)
+    w = bar_window()
+    wk = W.partitionBy("user_id")
+    wide = rets.select(
+        "user_id", "ret_i",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wk).alias("nk"),
+        *[F.lag("ret_i", k).over(w).alias(f"l{k}")
+          for k in range(1, _ACF_LAGS + 1)])
+
+    def _d(e: str) -> F.Column:
+        return F.expr(f"CAST(CAST(SUM(CAST({e} AS DECIMAL(38,0)))"
+                      f" AS STRING) AS DOUBLE)")
+
+    aggs = [F.count("*").cast("double").alias("n"),
+            _d("ret_i").alias("s"),
+            _d("CAST(ret_i AS DECIMAL(38,0)) * ret_i").alias("ss")]
+    for k in range(1, _ACF_LAGS + 1):
+        aggs += [
+            _d(f"CASE WHEN l{k} IS NOT NULL THEN"
+               f" CAST(ret_i AS DECIMAL(38,0)) * l{k} END").alias(f"p{k}"),
+            _d(f"CASE WHEN rn <= {k} THEN ret_i END").alias(f"h{k}"),
+            _d(f"CASE WHEN rn > nk - {k} THEN ret_i END").alias(f"t{k}"),
+        ]
+    mo = wide.groupBy("user_id").agg(*aggs)
+    q, guard = _lb_exprs()
+    return (mo.where(F.expr(guard))
+            .select("user_id", F.col("n").cast("long").alias("n"),
+                    F.expr(q).alias("q_lb"),
+                    F.expr(f"({q}) > CAST({_LB_CHI2_95_DF5!r} AS DOUBLE)")
+                    .alias("not_white_noise"))
+            .orderBy("user_id"))
+
+
+def _lb_sql() -> str:
+    q, guard = _lb_exprs()
+    lag_cols = ", ".join(
+        f"lag(ret_i, {k}) OVER (PARTITION BY user_id ORDER BY bar_ts)"
+        f" AS l{k}" for k in range(1, _ACF_LAGS + 1))
+    moment_cols = ["CAST(COUNT(*) AS DOUBLE) AS n",
+                   "CAST(CAST(SUM(CAST(ret_i AS HUGEINT)) AS VARCHAR)"
+                   " AS DOUBLE) AS s",
+                   "CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * ret_i)"
+                   " AS VARCHAR) AS DOUBLE) AS ss"]
+    for k in range(1, _ACF_LAGS + 1):
+        moment_cols += [
+            f"CAST(CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN"
+            f" CAST(ret_i AS HUGEINT) * l{k} END) AS VARCHAR)"
+            f" AS DOUBLE) AS p{k}",
+            f"CAST(CAST(SUM(CASE WHEN rn <= {k} THEN"
+            f" CAST(ret_i AS HUGEINT) END) AS VARCHAR) AS DOUBLE) AS h{k}",
+            f"CAST(CAST(SUM(CASE WHEN rn > nk - {k} THEN"
+            f" CAST(ret_i AS HUGEINT) END) AS VARCHAR) AS DOUBLE) AS t{k}",
+        ]
+    return f"""
+WITH {_RETS_CTE.strip()},
+wide AS (
+  SELECT user_id, ret_i,
+         row_number() OVER (PARTITION BY user_id ORDER BY bar_ts) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk,
+         {lag_cols}
+  FROM rets),
+mo AS (
+  SELECT user_id, {", ".join(moment_cols)}
+  FROM wide GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n, {q} AS q_lb,
+       ({q}) > CAST({_LB_CHI2_95_DF5!r} AS DOUBLE) AS not_white_noise
+FROM mo WHERE {guard}
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SMA-crossover strategy backtest (vectorized PnL over the bar series)
 # ---------------------------------------------------------------------------
 
@@ -782,5 +911,6 @@ QUERIES = {
     "var_cvar": (q_var_cvar, _VAR_CVAR_SQL),
     "return_autocorr": (q_return_autocorr, _AUTOCORR_SQL),
     "acf_multi_lag": (q_acf_multi_lag, _ACF_SQL),
+    "ljung_box_whiteness": (q_ljung_box_whiteness, _lb_sql()),
     "sma_crossover_backtest": (q_sma_crossover_backtest, _backtest_sql()),
 }

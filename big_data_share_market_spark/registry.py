@@ -67,9 +67,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: front-load r10 additions and anything r10 code changes touch.
 _FIRST_50 = (
     # --- (a) round-9 additions: new operators (multi-lag ACF table,
-    # Benford first-digit screen) and the two HLL queries' new
-    # deterministic-contract oracles (first driver contact for both)
-    "acf_multi_lag", "benford_prices",
+    # Ljung-Box whiteness test, Benford first-digit screen) and the
+    # two HLL queries' new deterministic-contract oracles (first
+    # driver contact for each of the five) ---
+    "acf_multi_lag", "ljung_box_whiteness", "benford_prices",
     "approx_distinct_users", "hll_merge_consistency",
     # --- (b) re-verification of everything r9 code touched ---
     # stats.py tied-ts pair fix + decimal-first spearman moments;
@@ -97,7 +98,6 @@ _FIRST_50 = (
     "late_priority_split", "ann_ivf_topk",
     # --- (d) fill: oldest r3 rows next ---
     "json_envelope_roundtrip", "jsonl_corrupt_tolerant_scan",
-    "props_json_extract",
 )
 
 
