@@ -23,6 +23,10 @@ def test_oracle_parity(spark, ddb, name):
     assert_parity(df, ddb, sql, name=name)
 
 
+# As of r9 every registry query carries an oracle, so this
+# parametrize list is EMPTY and pytest reports the placeholder as
+# "1 skipped" — expected; the test stays for any future rows-only
+# registration.
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, name):
     fn, _ = _QUERIES[name]
