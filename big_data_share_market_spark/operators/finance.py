@@ -780,6 +780,96 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (nonparametric randomness screen)
+# ---------------------------------------------------------------------------
+
+#: Normal 97.5th percentile — the two-sided 5% critical value.
+_RUNS_Z_CRIT = 1.959963984540054
+
+#: z = (R − E[R]) / √Var[R] with E = 2·n1·n2/n + 1 and
+#: Var = 2·n1·n2·(2·n1·n2 − n)/(n²·(n−1)), n = n1+n2 — one shared
+#: expression text over exact integer inputs (n1, n2, r).
+_RUNS_Z = ("(CAST(r AS DOUBLE) - (CAST(2 AS DOUBLE) * n1 * n2"
+           " / CAST(n1 + n2 AS DOUBLE) + CAST(1 AS DOUBLE)))"
+           " / sqrt(CAST(2 AS DOUBLE) * n1 * n2"
+           "        * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)"
+           "        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+           "           * CAST(n1 + n2 - 1 AS DOUBLE)))")
+
+
+def q_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per key over return SIGNS — the
+    nonparametric randomness screen next to `ljung_box_whiteness`
+    (LB asks "is the pooled autocorrelation zero?", runs asks "do up
+    and down moves alternate like coin flips?" — it catches sign
+    clustering and over-alternation that a small pooled Q can miss,
+    with no distributional assumption on magnitudes).
+
+    Everything before the final z is EXACT integer counting: signs
+    from signum of the quantized return (zeros dropped, as the test
+    requires), run count R = 1 + Σ(sign_t ≠ sign_{t−1}) via one lag
+    window, n1/n2 one conditional count each. z and the two-sided 5%
+    decision are one shared expression text over those integers —
+    identical IEEE sequence both engines.
+
+    Scale shape: one bar-sized window pass + one per-key aggregate;
+    no pair lattice, no second shuffle class."""
+    rets = _rets(spark, sf_dir)
+    signed = (rets.select("user_id", "bar_ts",
+                          F.signum(F.col("ret_i").cast("double"))
+                          .cast("int").alias("sgn"))
+              .filter(F.col("sgn") != 0))
+    w = W.partitionBy("user_id").orderBy("bar_ts")
+    flagged = signed.withColumn(
+        "chg", F.when(F.lag("sgn").over(w).isNull(), 0)
+                .when(F.lag("sgn").over(w) != F.col("sgn"), 1)
+                .otherwise(0))
+    mo = (flagged.groupBy("user_id")
+          .agg(F.sum(F.when(F.col("sgn") > 0, 1).otherwise(0))
+               .cast("long").alias("n1"),
+               F.sum(F.when(F.col("sgn") < 0, 1).otherwise(0))
+               .cast("long").alias("n2"),
+               (F.sum("chg") + 1).cast("long").alias("r")))
+    # Var > 0 ⇔ 2·n1·n2 > n1+n2; without it z divides by zero (NULL
+    # in non-ANSI Spark vs ±inf in DuckDB — an engine mismatch).
+    return (mo.where((F.col("n1") > 0) & (F.col("n2") > 0)
+                     & (2 * F.col("n1") * F.col("n2")
+                        > F.col("n1") + F.col("n2")))
+            .select("user_id", "n1", "n2", "r",
+                    F.expr(_RUNS_Z).alias("z_runs"),
+                    F.expr(f"abs({_RUNS_Z})"
+                           f" > CAST({_RUNS_Z_CRIT!r} AS DOUBLE)")
+                    .alias("non_random"))
+            .orderBy("user_id"))
+
+
+_RUNS_SQL = f"""
+WITH {_RETS_CTE.strip()},
+signed AS (
+  SELECT user_id, bar_ts, CAST(sign(ret_i) AS INT) AS sgn
+  FROM rets WHERE ret_i <> 0),
+flagged AS (
+  SELECT user_id, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY user_id ORDER BY bar_ts)
+                   IS NULL THEN 0
+              WHEN lag(sgn) OVER (PARTITION BY user_id ORDER BY bar_ts)
+                   <> sgn THEN 1
+              ELSE 0 END AS chg
+  FROM signed),
+mo AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(chg) + 1 AS BIGINT) AS r
+  FROM flagged GROUP BY user_id)
+SELECT user_id, n1, n2, r, {_RUNS_Z} AS z_runs,
+       abs({_RUNS_Z}) > CAST({_RUNS_Z_CRIT!r} AS DOUBLE) AS non_random
+FROM mo WHERE n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SMA-crossover strategy backtest (vectorized PnL over the bar series)
 # ---------------------------------------------------------------------------
 
@@ -912,5 +1002,6 @@ QUERIES = {
     "return_autocorr": (q_return_autocorr, _AUTOCORR_SQL),
     "acf_multi_lag": (q_acf_multi_lag, _ACF_SQL),
     "ljung_box_whiteness": (q_ljung_box_whiteness, _lb_sql()),
+    "runs_test_randomness": (q_runs_test_randomness, _RUNS_SQL),
     "sma_crossover_backtest": (q_sma_crossover_backtest, _backtest_sql()),
 }

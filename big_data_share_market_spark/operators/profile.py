@@ -344,6 +344,77 @@ ORDER BY l_decade
 
 
 # ---------------------------------------------------------------------------
+# Referential-integrity audit (orphaned foreign keys per relationship)
+# ---------------------------------------------------------------------------
+
+#: (child table, fk column, parent table, pk column) — the star
+#: schema's FK graph.
+_FK_RELS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's six FK
+    relationships: per relationship, the child row count, the count
+    of ORPHANS (child rows whose FK value — NULLs included, since a
+    NULL FK is as unjoinable as a dangling one — has no parent), and
+    the orphan rate. The trust gate a warehouse runs on every drop
+    BEFORE joins silently shrink: an inner join drops orphans without
+    a trace, so at 100 TB a 0.1% orphan rate is revenue quietly
+    missing from every downstream aggregate.
+
+    Scale shape per relationship: one LEFT ANTI join on the key
+    (Catalyst broadcasts the small parents — nation/supplier — and
+    sort-merges the fact-sized ones) + one COUNT; the six one-row
+    summaries union into the report. Anti-join + count is the
+    cheapest possible orphan detector: no fanout, the join output is
+    AT MOST the orphan rows."""
+    out = None
+    for child, fk, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")).distinct()
+        orphans = c.join(p, c[fk] == F.col("__pk"), "left_anti")
+        row = (c.agg(F.count("*").alias("n_child"))
+               .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+               .select(F.lit(f"{child}.{fk} -> {parent}.{pk}")
+                       .alias("relationship"),
+                       "n_child", "n_orphans",
+                       F.expr("CAST(n_orphans AS DOUBLE)"
+                              " / CAST(n_child AS DOUBLE)")
+                       .alias("orphan_rate")))
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("relationship")
+
+
+def _fk_branch_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+  SELECT '{child}.{fk} -> {parent}.{pk}' AS relationship,
+         (SELECT COUNT(*) FROM {child}) AS n_child,
+         (SELECT COUNT(*) FROM {child} c
+          WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                            WHERE p.{pk} = c.{fk})) AS n_orphans,
+         CAST((SELECT COUNT(*) FROM {child} c
+               WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                 WHERE p.{pk} = c.{fk})) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM {child}) AS DOUBLE)
+           AS orphan_rate"""
+
+
+_FK_AUDIT_SQL = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(_fk_branch_sql(*rel) for rel in _FK_RELS)
+    + ")\nORDER BY relationship"
+)
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit conformity (fabricated/corrupted-feed screen)
 # ---------------------------------------------------------------------------
 
@@ -433,6 +504,7 @@ ORDER BY digit
 QUERIES = {
     "k_anonymity_audit": (q_k_anonymity_audit, _K_ANON_SQL),
     "benford_prices": (q_benford_prices, _BENFORD_SQL),
+    "fk_integrity_audit": (q_fk_integrity_audit, _FK_AUDIT_SQL),
     "l_diversity_audit": (q_l_diversity_audit, _L_DIVERSITY_SQL),
     "contract_check_lineitem": (q_contract_check_lineitem, _CONTRACT_SQL),
     "dq_profile_lineitem": (q_dq_profile_lineitem, _DQ_PROFILE_SQL),

@@ -48,8 +48,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: every r2-last-green query has a fresh row — nothing oracle-backed
 #: is older than r3.
 #:
-#: ROUND-10 ROTATION NOTE: the r3 remainder oldest-first — the 44
-#: r3-last-green queries not covered here {ann_lsh_topk,
+#: ROUND-10 ROTATION NOTE: the r3 remainder oldest-first — all 49
+#: r3-last-green queries {json_envelope_roundtrip,
+#: jsonl_corrupt_tolerant_scan, props_json_extract, exact_dedup,
+#: token_count, ann_lsh_topk,
 #: ann_recall_eval, beta_vs_market, bigram_counts, bigram_lm_score,
 #: bollinger_bands, bucketed_join_revenue, chunk_documents,
 #: corr_pairs, cross_split_contamination, custkeys_intersect,
@@ -67,10 +69,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: front-load r10 additions and anything r10 code changes touch.
 _FIRST_50 = (
     # --- (a) round-9 additions: new operators (multi-lag ACF table,
-    # Ljung-Box whiteness test, Benford first-digit screen) and the
-    # two HLL queries' new deterministic-contract oracles (first
-    # driver contact for each of the five) ---
-    "acf_multi_lag", "ljung_box_whiteness", "benford_prices",
+    # Ljung-Box whiteness, Wald-Wolfowitz runs test, Benford
+    # first-digit screen, FK referential-integrity audit) and the two
+    # HLL queries' new deterministic-contract oracles (first driver
+    # contact for each of the seven) ---
+    "acf_multi_lag", "ljung_box_whiteness", "runs_test_randomness",
+    "benford_prices", "fk_integrity_audit",
     "approx_distinct_users", "hll_merge_consistency",
     # --- (b) re-verification of everything r9 code touched ---
     # stats.py tied-ts pair fix + decimal-first spearman moments;
@@ -96,8 +100,6 @@ _FIRST_50 = (
     "media_metadata_stats", "sessionize_events", "resample_ffill",
     "props_map_explode", "funnel_conversion", "dq_profile_lineitem",
     "late_priority_split", "ann_ivf_topk",
-    # --- (d) fill: oldest r3 rows next ---
-    "json_envelope_roundtrip", "jsonl_corrupt_tolerant_scan",
 )
 
 

@@ -102,6 +102,60 @@ def test_ljung_box_matches_brute_force(spark):
         assert row.not_white_noise == (ref > 11.070497693516351)
 
 
+def _runs_ref(signs):
+    """Pure-Python Wald–Wolfowitz on a +1/−1 list."""
+    n1 = sum(1 for s in signs if s > 0)
+    n2 = sum(1 for s in signs if s < 0)
+    r = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n = n1 + n2
+    e = 2.0 * n1 * n2 / n + 1.0
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    return n1, n2, r, (r - e) / math.sqrt(var)
+
+
+def test_runs_test_matches_brute_force(spark):
+    from big_data_share_market_spark.operators.finance import (
+        q_runs_test_randomness)
+
+    series = _fixture_returns(spark)
+    got = {r.user_id: r
+           for r in q_runs_test_randomness(spark, SF_DIR).collect()}
+    assert got
+    checked = 0
+    for u, xs in series.items():
+        signs = [1 if x > 0 else -1 for x in xs if x != 0]
+        n1 = sum(1 for s in signs if s > 0)
+        n2 = len(signs) - n1
+        if n1 == 0 or n2 == 0 or 2 * n1 * n2 <= n1 + n2:
+            assert u not in got
+            continue
+        rn1, rn2, rr, rz = _runs_ref(signs)
+        row = got[u]
+        assert (row.n1, row.n2, row.r) == (rn1, rn2, rr), u
+        assert abs(row.z_runs - rz) < 1e-9, (u, row.z_runs, rz)
+        assert row.non_random == (abs(rz) > 1.959963984540054), u
+        checked += 1
+    assert checked > 0
+
+
+def test_runs_test_flags_planted_structure():
+    """Decision sanity on crafted sign sequences: perfect alternation
+    (too many runs) and long blocks (too few) must both reject, a
+    balanced coin-flip-ish sequence must not."""
+    from tests.test_acf_ljungbox import _runs_ref  # self-import ok
+
+    alt = [(-1) ** t for t in range(40)]
+    assert abs(_runs_ref(alt)[3]) > 1.96
+    blocks = [1] * 20 + [-1] * 20
+    assert abs(_runs_ref(blocks)[3]) > 1.96
+    # A fixed hash-derived bit sequence (md5("runs"), first 40 bits,
+    # z = -0.84): inside the band.
+    import hashlib
+    bits = bin(int(hashlib.md5(b"runs").hexdigest(), 16))[2:][:40]
+    mixed = [1 if b == "1" else -1 for b in bits]
+    assert abs(_runs_ref(mixed)[3]) < 1.96
+
+
 def test_ljung_box_flags_a_planted_ar1(spark):
     """Sanity of the DECISION: a strongly autocorrelated series must
     reject whiteness, an alternating one too, while the test keeps

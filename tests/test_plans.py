@@ -47,6 +47,9 @@ _BNLJ_OK = {"cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
             # broadcast 1-row grand total onto the 9-row first-digit
             # histogram (r9)
             "benford_prices",
+            # per-relationship 1-row child-count x 1-row orphan-count
+            # crossJoin (r9)
+            "fk_integrity_audit",
             # broadcast 3-row probe frame range-joined (cum >= target)
             # onto the (groups x ~107)-row cumulative histogram (r7)
             "grouped_quantile_sketch",
