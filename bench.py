@@ -153,6 +153,11 @@ HEADLINE = [
     "seasonal_decompose_dow",  # day-of-week seasonal/level split
     "mann_kendall_capped",  # stride-capped bounded-work trend screen
     "theil_sen_capped",     # stride-capped robust slope
+    "acf_multi_lag",        # K-lag ACF table, one window pass
+    "ljung_box_whiteness",  # pooled portmanteau whiteness test
+    "runs_test_randomness", # Wald-Wolfowitz sign-runs test
+    "benford_prices",       # first-digit conformity screen
+    "fk_integrity_audit",   # six-relationship orphan audit
 ]
 
 # API-coverage lanes: registry-green, bench-RECORDED, excluded from
