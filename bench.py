@@ -154,6 +154,7 @@ HEADLINE = [
     "mann_kendall_capped",  # stride-capped bounded-work trend screen
     "theil_sen_capped",     # stride-capped robust slope
     "acf_multi_lag",        # K-lag ACF table, one window pass
+    "pacf_durbin_levinson", # unrolled DL recursion over exact ACF
     "ljung_box_whiteness",  # pooled portmanteau whiteness test
     "runs_test_randomness", # Wald-Wolfowitz sign-runs test
     "benford_prices",       # first-digit conformity screen

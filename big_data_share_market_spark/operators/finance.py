@@ -688,25 +688,15 @@ def _lb_exprs() -> tuple[str, str]:
     return q, guard
 
 
-def q_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ljung–Box portmanteau test per key over hourly returns, lags
-    1..5 — the whiteness screen read NEXT to `acf_multi_lag`: the ACF
-    table shows WHERE correlation lives, Q says whether the pooled
-    autocorrelation is jointly significant (Q > χ²₀.₉₅(5) ⇒ the
-    series is not white noise ⇒ an AR model has something to fit /
-    a residual stream still carries structure).
-
-    Exactness: every input to the float expression is an exact
-    integer sum of quantized returns (Σx, Σx², the five lag products
-    Σ x_t·x_{t−k}, and the first-k/last-k edge sums), accumulated in
-    DECIMAL(38,0)/HUGEINT and converted to double through VARCHAR;
-    Q is ONE shared expression text with fixed association, so both
-    engines run the identical IEEE op sequence on identical inputs.
-
-    Scale shape: one bar-sized window pass produces the 5 lag columns
-    plus rn (all the same window spec ⇒ one WindowExec), then ONE
-    map-side-combined per-key aggregate computes all 13 exact sums;
-    no pair lattice, no second shuffle class."""
+def _lag_moment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EXACT integer lag moments of the quantized returns —
+    the shared input of `ljung_box_whiteness` and
+    `pacf_durbin_levinson`: n, Σx (s), Σx² (ss), and for each lag k
+    the lag product p_k = Σ x_t·x_{t−k} plus the first-k/last-k edge
+    sums h_k/t_k. One bar-sized window pass (rn + all lag columns,
+    one WindowExec) + one map-side-combined aggregate; every sum is
+    DECIMAL(38,0)-accumulated and converted to double THROUGH STRING
+    (correctly-rounded parse, matching the oracle's VARCHAR path)."""
     rets = _rets(spark, sf_dir)
     w = bar_window()
     wk = W.partitionBy("user_id")
@@ -731,18 +721,12 @@ def q_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
             _d(f"CASE WHEN rn <= {k} THEN ret_i END").alias(f"h{k}"),
             _d(f"CASE WHEN rn > nk - {k} THEN ret_i END").alias(f"t{k}"),
         ]
-    mo = wide.groupBy("user_id").agg(*aggs)
-    q, guard = _lb_exprs()
-    return (mo.where(F.expr(guard))
-            .select("user_id", F.col("n").cast("long").alias("n"),
-                    F.expr(q).alias("q_lb"),
-                    F.expr(f"({q}) > CAST({_LB_CHI2_95_DF5!r} AS DOUBLE)")
-                    .alias("not_white_noise"))
-            .orderBy("user_id"))
+    return wide.groupBy("user_id").agg(*aggs)
 
 
-def _lb_sql() -> str:
-    q, guard = _lb_exprs()
+def _lag_moments_ctes() -> str:
+    """Oracle mirror of `_lag_moment_frame` as the `wide, mo` CTE
+    pair (caller prepends the rets CTEs)."""
     lag_cols = ", ".join(
         f"lag(ret_i, {k}) OVER (PARTITION BY user_id ORDER BY bar_ts)"
         f" AS l{k}" for k in range(1, _ACF_LAGS + 1))
@@ -761,9 +745,7 @@ def _lb_sql() -> str:
             f"CAST(CAST(SUM(CASE WHEN rn > nk - {k} THEN"
             f" CAST(ret_i AS HUGEINT) END) AS VARCHAR) AS DOUBLE) AS t{k}",
         ]
-    return f"""
-WITH {_RETS_CTE.strip()},
-wide AS (
+    return f"""wide AS (
   SELECT user_id, ret_i,
          row_number() OVER (PARTITION BY user_id ORDER BY bar_ts) AS rn,
          COUNT(*) OVER (PARTITION BY user_id) AS nk,
@@ -771,10 +753,146 @@ wide AS (
   FROM rets),
 mo AS (
   SELECT user_id, {", ".join(moment_cols)}
-  FROM wide GROUP BY user_id)
+  FROM wide GROUP BY user_id)"""
+
+
+def q_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per key over hourly returns, lags
+    1..5 — the whiteness screen read NEXT to `acf_multi_lag`: the ACF
+    table shows WHERE correlation lives, Q says whether the pooled
+    autocorrelation is jointly significant (Q > χ²₀.₉₅(5) ⇒ the
+    series is not white noise ⇒ an AR model has something to fit /
+    a residual stream still carries structure).
+
+    Exactness: every input to the float expression is an exact
+    integer sum of quantized returns (Σx, Σx², the five lag products
+    Σ x_t·x_{t−k}, and the first-k/last-k edge sums), accumulated in
+    DECIMAL(38,0)/HUGEINT and converted to double through VARCHAR;
+    Q is ONE shared expression text with fixed association, so both
+    engines run the identical IEEE op sequence on identical inputs.
+
+    Scale shape: one bar-sized window pass produces the 5 lag columns
+    plus rn (all the same window spec ⇒ one WindowExec), then ONE
+    map-side-combined per-key aggregate computes all 13 exact sums;
+    no pair lattice, no second shuffle class."""
+    mo = _lag_moment_frame(spark, sf_dir)
+    q, guard = _lb_exprs()
+    return (mo.where(F.expr(guard))
+            .select("user_id", F.col("n").cast("long").alias("n"),
+                    F.expr(q).alias("q_lb"),
+                    F.expr(f"({q}) > CAST({_LB_CHI2_95_DF5!r} AS DOUBLE)")
+                    .alias("not_white_noise"))
+            .orderBy("user_id"))
+
+
+def _lb_sql() -> str:
+    q, guard = _lb_exprs()
+    return f"""
+WITH {_RETS_CTE.strip()},
+{_lag_moments_ctes()}
 SELECT user_id, CAST(n AS BIGINT) AS n, {q} AS q_lb,
        ({q}) > CAST({_LB_CHI2_95_DF5!r} AS DOUBLE) AS not_white_noise
 FROM mo WHERE {guard}
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation via Durbin–Levinson (closes the ACF/PACF/
+# Ljung–Box univariate diagnostic kit)
+# ---------------------------------------------------------------------------
+
+def _acf_col_exprs() -> list[str]:
+    """r1..r5 as columns from the exact lag moments (the SAME c_k/c0
+    texts `_lb_exprs` uses, materialized once so every later level
+    references one computed double per r_k)."""
+    m = "(s / n)"
+    den = "(ss - s * s / n)"
+    cols = []
+    for k in range(1, _ACF_LAGS + 1):
+        ck = (f"(p{k} - {m} * (2 * s - h{k} - t{k})"
+              f" + (n - {k}) * {m} * {m})")
+        cols.append(f"({ck}) / {den} AS r{k}")
+    return cols
+
+
+def _pacf_level_exprs() -> list[list[str]]:
+    """The Durbin–Levinson recursion unrolled to order `_ACF_LAGS` as
+    per-level column definitions — each level only references columns
+    defined by earlier levels, so chaining them as SELECT layers gives
+    BOTH engines the identical IEEE op tree:
+
+      φ_{k,k} = (r_k − Σ_{j<k} φ_{k−1,j}·r_{k−j})
+                / (1 − Σ_{j<k} φ_{k−1,j}·r_j)
+      φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+
+    Every division is CASE-guarded on a nonzero denominator (non-ANSI
+    Spark yields NULL on /0 while DuckDB yields ±inf — the guard makes
+    the degenerate case NULL in both, and NULL then propagates
+    identically through the remaining levels)."""
+    levels: list[list[str]] = [["r1 AS a1_1"]]
+    for k in range(2, _ACF_LAGS + 1):
+        prev = k - 1
+        num = f"r{k} - " + " - ".join(
+            f"a{prev}_{j} * r{k - j}" for j in range(1, k))
+        den = "1 - " + " - ".join(
+            f"a{prev}_{j} * r{j}" for j in range(1, k))
+        defs = [f"CASE WHEN ({den}) <> 0 THEN ({num}) / ({den})"
+                f" ELSE CAST(NULL AS DOUBLE) END AS a{k}_{k}"]
+        levels.append(defs)
+        # φ_{k,j} updates reference φ_{k,k}, so they live one layer
+        # deeper than the diagonal they use.
+        levels.append([f"a{prev}_{j} - a{k}_{k} * a{prev}_{k - j}"
+                       f" AS a{k}_{j}" for j in range(1, k)])
+    return levels
+
+
+def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function per key at lags 1..5 via the
+    Durbin–Levinson recursion — the AR-ORDER SELECTOR next to
+    `acf_multi_lag` and `ljung_box_whiteness`: the ACF of an AR(p)
+    process decays forever, its PACF CUTS OFF after lag p, so the
+    last significant PACF lag IS the model order.
+
+    Exactness: r1..r5 come from the shared exact integer lag moments
+    (`_lag_moment_frame`); the recursion is unrolled into chained
+    SELECT layers whose texts are IDENTICAL in both engines — each
+    level only consumes columns the previous level materialized, so
+    the double op tree (and any guarded-NULL degenerate case) is the
+    same everywhere.
+
+    Scale shape: everything after the one moment aggregate is
+    row-local arithmetic on a keys-sized frame — the unrolled
+    recursion adds zero exchanges at any scale."""
+    mo = _lag_moment_frame(spark, sf_dir)
+    _, guard = _lb_exprs()
+    out = (mo.where(F.expr(guard))
+           .selectExpr("user_id", "n", *_acf_col_exprs()))
+    for level in _pacf_level_exprs():
+        out = out.selectExpr("*", *level)
+    return (out.selectExpr(
+        "user_id", "CAST(n AS BIGINT) AS n",
+        *[f"a{k}_{k} AS pacf_{k}" for k in range(1, _ACF_LAGS + 1)])
+        .orderBy("user_id"))
+
+
+def _pacf_sql() -> str:
+    _, guard = _lb_exprs()
+    ctes = [f"lv0 AS (\n  SELECT user_id, n, {', '.join(_acf_col_exprs())}"
+            f"\n  FROM mo WHERE {guard})"]
+    for i, level in enumerate(_pacf_level_exprs(), start=1):
+        ctes.append(f"lv{i} AS (\n  SELECT *, {', '.join(level)}"
+                    f"\n  FROM lv{i - 1})")
+    last = len(_pacf_level_exprs())
+    pacf_cols = ", ".join(f"a{k}_{k} AS pacf_{k}"
+                          for k in range(1, _ACF_LAGS + 1))
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {_RETS_CTE.strip()},
+{_lag_moments_ctes()},
+{cte_block}
+SELECT user_id, CAST(n AS BIGINT) AS n, {pacf_cols}
+FROM lv{last}
 ORDER BY user_id
 """
 
@@ -1003,5 +1121,6 @@ QUERIES = {
     "acf_multi_lag": (q_acf_multi_lag, _ACF_SQL),
     "ljung_box_whiteness": (q_ljung_box_whiteness, _lb_sql()),
     "runs_test_randomness": (q_runs_test_randomness, _RUNS_SQL),
+    "pacf_durbin_levinson": (q_pacf_durbin_levinson, _pacf_sql()),
     "sma_crossover_backtest": (q_sma_crossover_backtest, _backtest_sql()),
 }

@@ -69,20 +69,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: front-load r10 additions and anything r10 code changes touch.
 _FIRST_50 = (
     # --- (a) round-9 additions: new operators (multi-lag ACF table,
-    # Ljung-Box whiteness, Wald-Wolfowitz runs test, Benford
-    # first-digit screen, FK referential-integrity audit) and the two
-    # HLL queries' new deterministic-contract oracles (first driver
-    # contact for each of the seven) ---
-    "acf_multi_lag", "ljung_box_whiteness", "runs_test_randomness",
-    "benford_prices", "fk_integrity_audit",
+    # PACF via Durbin-Levinson, Ljung-Box whiteness, Wald-Wolfowitz
+    # runs test, Benford first-digit screen, FK referential-integrity
+    # audit) and the two HLL queries' new deterministic-contract
+    # oracles (first driver contact for each of the eight) ---
+    "acf_multi_lag", "pacf_durbin_levinson", "ljung_box_whiteness",
+    "runs_test_randomness", "benford_prices", "fk_integrity_audit",
     "approx_distinct_users", "hll_merge_consistency",
     # --- (b) re-verification of everything r9 code touched ---
     # stats.py tied-ts pair fix + decimal-first spearman moments;
     # sqlfeatures.py scoped recursion-limit conf; pydatasource.py
-    # monotone progress file; state.py session-timeout work.
+    # monotone progress file (the STREAM READER path — the sink
+    # queries are untouched by the r9 diff); bench/profile work on
+    # the session-timeout replay.
     "theil_sen_capped", "spearman_corr", "recursive_cte_kalman",
-    "stream_python_datasource", "stream_python_datasource_sink",
-    "stream_session_timeout",
+    "stream_python_datasource", "stream_session_timeout",
     # --- (c) rotation: ALL 37 r2-last-green queries (the r8 note's
     # r2 remainder — transforms, strategies, patterns, streams,
     # dedup/corpus/media r2 rows) ---

@@ -156,6 +156,68 @@ def test_runs_test_flags_planted_structure():
     assert abs(_runs_ref(mixed)[3]) < 1.96
 
 
+def _pacf_ref(xs, lags):
+    """Pure-Python Durbin–Levinson on the standard ACF estimator."""
+    n = len(xs)
+    m = sum(xs) / n
+    c0 = sum((x - m) ** 2 for x in xs) / n
+    r = [sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, n)) / n / c0
+         for k in range(1, lags + 1)]
+    phi_prev = [r[0]]
+    pacf = [r[0]]
+    for k in range(2, lags + 1):
+        num = r[k - 1] - sum(phi_prev[j - 1] * r[k - j - 1]
+                             for j in range(1, k))
+        den = 1 - sum(phi_prev[j - 1] * r[j - 1] for j in range(1, k))
+        akk = num / den
+        phi = [phi_prev[j - 1] - akk * phi_prev[k - j - 1]
+               for j in range(1, k)] + [akk]
+        pacf.append(akk)
+        phi_prev = phi
+    return pacf
+
+
+def test_pacf_matches_brute_force(spark):
+    from big_data_share_market_spark.operators.finance import (
+        _ACF_LAGS, q_pacf_durbin_levinson)
+
+    series = _fixture_returns(spark)
+    got = {r.user_id: r
+           for r in q_pacf_durbin_levinson(spark, SF_DIR).collect()}
+    assert got
+    checked = 0
+    for u, xs in series.items():
+        if u not in got:  # filtered by the n/variance guard
+            continue
+        ref = _pacf_ref(xs, _ACF_LAGS)
+        row = got[u]
+        for k in range(1, _ACF_LAGS + 1):
+            val = getattr(row, f"pacf_{k}")
+            assert abs(val - ref[k - 1]) < 1e-9, (u, k, val, ref[k - 1])
+        checked += 1
+    assert checked > 0
+
+
+def test_pacf_cuts_off_for_planted_ar2():
+    """The PACF's defining property: an AR(2) series has pacf_1,
+    pacf_2 large and pacf_3..5 near zero — the cutoff IS the model
+    order."""
+    import hashlib
+
+    def noise(t):  # hash-derived WHITE noise (an LCG-style formula
+        # without state carries its own autocorrelation)
+        h = int(hashlib.md5(f"ar2:{t}".encode()).hexdigest()[:8], 16)
+        return (h % 10000 - 5000) / 5000.0
+
+    xs = [0.0] * 400
+    for t in range(2, 400):
+        xs[t] = 0.6 * xs[t - 1] - 0.3 * xs[t - 2] + noise(t)
+    pacf = _pacf_ref(xs[50:], 5)  # drop burn-in
+    assert abs(pacf[0]) > 0.3 and abs(pacf[1]) > 0.2
+    for k in (2, 3, 4):
+        assert abs(pacf[k]) < 0.15, (k, pacf[k])
+
+
 def test_ljung_box_flags_a_planted_ar1(spark):
     """Sanity of the DECISION: a strongly autocorrelated series must
     reject whiteness, an alternating one too, while the test keeps
