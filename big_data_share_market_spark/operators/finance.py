@@ -77,13 +77,19 @@ def _s(col) -> F.Column:
     DECIMAL(38,0), not BIGINT: with ANSI off a long sum would WRAP
     silently past 9.2e18 (the market-index leg can get there at
     ~1e6 keys) while DuckDB promotes to int128 — decimal keeps both
-    engines exact and overflow loud (NULL) instead of wrong."""
-    return F.sum(col.cast(_DEC0)).cast("double")
+    engines exact and overflow loud (NULL) instead of wrong. The
+    decimal→double conversion goes THROUGH STRING: a string parse is
+    correctly rounded in both engines, while a direct decimal cast
+    is not guaranteed to be, and the oracles' HUGEINT sums convert
+    via VARCHAR — past 2^53 the direct cast could drift 1 ulp."""
+    return (F.sum(col.cast(_DEC0)).cast("string").cast("double"))
 
 
 def _sq(a, b) -> F.Column:
-    """Exact Σ(a·b) for integer return columns via DECIMAL(38,0)."""
-    return F.sum(a.cast(_DEC0) * b.cast(_DEC0)).cast("double")
+    """Exact Σ(a·b) for integer return columns via DECIMAL(38,0);
+    same string-path double conversion as `_s`."""
+    return (F.sum(a.cast(_DEC0) * b.cast(_DEC0))
+            .cast("string").cast("double"))
 
 
 def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -369,27 +369,47 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trace, so at 100 TB a 0.1% orphan rate is revenue quietly
     missing from every downstream aggregate.
 
-    Scale shape per relationship: one LEFT ANTI join on the key
-    (Catalyst broadcasts the small parents — nation/supplier — and
-    sort-merges the fact-sized ones) + one COUNT; the six one-row
-    summaries union into the report. Anti-join + count is the
-    cheapest possible orphan detector: no fanout, the join output is
-    AT MOST the orphan rows."""
-    out = None
+    Scale shape (r9 verdict item: ONE scan per child, however many
+    relationships hang off it): relationships are grouped by child
+    table; each child is scanned ONCE, column-pruned to its FK
+    columns, LEFT-joined to each parent's deduped key set as a
+    membership flag (Catalyst broadcasts the small parents —
+    nation/supplier/part at low SF — and sort-merges the fact-sized
+    orders side), and a single aggregate emits n_child plus one
+    conditional orphan count per relationship; `stack` unpivots the
+    one-row summary into per-relationship rows (row-local). The naive
+    form scanned each child once per relationship (lineitem: 2 aggs ×
+    3 relationships = 6 lineitem scans); this form reads lineitem
+    once — pinned in tests/test_plans.py. A NULL FK never matches the
+    membership join, so NULLs count as orphans, exactly like the
+    NOT-EXISTS oracle."""
+    by_child: dict[str, list] = {}
     for child, fk, parent, pk in _FK_RELS:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pk).alias("__pk")).distinct()
-        orphans = c.join(p, c[fk] == F.col("__pk"), "left_anti")
-        row = (c.agg(F.count("*").alias("n_child"))
-               .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
-               .select(F.lit(f"{child}.{fk} -> {parent}.{pk}")
-                       .alias("relationship"),
-                       "n_child", "n_orphans",
-                       F.expr("CAST(n_orphans AS DOUBLE)"
-                              " / CAST(n_child AS DOUBLE)")
-                       .alias("orphan_rate")))
-        out = row if out is None else out.unionAll(row)
+        by_child.setdefault(child, []).append((fk, parent, pk))
+    out = None
+    for child, rels in by_child.items():
+        j = load_table(spark, sf_dir, child).select(
+            *[F.col(fk) for fk, _, _ in rels])
+        for i, (fk, parent, pk) in enumerate(rels):
+            p = (load_table(spark, sf_dir, parent)
+                 .select(F.col(pk).alias(f"__pk{i}")).distinct())
+            j = j.join(p, F.col(fk) == F.col(f"__pk{i}"), "left")
+        summary = j.agg(
+            F.count("*").alias("n_child"),
+            *[F.count(F.when(F.col(f"__pk{i}").isNull(), 1))
+              .alias(f"o{i}") for i in range(len(rels))])
+        stack_args = ", ".join(
+            f"'{child}.{fk} -> {parent}.{pk}', o{i}"
+            for i, (fk, parent, pk) in enumerate(rels))
+        rows = (summary.select(
+                    F.expr(f"stack({len(rels)}, {stack_args})"
+                           " AS (relationship, n_orphans)"),
+                    "n_child")
+                .select("relationship", "n_child", "n_orphans",
+                        F.expr("CAST(n_orphans AS DOUBLE)"
+                               " / CAST(n_child AS DOUBLE)")
+                        .alias("orphan_rate")))
+        out = rows if out is None else out.unionAll(rows)
     return out.orderBy("relationship")
 
 

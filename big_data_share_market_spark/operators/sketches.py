@@ -28,8 +28,14 @@ counts plus realized-error-bound and merge-consistency booleans (the
 raw HLL estimates live in the `*_detail` frames, measured by
 tests/test_sketches.py); `heavy_hitters`' exact recount makes it
 fully exact; `cms_token_counts` is deterministic by construction.
-Since r9 the registry carries a full DuckDB oracle for every sketch
-query — nothing is rows-only.
+Since r9 the registry carries a DuckDB oracle for every sketch query
+— nothing is rows-only — but the two HLL oracles are PINS, not
+independent recomputations: DuckDB recomputes `exact_users`
+bit-for-bit (the genuinely cross-checked column) while the
+`approx_within_bound` / `merge_consistent` booleans are pinned
+expected values (`TRUE AS ...`), like the GK rank-bound pin. The
+sketch estimates themselves are measured engine-side in
+tests/test_sketches.py.
 """
 
 from __future__ import annotations

@@ -51,6 +51,18 @@ from ..tables import load_table
 #: CTE terms the way DuckDB's MATERIALIZED does).
 _RCTE_CACHE: dict[tuple, DataFrame] = {}
 
+#: Last checkpointed recursion result per (app, fixture). The
+#: localCheckpoint blocks have TRUNCATED lineage and no auto-eviction,
+#: so repeated registry/bench invocations would accumulate pinned
+#: MEMORY_AND_DISK storage; unpersisting the previous result on
+#: re-invocation bounds the footprint to one result frame per fixture.
+#: Cluster note: localCheckpoint blocks live on executors — an
+#: executor loss makes the frame unrecoverable (lineage is gone).
+#: Fine on this single-JVM harness; a multi-executor deployment of
+#: this API-parity lane should use reliable checkpoint() to HDFS or
+#: simply not checkpoint (the recursion re-runs instead).
+_RCTE_RESULT: dict[tuple, DataFrame] = {}
+
 
 def _rcte_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -116,7 +128,7 @@ def q_recursive_cte_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, str(needed))
         # The recursion body mirrors _stream_kalman_sql verbatim, with
         # the base CTE swapped for the staged view.
-        return spark.sql(f"""
+        out = spark.sql(f"""
 WITH RECURSIVE h AS (
   SELECT user_id, event_id, ts, rn, y, y AS l,
          CAST(1.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS k
@@ -136,6 +148,12 @@ SELECT user_id, event_id, ts, y AS close,
        l AS kal_level, p AS kal_p, k AS kal_gain
 FROM h
 """).localCheckpoint(eager=True)
+        ck = (spark.sparkContext.applicationId, sf_dir)
+        prev = _RCTE_RESULT.pop(ck, None)
+        if prev is not None:
+            prev.unpersist()
+        _RCTE_RESULT[ck] = out
+        return out
     finally:
         if prior is None:
             spark.conf.unset(key)

@@ -9,6 +9,8 @@ cartesian product. Plans are built (never executed) at sf0.001.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from big_data_share_market_spark.plans import explain_str, scan_read_schemas
@@ -153,6 +155,25 @@ def test_forecast_revenue_full_pushdown(spark):
     schemas = scan_read_schemas(df)
     li = next((v for k, v in schemas.items() if "lineitem" in k), None)
     assert li is not None and "l_orderkey" not in li and "l_partkey" not in li
+
+
+def test_fk_audit_scans_each_child_once(spark):
+    """r10 fusion (r9 verdict item 4): the FK integrity audit must
+    scan each child table ONCE regardless of how many relationships
+    hang off it — lineitem carries 3 FKs and appears in the plan as
+    exactly one parquet scan, column-pruned to the 3 FK columns. The
+    naive per-relationship form scanned lineitem 6 times."""
+    fn, _ = _QUERIES["fk_integrity_audit"]
+    df = fn(spark, SF_DIR)
+    plan = explain_str(df)
+    li_scans = len(re.findall(r"Location:.*lineitem", plan))
+    assert li_scans == 1, f"lineitem scanned {li_scans}x, want 1"
+    schemas = scan_read_schemas(df)
+    li = next((v for k, v in schemas.items() if "lineitem" in k), None)
+    assert li is not None
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col in li
+    assert "l_quantity" not in li and "l_comment" not in li
 
 
 def test_bilateral_volume_broadcasts_dims(spark):
