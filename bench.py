@@ -159,6 +159,8 @@ HEADLINE = [
     "runs_test_randomness", # Wald-Wolfowitz sign-runs test
     "benford_prices",       # first-digit conformity screen
     "fk_integrity_audit",   # six-relationship orphan audit
+    "ar_order_select",      # composed ACF/PACF/LB order pick (r10)
+    "rolling_covariance",   # bounded-universe rolling pair moments
 ]
 
 # API-coverage lanes: registry-green, bench-RECORDED, excluded from
@@ -179,6 +181,43 @@ API_LANES = [
     "udtf_sessionize_arrow",
     "recursive_cte_kalman",
 ]
+
+#: Streaming replays probed every round (freshness envelope).
+STREAM_PROBES = (
+    "stream_ohlc_bars", "stream_upsert_idempotent",
+    "stream_ingest_dedup_gate", "stream_atr_per_key",
+    "stream_bq_topk", "stream_quantile_sketch",
+    "stream_session_timeout", "stream_cusum_drift",
+    "stream_python_datasource_sink")
+
+#: Lane-B slice size (r9 verdict item 7): the registry queries not in
+#: HEADLINE/API_LANES/STREAM_PROBES get a timed bench row on a
+#: rotating ~30-query slice each round, so perf regressions outside
+#: the headline are visible at least every ~6 rounds.
+_LANEB_K = 30
+
+
+def _laneb_slice(queries: dict) -> dict:
+    """Deterministic rotating lane-B selection. The rotation index is
+    the round number inferred from the committed CORRECTNESS_r*.json
+    count (the one per-round artifact that exists from r1 on), so the
+    slice advances exactly once per round no matter how many times
+    bench.py runs within a round."""
+    import glob
+    import hashlib
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
+    covered = set(HEADLINE) | set(API_LANES) | set(STREAM_PROBES)
+    # Hash-ordered, not alphabetical: alphabetical order clumps all
+    # stream_* replays (the expensive entries) into one slice; the
+    # deterministic hash shuffle spreads them evenly across rounds.
+    pool = sorted((n for n in queries if n not in covered),
+                  key=lambda n: hashlib.md5(n.encode()).hexdigest())
+    n_slices = max(1, -(-len(pool) // _LANEB_K))
+    idx = rnd % n_slices
+    return {"round": rnd, "slice": idx, "n_slices": n_slices,
+            "pool_size": len(pool),
+            "names": pool[idx * _LANEB_K:(idx + 1) * _LANEB_K]}
 
 
 #: Threads for the parallel CPU control — matches the bench session's
@@ -307,15 +346,45 @@ def main() -> None:
     # answers "does a full replay fit the freshness envelope", not a
     # steady-state per-query latency.
     stream_timings: dict[str, float] = {}
-    for name in ("stream_ohlc_bars", "stream_upsert_idempotent",
-                 "stream_ingest_dedup_gate", "stream_atr_per_key",
-                 "stream_bq_topk", "stream_quantile_sketch",
-                 "stream_session_timeout", "stream_cusum_drift",
-                 "stream_python_datasource_sink"):
+    for name in STREAM_PROBES:
         fn, _ = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         stream_timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Lane B (r9 verdict item 7): one warmup + one timed rep for this
+    # round's rotating slice of non-HEADLINE queries, bracketed by its
+    # OWN control probes (streaming entries skip the warmup — a replay
+    # is a full-pipeline number, not a steady-state one, matching the
+    # stream probe protocol above).
+    laneb = _laneb_slice(queries)
+    laneb_controls = [_control_probe(spark)]
+    laneb_timings: dict[str, float] = {}
+    for name in laneb["names"]:
+        fn, _ = queries[name]
+        if not name.startswith("stream_"):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        laneb_timings[name] = round(time.perf_counter() - t0, 3)
+    laneb_controls.append(_control_probe(spark))
+
+    # Composed-pipeline probe (r9 verdict item 8): the training-data
+    # story end-to-end — quality gate -> exact dedup -> LSH near-dup
+    # -> split -> chunk -> hash-sharded parquet — as ONE lazy plan
+    # with a real write, timed at this run's SF. The sf10 twin lives
+    # in tools/composed_pipeline_probe.py / SCALING.md.
+    import shutil
+    import tempfile
+    from big_data_share_market_spark.operators.packing import (
+        training_chunks, write_training_shards)
+    composed_out = os.path.join(tempfile.gettempdir(),
+                                "bdsm_bench_composed_shards")
+    shutil.rmtree(composed_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_training_shards(training_chunks(spark, SF_DIR), composed_out)
+    composed_pipeline = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(composed_out, ignore_errors=True)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -355,6 +424,13 @@ def main() -> None:
         "api_coverage_lanes": api_lanes,
         "stream_suite_seconds": round(sum(stream_timings.values()), 3),
         "stream_queries": stream_timings,
+        "lane_b": {**{k: laneb[k] for k in
+                      ("round", "slice", "n_slices", "pool_size")},
+                   "basis": "one_rep_after_warmup_batch_only",
+                   "queries": laneb_timings,
+                   "control_series": laneb_controls,
+                   "seconds": round(sum(laneb_timings.values()), 3)},
+        "composed_pipeline_seconds": composed_pipeline,
         "sf": sf,
         "n_queries": len(timings_min),
         "control_series": control_series,
@@ -366,9 +442,12 @@ def main() -> None:
         json.dump(full, fh, indent=1)
     compact = dict(full)
     # Medians/reps/series live in the detail file only — the compact
-    # line must fit the driver's 2000-byte stdout tail.
+    # line must fit the driver's 2000-byte stdout tail. Lane B keeps
+    # only its totals on the line; per-query rows are in the detail.
     del compact["queries_median"], compact["queries_reps"]
     del compact["control_series"], compact["api_coverage_lanes"]
+    compact["lane_b"] = {k: full["lane_b"][k] for k in
+                         ("round", "slice", "n_slices", "seconds")}
     compact["queries"] = {n: timings_min[n] for n in core + rest}
     compact["detail"] = "BENCH_DETAIL.json"
     line = json.dumps(compact, separators=(",", ":"))

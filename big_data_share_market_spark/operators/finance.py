@@ -904,6 +904,212 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# AR order selection (composes the ACF/PACF/Ljung–Box kit into the
+# per-key model-order recommendation the three diagnostics motivate)
+# ---------------------------------------------------------------------------
+
+def _ar_order_expr() -> str:
+    """Shared CASE text: order 0 when Ljung–Box cannot reject
+    whiteness; else the LAST lag whose |PACF| clears the large-sample
+    ±z/√n significance band (the textbook AR(p) cutoff read). NULL
+    PACF diagonals (guarded-division degenerate keys) skip their
+    branch identically in both engines — a NULL comparison is
+    not-TRUE everywhere."""
+    thr = f"(CAST({_RUNS_Z_CRIT!r} AS DOUBLE) / sqrt(n))"
+    branches = " ".join(
+        f"WHEN abs(a{k}_{k}) > {thr} THEN {k}"
+        for k in range(_ACF_LAGS, 0, -1))
+    return (f"CAST(CASE WHEN NOT (q_lb >"
+            f" CAST({_LB_CHI2_95_DF5!r} AS DOUBLE)) THEN 0"
+            f" ELSE CASE {branches} ELSE 0 END END AS INT)")
+
+
+def q_ar_order_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key AR model-order recommendation — the composition the
+    three univariate diagnostics exist for: `ljung_box_whiteness`
+    gates (a white series needs no AR model, order 0) and
+    `pacf_durbin_levinson` selects (the PACF of an AR(p) cuts off
+    after lag p, so the last |PACF_k| > z/√n is the order). The
+    closing query of the diagnostics kit, the way dashboard_snapshot
+    closed the indicator stack.
+
+    Exactness: ONE shared lineage — the exact integer lag moments
+    (`_lag_moment_frame`) feed the identical r_k, Q and unrolled
+    Durbin–Levinson texts both engines already run green for the
+    component queries; the order pick adds only comparisons on those
+    doubles, so no new float surface exists.
+
+    Scale shape: identical to the components — one bar-sized window
+    pass + one per-key moment aggregate, then row-local arithmetic
+    on a keys-sized frame; the composition adds ZERO exchanges over
+    computing any one diagnostic alone (the three are never computed
+    separately and joined — they share the moment scan)."""
+    mo = _lag_moment_frame(spark, sf_dir)
+    q, guard = _lb_exprs()
+    out = (mo.where(F.expr(guard))
+           .selectExpr("user_id", "n", f"{q} AS q_lb",
+                       *_acf_col_exprs()))
+    for level in _pacf_level_exprs():
+        out = out.selectExpr("*", *level)
+    return (out.selectExpr(
+        "user_id", "CAST(n AS BIGINT) AS n", "q_lb",
+        f"q_lb > CAST({_LB_CHI2_95_DF5!r} AS DOUBLE)"
+        " AS not_white_noise",
+        f"{_ar_order_expr()} AS ar_order")
+        .orderBy("user_id"))
+
+
+def _ar_order_sql() -> str:
+    q, guard = _lb_exprs()
+    ctes = [f"lv0 AS (\n  SELECT user_id, n, {q} AS q_lb,"
+            f" {', '.join(_acf_col_exprs())}\n  FROM mo WHERE {guard})"]
+    for i, level in enumerate(_pacf_level_exprs(), start=1):
+        ctes.append(f"lv{i} AS (\n  SELECT *, {', '.join(level)}"
+                    f"\n  FROM lv{i - 1})")
+    last = len(_pacf_level_exprs())
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {_RETS_CTE.strip()},
+{_lag_moments_ctes()},
+{cte_block}
+SELECT user_id, CAST(n AS BIGINT) AS n, q_lb,
+       q_lb > CAST({_LB_CHI2_95_DF5!r} AS DOUBLE) AS not_white_noise,
+       {_ar_order_expr()} AS ar_order
+FROM lv{last}
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling pairwise covariance/correlation (the multivariate seam: the
+# k×k risk-model input, materialized as its pair list)
+# ---------------------------------------------------------------------------
+
+#: Trailing window length in COMMON daily observations per pair (the
+#: fixtures span 30 days → ≤29 daily returns, so 10 gives every pair
+#: a real rolling history at every SF).
+_RCOV_W = 10
+
+#: Pair-universe bound: the covariance matrix is only ever
+#: materialized for a BOUNDED asset universe (a risk model's k is
+#: thousands, chosen by liquidity/coverage — never "every key in the
+#: corpus"). Top-40 most-active keys here; the |universe|² pair
+#: lattice is the intended output size, not an accident of the join.
+_RCOV_UNIVERSE = 40
+
+_RCOV_N = f"CAST({_RCOV_W} AS DOUBLE)"
+_RCOV_QQ = (f"(CAST({float(_Q)!r} AS DOUBLE)"
+            f" * CAST({float(_Q)!r} AS DOUBLE))")
+#: Shared final texts over the windowed exact integer moments
+#: (sx, sy, sxy, sxx, syy as correctly-rounded doubles): sample
+#: covariance in return units and the matching rolling correlation,
+#: integer-form numerators like corr_pairs (n·Σxy − Σx·Σy) so no
+#: float mean ever forms.
+_RCOV_COV = (f"((({_RCOV_N}) * sxy - sx * sy)"
+             f" / (({_RCOV_N}) * (({_RCOV_N}) - CAST(1 AS DOUBLE))))"
+             f" / {_RCOV_QQ}")
+_RCOV_CORR = (f"CASE WHEN (({_RCOV_N}) * sxx - sx * sx) > 0"
+              f" AND (({_RCOV_N}) * syy - sy * sy) > 0 THEN"
+              f" (({_RCOV_N}) * sxy - sx * sy)"
+              f" / sqrt((({_RCOV_N}) * sxx - sx * sx)"
+              f" * (({_RCOV_N}) * syy - sy * sy)) END")
+
+
+def q_rolling_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling pairwise covariance AND correlation of daily returns
+    over the trailing `_RCOV_W` common observations, for the top-40
+    most-active keys — the multivariate seam next to the univariate
+    kit: per day_ts this IS the k×k sample covariance matrix (upper
+    triangle, a < b) a risk model consumes, generalizing
+    `corr_pairs`' single full-sample number to the time-varying
+    estimate.
+
+    Exactness: windowed DECIMAL(38,0)/HUGEINT sums of quantized
+    integer returns (Σx, Σy, Σxy, Σx², Σy² over ROWS 9 PRECEDING)
+    converted to double through STRING, then ONE shared
+    integer-form expression text per output — both engines run the
+    identical IEEE tree on identical inputs.
+
+    Scale shape: universe selection is a keys-sized aggregate +
+    TakeOrdered(40) broadcast as a semi-join filter BEFORE the pair
+    lattice forms, so the self-join expands 40×40/2 pairs per day —
+    bounded by design at any corpus size (the production knob is the
+    universe list, not the join). One pair-keyed exchange feeds a
+    single WindowExec computing rn and all five moment sums (same
+    window spec). Candidate-pruning note: for k beyond ~10⁴, prune
+    pairs by factor-bucket/sector blocking before the day join —
+    the moment machinery is unchanged; only the pair generator
+    shrinks (same discipline as corr_pairs' docstring)."""
+    d = _daily_rets(spark, sf_dir)
+    uni = (d.groupBy("user_id").agg(F.count("*").alias("c"))
+           .orderBy(F.desc("c"), "user_id").limit(_RCOV_UNIVERSE)
+           .select("user_id"))
+    d = d.join(F.broadcast(uni), "user_id")
+    a = d.select(F.col("user_id").alias("user_a"), "day_ts",
+                 F.col("ret_i").alias("x"))
+    b = d.select(F.col("user_id").alias("user_b"), "day_ts",
+                 F.col("ret_i").alias("y"))
+    j = a.join(b, "day_ts").filter(F.col("user_a") < F.col("user_b"))
+    wkey = W.partitionBy("user_a", "user_b").orderBy("day_ts")
+    wroll = wkey.rowsBetween(-(_RCOV_W - 1), W.currentRow)
+
+    def dws(col) -> F.Column:
+        return (F.sum(col.cast(_DEC0)).over(wroll)
+                .cast("string").cast("double"))
+
+    x, y = F.col("x"), F.col("y")
+    mo = j.select(
+        "user_a", "user_b", "day_ts",
+        F.row_number().over(wkey).alias("rn"),
+        dws(x).alias("sx"), dws(y).alias("sy"),
+        dws(x.cast(_DEC0) * y.cast(_DEC0)).alias("sxy"),
+        dws(x.cast(_DEC0) * x.cast(_DEC0)).alias("sxx"),
+        dws(y.cast(_DEC0) * y.cast(_DEC0)).alias("syy"))
+    return (mo.filter(F.col("rn") >= _RCOV_W)
+            .selectExpr("user_a", "user_b", "day_ts",
+                        f"{_RCOV_COV} AS cov",
+                        f"{_RCOV_CORR} AS corr")
+            .orderBy("user_a", "user_b", "day_ts"))
+
+
+_RCOV_SQL = f"""
+WITH {_DAILY_RETS_CTE.strip()},
+uni AS (
+  SELECT user_id FROM (
+    SELECT user_id, COUNT(*) AS c FROM drets GROUP BY user_id
+    ORDER BY c DESC, user_id LIMIT {_RCOV_UNIVERSE})),
+du AS (SELECT d.* FROM drets d JOIN uni USING (user_id)),
+j AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.day_ts,
+         a.ret_i AS x, b.ret_i AS y
+  FROM du a JOIN du b ON a.day_ts = b.day_ts
+                     AND a.user_id < b.user_id),
+mo AS (
+  SELECT user_a, user_b, day_ts,
+         row_number() OVER wk AS rn,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) OVER wr AS VARCHAR)
+              AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT)) OVER wr AS VARCHAR)
+              AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) OVER wr AS VARCHAR)
+              AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) OVER wr AS VARCHAR)
+              AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) OVER wr AS VARCHAR)
+              AS DOUBLE) AS syy
+  FROM j
+  WINDOW wk AS (PARTITION BY user_a, user_b ORDER BY day_ts),
+         wr AS (PARTITION BY user_a, user_b ORDER BY day_ts
+                ROWS BETWEEN {_RCOV_W - 1} PRECEDING AND CURRENT ROW))
+SELECT user_a, user_b, day_ts,
+       {_RCOV_COV} AS cov,
+       {_RCOV_CORR} AS corr
+FROM mo WHERE rn >= {_RCOV_W}
+ORDER BY user_a, user_b, day_ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wald–Wolfowitz runs test (nonparametric randomness screen)
 # ---------------------------------------------------------------------------
 
@@ -1128,5 +1334,7 @@ QUERIES = {
     "ljung_box_whiteness": (q_ljung_box_whiteness, _lb_sql()),
     "runs_test_randomness": (q_runs_test_randomness, _RUNS_SQL),
     "pacf_durbin_levinson": (q_pacf_durbin_levinson, _pacf_sql()),
+    "ar_order_select": (q_ar_order_select, _ar_order_sql()),
+    "rolling_covariance": (q_rolling_covariance, _RCOV_SQL),
     "sma_crossover_backtest": (q_sma_crossover_backtest, _backtest_sql()),
 }

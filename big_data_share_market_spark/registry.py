@@ -48,59 +48,50 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: every r2-last-green query has a fresh row — nothing oracle-backed
 #: is older than r3.
 #:
-#: ROUND-10 ROTATION NOTE: the r3 remainder oldest-first — all 49
-#: r3-last-green queries {json_envelope_roundtrip,
-#: jsonl_corrupt_tolerant_scan, props_json_extract, exact_dedup,
-#: token_count, ann_lsh_topk,
-#: ann_recall_eval, beta_vs_market, bigram_counts, bigram_lm_score,
-#: bollinger_bands, bucketed_join_revenue, chunk_documents,
-#: corr_pairs, cross_split_contamination, custkeys_intersect,
-#: customer_balance_ranks, dedup_components, doc_fingerprint,
-#: dow_seasonality, incremental_ohlc_rollup, lang_id,
-#: length_histogram, max_drawdown, media_audio_segments,
-#: media_decode_features, media_frame_sample, media_resize,
-#: missing_bars, mixture_sample, nested_array_roundtrip,
-#: ngram_jaccard_capped, ngram_jaccard_dedup, obv, ohlc_day_rollup,
-#: pack_tokens, partition_pruned_agg, pii_scrub, realized_volatility,
-#: rolling_zscore, scd2_order_priority, scd2_snapshot,
-#: source_quality_stats, stochastic_oscillator, stratified_sample,
-#: stream_drawdown_per_key, tfidf_top_terms, vwap_daily,
-#: winnowing_fingerprint}, then the r4 family — plus, as always,
-#: front-load r10 additions and anything r10 code changes touch.
+#: ROUND-10 WINDOW (executes the r9 rotation note): r10 additions +
+#: everything the r10 diff touched (the shared _s/_sq moment helpers
+#: now convert decimal→double through STRING, so every consumer gets
+#: a fresh row; the FK audit was fused to one-scan-per-child; the
+#: recursive-CTE Kalman gained checkpoint lifecycle management), then
+#: 41 of the 49 r3-last-green queries. The spill below goes first
+#: next round.
+#:
+#: ROUND-11 ROTATION NOTE: first the 5 r3 spill queries
+#: {stratified_sample, stream_drawdown_per_key, tfidf_top_terms,
+#: vwap_daily, winnowing_fingerprint}, then the r4 family
+#: oldest-first — plus, as always, front-load r11 additions and
+#: anything r11 code changes touch.
 _FIRST_50 = (
-    # --- (a) round-9 additions: new operators (multi-lag ACF table,
-    # PACF via Durbin-Levinson, Ljung-Box whiteness, Wald-Wolfowitz
-    # runs test, Benford first-digit screen, FK referential-integrity
-    # audit) and the two HLL queries' new deterministic-contract
-    # oracles (first driver contact for each of the eight) ---
-    "acf_multi_lag", "pacf_durbin_levinson", "ljung_box_whiteness",
-    "runs_test_randomness", "benford_prices", "fk_integrity_audit",
-    "approx_distinct_users", "hll_merge_consistency",
-    # --- (b) re-verification of everything r9 code touched ---
-    # stats.py tied-ts pair fix + decimal-first spearman moments;
-    # sqlfeatures.py scoped recursion-limit conf; pydatasource.py
-    # monotone progress file (the STREAM READER path — the sink
-    # queries are untouched by the r9 diff); bench/profile work on
-    # the session-timeout replay.
-    "theil_sen_capped", "spearman_corr", "recursive_cte_kalman",
-    "stream_python_datasource", "stream_session_timeout",
-    # --- (c) rotation: ALL 37 r2-last-green queries (the r8 note's
-    # r2 remainder — transforms, strategies, patterns, streams,
-    # dedup/corpus/media r2 rows) ---
-    "scalping_strategy", "heikin_ashi", "renko", "raindrop",
-    "ohlc_bars", "last_per_key",
-    "dedup_upsert", "latest_n_per_key", "flatten_nested",
-    "range_trading_strategy", "momentum_strategy", "breakout_strategy",
-    "ascending_triangle", "descending_triangle", "rounding_bottom",
-    "stream_signal_bars", "stream_sliding_bars",
-    "stream_session_windows", "stream_ema_per_key",
-    "stream_dedup_within_watermark", "stream_static_enrich",
-    "stream_interval_join", "stream_left_outer_interval_join",
-    "minhash_lsh_dedup", "hash_split", "simhash_pairs",
-    "repetition_score", "clean_corpus", "corpus_to_training_set",
-    "media_metadata_stats", "sessionize_events", "resample_ffill",
-    "props_map_explode", "funnel_conversion", "dq_profile_lineitem",
-    "late_priority_split", "ann_ivf_topk",
+    # --- (a) round-10 additions: AR order selection (composes the
+    # ACF/PACF/Ljung-Box kit) and rolling pairwise covariance/
+    # correlation (the bounded-universe risk-model input) ---
+    "ar_order_select", "rolling_covariance",
+    # --- (b) re-verification of everything r10 code touched:
+    # the five _s/_sq consumers (string-path double conversion),
+    # the fused FK audit, and the recursive-CTE Kalman's
+    # checkpoint-unpersist lifecycle ---
+    "realized_volatility", "beta_vs_market", "corr_pairs",
+    "return_autocorr", "acf_multi_lag", "fk_integrity_audit",
+    "recursive_cte_kalman",
+    # --- (c) rotation: 41 of the 49 r3-last-green queries (three of
+    # the 49 — beta_vs_market/corr_pairs/realized_volatility — are
+    # already in (b); the 5-query spill is listed in the ROUND-11
+    # note above) ---
+    "json_envelope_roundtrip", "jsonl_corrupt_tolerant_scan",
+    "props_json_extract", "exact_dedup", "token_count",
+    "ann_lsh_topk", "ann_recall_eval", "bigram_counts",
+    "bigram_lm_score", "bollinger_bands", "bucketed_join_revenue",
+    "chunk_documents", "cross_split_contamination",
+    "custkeys_intersect", "customer_balance_ranks",
+    "dedup_components", "doc_fingerprint", "dow_seasonality",
+    "incremental_ohlc_rollup", "lang_id", "length_histogram",
+    "max_drawdown", "media_audio_segments", "media_decode_features",
+    "media_frame_sample", "media_resize", "missing_bars",
+    "mixture_sample", "nested_array_roundtrip",
+    "ngram_jaccard_capped", "ngram_jaccard_dedup", "obv",
+    "ohlc_day_rollup", "pack_tokens", "partition_pruned_agg",
+    "pii_scrub", "rolling_zscore", "scd2_order_priority",
+    "scd2_snapshot", "source_quality_stats", "stochastic_oscillator",
 )
 
 
