@@ -161,6 +161,8 @@ HEADLINE = [
     "fk_integrity_audit",   # six-relationship orphan audit
     "ar_order_select",      # composed ACF/PACF/LB order pick (r10)
     "rolling_covariance",   # bounded-universe rolling pair moments
+    "variance_ratio",       # Lo-MacKinlay random-walk screen
+    "cross_sectional_momentum",  # per-day Fama-MacBeth first stage
 ]
 
 # API-coverage lanes: registry-green, bench-RECORDED, excluded from

@@ -1110,11 +1110,207 @@ ORDER BY user_a, user_b, day_ts
 
 
 # ---------------------------------------------------------------------------
-# Wald–Wolfowitz runs test (nonparametric randomness screen)
+# Lo–MacKinlay variance-ratio test (random-walk screen: does variance
+# scale linearly with horizon?)
 # ---------------------------------------------------------------------------
 
-#: Normal 97.5th percentile — the two-sided 5% critical value.
+#: Normal 97.5th percentile — the two-sided 5% critical value, shared
+#: by the VR test, the runs test and the AR-order PACF band (defined
+#: here, above every consumer, because the module-level oracle
+#: f-strings evaluate at import).
 _RUNS_Z_CRIT = 1.959963984540054
+
+#: Aggregation horizon q. VR(q) compares the variance of q-period
+#: overlapping return sums against q x the 1-period variance: a random
+#: walk gives VR = 1, momentum VR > 1, mean reversion VR < 1.
+_VR_Q = 4
+
+#: Homoskedastic asymptotic variance numerator 2(2q-1)(q-1)/(3q),
+#: emitted as one shared Python-repr double literal so both engines
+#: parse the identical constant (a runtime arithmetic could differ in
+#: op order).
+_VR_ASY = 2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3.0 * _VR_Q)
+
+#: Shared final texts over the exact integer moments (n1/s1/ss1 for
+#: the 1-period series, n2/s2/ss2 for the overlapping q-sums, all
+#: string-path doubles). Sample variances, simple VR form (the
+#: unbiased-overlap corrections change the constant, not the
+#: decision; the docstring states the estimator exactly).
+_VR_VAR1 = "((ss1 - s1 * s1 / n1) / (n1 - CAST(1 AS DOUBLE)))"
+_VR_VARQ = "((ss2 - s2 * s2 / n2) / (n2 - CAST(1 AS DOUBLE)))"
+_VR_EXPR = f"({_VR_VARQ} / (CAST({_VR_Q} AS DOUBLE) * {_VR_VAR1}))"
+_VR_Z = (f"(({_VR_EXPR}) - CAST(1 AS DOUBLE))"
+         f" / sqrt(CAST({_VR_ASY!r} AS DOUBLE) / n1)")
+_VR_GUARD = (f"n1 > {2 * _VR_Q} AND n2 > 2"
+             f" AND (ss1 - s1 * s1 / n1) > 0")
+
+
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per key at horizon q=4 over
+    hourly returns — the random-walk screen that completes the
+    diagnostics kit along a THIRD axis: Ljung–Box asks "is pooled
+    autocorrelation zero?", runs asks "do signs alternate randomly?",
+    VR asks "does variance scale linearly with horizon?" (the
+    momentum/mean-reversion dial a stat-arb desk actually trades:
+    VR > 1 momentum, VR < 1 mean reversion). Estimator: sample
+    variance of OVERLAPPING q-sums over q x the 1-period sample
+    variance; z under the homoskedastic null with the standard
+    2(2q−1)(q−1)/(3qn) asymptotic variance.
+
+    Exactness: the q-sum column is a windowed BIGINT/DECIMAL sum of
+    quantized returns (integer-exact), both variance estimators come
+    from exact integer moments via the string double path, and
+    VR/z/decision are ONE shared expression text per column.
+
+    Scale shape: one bar-sized window pass (the q-sum + rn share the
+    window spec with one WindowExec) + one map-side-combined per-key
+    aggregate of six exact sums — the `_lag_moment_frame` shape; no
+    pair lattice, nothing quadratic anywhere."""
+    rets = _rets(spark, sf_dir)
+    w = bar_window()
+    wq = w.rowsBetween(-(_VR_Q - 1), W.currentRow)
+    wide = rets.select(
+        "user_id", "ret_i",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("ret_i").cast(_DEC0)).over(wq).alias("yq"))
+
+    def _d(e: str) -> F.Column:
+        return F.expr(f"CAST(CAST(SUM(CAST({e} AS DECIMAL(38,0)))"
+                      f" AS STRING) AS DOUBLE)")
+
+    mo = wide.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n1"),
+        _d("ret_i").alias("s1"),
+        _d("CAST(ret_i AS DECIMAL(38,0)) * ret_i").alias("ss1"),
+        F.count(F.when(F.col("rn") >= _VR_Q, 1))
+        .cast("double").alias("n2"),
+        _d(f"CASE WHEN rn >= {_VR_Q} THEN yq END").alias("s2"),
+        _d(f"CASE WHEN rn >= {_VR_Q} THEN yq * yq END").alias("ss2"))
+    return (mo.where(F.expr(_VR_GUARD))
+            .selectExpr(
+                "user_id", "CAST(n1 AS BIGINT) AS n",
+                f"{_VR_EXPR} AS vr",
+                f"{_VR_Z} AS z_vr",
+                f"abs({_VR_Z}) > CAST({_RUNS_Z_CRIT!r} AS DOUBLE)"
+                " AS rejects_random_walk")
+            .orderBy("user_id"))
+
+
+_VR_SQL = f"""
+WITH {_RETS_CTE.strip()},
+wide AS (
+  SELECT user_id, ret_i,
+         row_number() OVER wk AS rn,
+         SUM(CAST(ret_i AS HUGEINT)) OVER wq AS yq
+  FROM rets
+  WINDOW wk AS (PARTITION BY user_id ORDER BY bar_ts),
+         wq AS (PARTITION BY user_id ORDER BY bar_ts
+                ROWS BETWEEN {_VR_Q - 1} PRECEDING AND CURRENT ROW)),
+mo AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n1,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT)) AS VARCHAR)
+              AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(ret_i AS HUGEINT) * ret_i) AS VARCHAR)
+              AS DOUBLE) AS ss1,
+         CAST(COUNT(CASE WHEN rn >= {_VR_Q} THEN 1 END)
+              AS DOUBLE) AS n2,
+         CAST(CAST(SUM(CASE WHEN rn >= {_VR_Q} THEN yq END)
+              AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CASE WHEN rn >= {_VR_Q} THEN yq * yq END)
+              AS VARCHAR) AS DOUBLE) AS ss2
+  FROM wide GROUP BY user_id)
+SELECT user_id, CAST(n1 AS BIGINT) AS n,
+       {_VR_EXPR} AS vr,
+       {_VR_Z} AS z_vr,
+       abs({_VR_Z}) > CAST({_RUNS_Z_CRIT!r} AS DOUBLE)
+         AS rejects_random_walk
+FROM mo WHERE {_VR_GUARD}
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-sectional momentum regression (Fama–MacBeth first stage: one
+# regression PER DAY across keys, not per key across time)
+# ---------------------------------------------------------------------------
+
+def q_cross_sectional_momentum(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Per-DAY cross-sectional regression of daily returns on the
+    previous day's return (the 1-day momentum factor) — the
+    Fama–MacBeth first stage, and the CROSS-SECTIONAL seam next to
+    `rolling_covariance`'s time-series one: every prior regression in
+    the tree runs per key across time; a factor model runs per
+    timestamp across keys. gamma_d > 0 ⇒ yesterday's winners win
+    again today (cross-sectional momentum); < 0 ⇒ reversal.
+
+    Emits the PER-DAY slope/intercept rows rather than the
+    second-stage time average: the average of per-day gammas is a
+    cross-row float sum whose accumulation order neither engine
+    pins, while each day's closed-form slope from exact integer
+    moments is bit-reproducible. A caller averages the gamma column
+    driver-side (days are few) or via one more exact-moment pass.
+
+    Scale shape: one key-ordered window pass for the lag (bars-sized),
+    then ONE map-side-combined groupBy(day) over exact integer
+    moments — the output is days-sized. At 100 TB the cross-section
+    per day is keys-wide but the aggregate is still one combine-
+    friendly exchange; nothing quadratic, no per-day loop."""
+    d = _daily_rets(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("day_ts")
+    j = (d.withColumn("x", F.lag("ret_i").over(w))
+         .filter(F.col("x").isNotNull())
+         .select("day_ts", F.col("x").alias("x"),
+                 F.col("ret_i").alias("y")))
+    mo = j.groupBy("day_ts").agg(
+        F.count("*").alias("n"),
+        _s(F.col("x")).alias("sx"),
+        _s(F.col("y")).alias("sy"),
+        _sq(F.col("x"), F.col("y")).alias("sxy"),
+        _sq(F.col("x"), F.col("x")).alias("sxx"))
+    n = F.col("n")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    gamma = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    alpha = (F.col("sy") - gamma * F.col("sx")) / n
+    return (mo.filter((n >= 3) & (den != 0))
+            .select("day_ts", n.alias("n_keys"),
+                    gamma.alias("gamma"),
+                    # intercept in integer return units scaled back
+                    (alpha / F.lit(float(_Q))).alias("alpha"))
+            .orderBy("day_ts"))
+
+
+_XS_MOM_SQL = f"""
+WITH {_DAILY_RETS_CTE.strip()},
+lagged AS (
+  SELECT day_ts,
+         lag(ret_i) OVER (PARTITION BY user_id ORDER BY day_ts) AS x,
+         ret_i AS y
+  FROM drets
+  QUALIFY x IS NOT NULL),
+mo AS (
+  SELECT day_ts, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR)
+              AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR)
+              AS DOUBLE) AS sxx
+  FROM lagged GROUP BY day_ts)
+SELECT day_ts, n AS n_keys,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS gamma,
+       ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+         / {float(_Q)!r} AS alpha
+FROM mo
+WHERE n >= 3 AND (n * sxx - sx * sx) <> 0
+ORDER BY day_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (nonparametric randomness screen)
+# ---------------------------------------------------------------------------
 
 #: z = (R − E[R]) / √Var[R] with E = 2·n1·n2/n + 1 and
 #: Var = 2·n1·n2·(2·n1·n2 − n)/(n²·(n−1)), n = n1+n2 — one shared
@@ -1336,5 +1532,8 @@ QUERIES = {
     "pacf_durbin_levinson": (q_pacf_durbin_levinson, _pacf_sql()),
     "ar_order_select": (q_ar_order_select, _ar_order_sql()),
     "rolling_covariance": (q_rolling_covariance, _RCOV_SQL),
+    "variance_ratio": (q_variance_ratio, _VR_SQL),
+    "cross_sectional_momentum": (q_cross_sectional_momentum,
+                                 _XS_MOM_SQL),
     "sma_crossover_backtest": (q_sma_crossover_backtest, _backtest_sql()),
 }

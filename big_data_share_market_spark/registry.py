@@ -56,16 +56,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: 41 of the 49 r3-last-green queries. The spill below goes first
 #: next round.
 #:
-#: ROUND-11 ROTATION NOTE: first the 5 r3 spill queries
-#: {stratified_sample, stream_drawdown_per_key, tfidf_top_terms,
-#: vwap_daily, winnowing_fingerprint}, then the r4 family
-#: oldest-first — plus, as always, front-load r11 additions and
-#: anything r11 code changes touch.
+#: ROUND-11 ROTATION NOTE: first the 7 r3 spill queries
+#: {source_quality_stats, stochastic_oscillator, stratified_sample,
+#: stream_drawdown_per_key, tfidf_top_terms, vwap_daily,
+#: winnowing_fingerprint}, then the r4 family oldest-first — plus,
+#: as always, front-load r11 additions and anything r11 code
+#: changes touch.
 _FIRST_50 = (
     # --- (a) round-10 additions: AR order selection (composes the
-    # ACF/PACF/Ljung-Box kit) and rolling pairwise covariance/
-    # correlation (the bounded-universe risk-model input) ---
-    "ar_order_select", "rolling_covariance",
+    # ACF/PACF/Ljung-Box kit), rolling pairwise covariance/
+    # correlation (the bounded-universe risk-model input), the
+    # Lo-MacKinlay variance-ratio random-walk screen, and the
+    # per-day Fama-MacBeth cross-sectional momentum regression ---
+    "ar_order_select", "rolling_covariance", "variance_ratio",
+    "cross_sectional_momentum",
     # --- (b) re-verification of everything r10 code touched:
     # the five _s/_sq consumers (string-path double conversion),
     # the fused FK audit, and the recursive-CTE Kalman's
@@ -73,9 +77,9 @@ _FIRST_50 = (
     "realized_volatility", "beta_vs_market", "corr_pairs",
     "return_autocorr", "acf_multi_lag", "fk_integrity_audit",
     "recursive_cte_kalman",
-    # --- (c) rotation: 41 of the 49 r3-last-green queries (three of
+    # --- (c) rotation: 39 of the 49 r3-last-green queries (three of
     # the 49 — beta_vs_market/corr_pairs/realized_volatility — are
-    # already in (b); the 5-query spill is listed in the ROUND-11
+    # already in (b); the 7-query spill is listed in the ROUND-11
     # note above) ---
     "json_envelope_roundtrip", "jsonl_corrupt_tolerant_scan",
     "props_json_extract", "exact_dedup", "token_count",
@@ -91,7 +95,7 @@ _FIRST_50 = (
     "ngram_jaccard_capped", "ngram_jaccard_dedup", "obv",
     "ohlc_day_rollup", "pack_tokens", "partition_pruned_agg",
     "pii_scrub", "rolling_zscore", "scd2_order_priority",
-    "scd2_snapshot", "source_quality_stats", "stochastic_oscillator",
+    "scd2_snapshot",
 )
 
 

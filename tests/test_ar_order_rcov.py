@@ -1,10 +1,11 @@
 """Brute-force reference tests for the r10 additions:
 `ar_order_select` (composition of the ACF/PACF/Ljung-Box kit) is
 checked for internal consistency against the component queries it
-composes, and `rolling_covariance` against an independent pure-Python
-trailing-window computation on the actual fixture returns — so a
-shared misunderstanding in both SQL dialects cannot hide behind a
-hash match."""
+composes; `rolling_covariance`, `variance_ratio` and
+`cross_sectional_momentum` against independent pure-Python
+computations on the actual fixture returns — so a shared
+misunderstanding in both SQL dialects cannot hide behind a hash
+match."""
 
 from __future__ import annotations
 
@@ -102,3 +103,83 @@ def test_rolling_covariance_matches_brute_force(spark):
     # and nothing the brute force predicts may be missing.
     assert not got, f"unexpected engine rows: {list(got)[:3]}"
     assert checked > 100
+
+
+def _hourly_series(spark):
+    from big_data_share_market_spark.operators.finance import _rets
+
+    rows = (_rets(spark, SF_DIR).select("user_id", "bar_ts", "ret_i")
+            .orderBy("user_id", "bar_ts").collect())
+    series: dict[int, list[int]] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r.ret_i)
+    return series
+
+
+def test_variance_ratio_matches_brute_force(spark):
+    from big_data_share_market_spark.operators.finance import (
+        _VR_ASY, _VR_Q, q_variance_ratio)
+
+    got = {r.user_id: r for r in
+           q_variance_ratio(spark, SF_DIR).collect()}
+    assert got
+    for u, xs in _hourly_series(spark).items():
+        n1 = len(xs)
+        if n1 <= 2 * _VR_Q:
+            assert u not in got
+            continue
+        ys = [sum(xs[i - _VR_Q + 1:i + 1])
+              for i in range(_VR_Q - 1, n1)]
+        s1, ss1 = float(sum(xs)), float(sum(x * x for x in xs))
+        var1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+        if var1 <= 0:
+            assert u not in got
+            continue
+        n2 = len(ys)
+        s2, ss2 = float(sum(ys)), float(sum(y * y for y in ys))
+        varq = (ss2 - s2 * s2 / n2) / (n2 - 1)
+        vr = varq / (_VR_Q * var1)
+        z = (vr - 1.0) / math.sqrt(_VR_ASY / n1)
+        row = got.pop(u)
+        assert row.n == n1
+        assert math.isclose(row.vr, vr, rel_tol=1e-9), u
+        assert math.isclose(row.z_vr, z, rel_tol=1e-9), u
+        assert row.rejects_random_walk == (abs(z) > _Z), u
+    assert not got
+
+
+def test_cross_sectional_momentum_matches_brute_force(spark):
+    from big_data_share_market_spark.operators.finance import (
+        _Q, _daily_rets, q_cross_sectional_momentum)
+
+    rows = (_daily_rets(spark, SF_DIR)
+            .orderBy("user_id", "day_ts").collect())
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append((r.day_ts, r.ret_i))
+    by_day: dict = {}
+    for series in by_key.values():
+        for (d0, x), (d1, y) in zip(series, series[1:]):
+            by_day.setdefault(d1, []).append((x, y))
+
+    got = {r.day_ts: r for r in
+           q_cross_sectional_momentum(spark, SF_DIR).collect()}
+    assert got
+    for day, pts in by_day.items():
+        n = len(pts)
+        sx = float(sum(p[0] for p in pts))
+        sy = float(sum(p[1] for p in pts))
+        sxy = float(sum(p[0] * p[1] for p in pts))
+        sxx = float(sum(p[0] * p[0] for p in pts))
+        den = n * sxx - sx * sx
+        if n < 3 or den == 0:
+            assert day not in got
+            continue
+        gamma = (n * sxy - sx * sy) / den
+        alpha = ((sy - gamma * sx) / n) / float(_Q)
+        row = got.pop(day)
+        assert row.n_keys == n
+        assert math.isclose(row.gamma, gamma, rel_tol=1e-9), day
+        assert math.isclose(row.alpha, alpha, rel_tol=1e-9,
+                            abs_tol=1e-15), day
+    assert not got
