@@ -182,6 +182,14 @@ FROM r{_ITERS}""")
 #: Staged (oriented edges, oriented adjacency) per (SparkContext, sf_dir).
 _TRI_CACHE: dict = {}
 
+#: Broadcast gate for the triangle query's V-sized adjacency sides:
+#: up to this many nodes the two adjacency joins broadcast (~10 MB at
+#: the sf0.1 graph's 20 k nodes — the fast single-stage plan); beyond
+#: it they fall back to sort-merge, because a broadcast build
+#: materializes every out-array in the DRIVER heap first (measured:
+#: the ~2 M-node sf10 probe graph OOMs an 8 g driver mid-build).
+_TRI_BCAST_MAX_NODES = 200_000
+
 
 def _oriented_adjacency(spark: SparkSession, sf_dir: str):
     """Degree-ordered oriented edge set + its adjacency-list form,
@@ -246,7 +254,7 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     join formulation — a different orientation, the identical
     triangle set. clustering = 2·tri/(deg·(deg−1)), NULL for
     degree-1 nodes."""
-    adj, _n = _co_adjacency(spark, sf_dir)
+    adj, n_nodes = _co_adjacency(spark, sf_dir)
     degs = adj.select(F.col("src").alias("node"),
                       F.col("outdeg").alias("degree"))
     oriented, out_adj = _oriented_adjacency(spark, sf_dir)
@@ -269,11 +277,21 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them to an empty intersection (the former left join + coalesce
     # produced ws = [] for them and filtered afterwards; same rows
     # survive, less intersection CPU).
+    # The broadcast is SIZE-GATED (r10): building a broadcast
+    # materializes the whole V-sized adjacency (with its out-arrays)
+    # in the driver heap — fine at sf0.1 (~20 k nodes, ~10 MB),
+    # measured OOM-fatal at the sf10 probe fixture (~2 M nodes,
+    # multi-GB) on an 8 g driver. Past the gate the query takes the
+    # co-partitioned sort-merge path the paragraph above describes —
+    # same rows, two extra exchanges, no driver-side materialization.
+    u_side = u_adj.filter(F.size("u_outs") >= 2)
+    v_side = v_adj
+    if n_nodes <= _TRI_BCAST_MAX_NODES:
+        u_side, v_side = F.broadcast(u_side), F.broadcast(v_side)
     closed = (
         oriented
-        .join(F.broadcast(u_adj.filter(F.size("u_outs") >= 2)),
-              oriented["src"] == u_adj["u_key"])
-        .join(F.broadcast(v_adj), oriented["dst"] == v_adj["v_key"])
+        .join(u_side, oriented["src"] == u_adj["u_key"])
+        .join(v_side, oriented["dst"] == v_adj["v_key"])
         .select(
             "src", "dst",
             F.array_intersect("u_outs", "v_outs").alias("ws"))

@@ -29,12 +29,13 @@ from typing import Any
 
 
 def _cache_registries() -> list[tuple[str, dict]]:
-    from .operators import (bpe, dedup, graph, similarity, sqlfeatures,
-                            stats, text, transforms)
+    from .operators import (bpe, dedup, finance, graph, similarity,
+                            sqlfeatures, stats, text, transforms)
 
     return [
         ("stats.paired_values", stats._PAIRED_CACHE),
         ("transforms.bars", transforms._BARS_CACHE),
+        ("finance.daily_rets", finance._DRETS_CACHE),
         ("dedup.shingles", dedup._SH_CACHE),
         ("dedup.shingle_df", dedup._DF_CACHE),
         ("dedup.minhash_sigs", dedup._MH_CACHE),
