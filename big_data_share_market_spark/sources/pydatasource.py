@@ -56,11 +56,39 @@ def _tick(symbol: str, seq: int, start: dt.datetime, interval_s: int):
             price, size)
 
 
+def _tick_fn():
+    """A DYNAMIC twin of :func:`_tick` for the DataSource factories.
+
+    The factory classes are cloudpickled to Python runner processes:
+    executors get this package via addPyFile, but the DRIVER-side
+    streaming source planner (python_streaming_source_runner) does
+    not, so a pickled reference to a module-level function
+    (`pydatasource._tick`) raises ModuleNotFoundError there when the
+    driver's cwd is not the repo root. A function DEFINED AT CALL TIME
+    is pickled BY VALUE (code + closure), making the shipped classes
+    self-contained; only stdlib imports remain by reference. Same
+    arithmetic as `_tick`, pinned by tests/test_pydatasource.py."""
+    import datetime as _dt
+    import hashlib as _hl
+
+    def tick(symbol: str, seq: int, start, interval_s: int):
+        h = int(_hl.md5(f"{symbol}:{seq}".encode()).hexdigest()[:15], 16)
+        price = 100.0 + (h % 10000) / 100.0
+        size = h % 997 + 1
+        return (symbol, seq,
+                start + _dt.timedelta(seconds=seq * interval_s),
+                price, size)
+
+    return tick
+
+
 def make_tick_datasource():
     """Build the DataSource class lazily (pyspark.sql.datasource import
     kept out of module import time so registry collection stays cheap)."""
     from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                         InputPartition)
+
+    tick = _tick_fn()  # pickled by value — see _tick_fn
 
     class _TickPartition(InputPartition):
         def __init__(self, symbol: str, lo: int, hi: int):
@@ -87,8 +115,8 @@ def make_tick_datasource():
 
         def read(self, partition):
             for seq in range(partition.lo, partition.hi):
-                yield _tick(partition.symbol, seq, self.start,
-                            self.interval_s)
+                yield tick(partition.symbol, seq, self.start,
+                           self.interval_s)
 
     class TickDataSource(DataSource):
         @classmethod
@@ -193,6 +221,8 @@ def make_tick_stream_datasource():
     from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                         InputPartition)
 
+    tick = _tick_fn()  # pickled by value — see _tick_fn
+
     class _RangePartition(InputPartition):
         def __init__(self, symbol: str, lo: int, hi: int):
             self.symbol = symbol
@@ -237,8 +267,8 @@ def make_tick_stream_datasource():
 
         def read(self, partition):
             for seq in range(partition.lo, partition.hi):
-                yield _tick(partition.symbol, seq, self.start_ts,
-                            self.interval_s)
+                yield tick(partition.symbol, seq, self.start_ts,
+                           self.interval_s)
 
         def commit(self, end: dict) -> None:
             # A real source acks upstream here; the generator's only
