@@ -14,6 +14,7 @@ hash partitioning on the key, the same as any grouped agg.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -791,19 +792,21 @@ def _session_timeout_fn(gap_us: int):
     def fn(key: tuple, pdf_iter, state: GroupState):
         (user_id,) = key
 
-        def _emit(start_us, last_us, n, sum_u6):
+        def _emit(starts, lasts, ns, sums):
+            ends = np.asarray(lasts, dtype="int64") + gap_us
             return pd.DataFrame({
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
-                "n_events": [n],
-                "sum_u6": [sum_u6],
+                "user_id": user_id,
+                "session_start": pd.to_datetime(
+                    np.asarray(starts, dtype="int64"), unit="us"),
+                "session_end": pd.to_datetime(ends, unit="us"),
+                "n_events": np.asarray(ns, dtype="int64"),
+                "sum_u6": np.asarray(sums, dtype="int64"),
             })
 
         if state.hasTimedOut:
             start_us, last_us, n, sum_u6 = state.get
             state.remove()
-            yield _emit(start_us, last_us, n, sum_u6)
+            yield _emit([start_us], [last_us], [n], [sum_u6])
             return
 
         parts = [pdf for pdf in pdf_iter if len(pdf)]
@@ -813,40 +816,66 @@ def _session_timeout_fn(gap_us: int):
             return
         pdf = (pd.concat(parts, ignore_index=True)
                .sort_values(["ts", "event_id"]).reset_index(drop=True))
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
-        u6 = pdf["value_u6"].tolist()
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        u6 = pdf["value_u6"].to_numpy(dtype="int64")
 
         if state.exists:
-            start_us, last_us, n, sum_u6 = state.get
+            st_start, st_last, st_n, st_sum = state.get
         else:
-            start_us = last_us = ts_us[0]
-            n, sum_u6 = 0, 0
+            st_start = st_last = int(ts_us[0])
+            st_n, st_sum = 0, 0
 
-        out = []
-        for t, v in zip(ts_us, u6):
-            if n and t - last_us >= gap_us:
-                out.append(_emit(start_us, last_us, n, sum_u6))
-                start_us, last_us, n, sum_u6 = t, t, 0, 0
-            elif n == 0:
-                start_us = last_us = t
-            else:
-                # A cross-batch out-of-order event (legal within the
-                # watermark delay; in-batch rows are sorted above) must
-                # not REGRESS the session bounds: a regressed last_us
-                # would falsely split the next session and arm a stale
-                # timeout, a regressed start_us would misreport the
-                # session start. Absorb it monotonically instead.
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-            n += 1
-            sum_u6 += int(v)
+        # Vectorized segmentation (replaces the former per-row Python
+        # loop — guide §4.2; measured: the loop plus one 1-row
+        # DataFrame per closed session dominated the replay's batch-0
+        # addBatch time). Rows are sorted, so the running last_us
+        # before row i is max(st_last, t_{i-1}) — the max matters only
+        # until the first boundary: a boundary row satisfies
+        # t_j >= max(st_last, ·) + gap > st_last, and every later row
+        # is >= t_j, so the uniform formula is exact for the whole
+        # batch. Cross-batch out-of-order events (t < st_last, legal
+        # within the watermark delay) therefore absorb monotonically,
+        # never regressing session bounds — same contract as before,
+        # pinned by tests/test_sessions_and_trends.py.
+        prev_last = np.empty_like(ts_us)
+        prev_last[0] = st_last
+        np.maximum(ts_us[:-1], st_last, out=prev_last[1:])
+        boundary = (ts_us - prev_last) >= gap_us
+        # boundary[0] True ⇔ an EXISTING open session is closed by the
+        # batch's first row: that session emits alone below; the batch
+        # then segments as if fresh. (st_n == 0 ⇒ st_last = ts_us[0] ⇒
+        # boundary[0] already False.)
+        state_closes_alone = bool(boundary[0]) and st_n > 0
+        boundary[0] = False
+        seg_starts = np.flatnonzero(boundary)
+        idx = np.concatenate(([0], seg_starts))
+        ends = np.concatenate((idx[1:], [len(ts_us)]))
+        firsts = ts_us[idx]
+        lasts = ts_us[ends - 1]  # sorted ⇒ per-segment max is the last row
+        counts = (ends - idx).astype("int64")
+        sums = np.add.reduceat(u6, idx)
+        if state_closes_alone:
+            firsts = np.concatenate(([st_start], firsts))
+            lasts = np.concatenate(([st_last], lasts))
+            counts = np.concatenate(([st_n], counts))
+            sums = np.concatenate(([st_sum], sums))
+        else:
+            # Segment 0 continues the open state session.
+            firsts[0] = min(st_start, int(firsts[0]))
+            lasts[0] = max(st_last, int(lasts[0]))
+            counts[0] += st_n
+            sums[0] += st_sum
+
+        k = len(firsts) - 1  # number of closed sessions (all but the last)
+        if k:
+            yield _emit(firsts[:k], lasts[:k], counts[:k], sums[:k])
 
         # The still-open session waits for the clock: fire when the
         # event-time watermark passes last event + gap.
-        state.update((start_us, last_us, n, sum_u6))
+        last_us = int(lasts[k])
+        state.update((int(firsts[k]), last_us,
+                      int(counts[k]), int(sums[k])))
         state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
-        if out:
-            yield pd.concat(out, ignore_index=True)
 
     return fn
 

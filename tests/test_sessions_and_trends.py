@@ -171,6 +171,90 @@ def test_state_fn_cross_batch_disorder_does_not_regress_bounds():
     assert (n, sum_u6) == (4, 36)
 
 
+def _scalar_reference_batch(state_tuple, rows_sorted, gap_us):
+    """The pre-r10 per-row loop, kept as the executable spec for the
+    vectorized kernel (r10 optimization: numpy segmentation + one
+    emitted frame per batch). Returns (emitted sessions as tuples,
+    new state tuple)."""
+    if state_tuple is not None:
+        start_us, last_us, n, sum_u6 = state_tuple
+    else:
+        start_us = last_us = rows_sorted[0][0]
+        n, sum_u6 = 0, 0
+    out = []
+    for t, v in rows_sorted:
+        if n and t - last_us >= gap_us:
+            out.append((start_us, last_us + gap_us, n, sum_u6))
+            start_us, last_us, n, sum_u6 = t, t, 0, 0
+        elif n == 0:
+            start_us = last_us = t
+        else:
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
+        n += 1
+        sum_u6 += int(v)
+    return out, (start_us, last_us, n, sum_u6)
+
+
+def test_state_fn_vectorized_matches_scalar_reference_randomized():
+    """Property pin for the r10 vectorized kernel: random multi-batch
+    replays (duplicate timestamps, cross-batch disorder, singleton and
+    empty batches) must emit exactly the sessions — and leave exactly
+    the state — the scalar reference loop produces."""
+    import random
+
+    gap_us = _SESSION_GAP_US
+    rng = random.Random(20261017)
+    for _trial in range(25):
+        # A stream of event times with occasional >gap jumps and some
+        # duplicates; split into 1-4 batches with mild cross-batch
+        # disorder (each batch is sorted before the kernel runs, so
+        # only the batch SPLIT positions and state carry matter).
+        t = 1_700_000_000_000_000
+        events = []
+        for i in range(rng.randint(1, 60)):
+            step = (rng.choice([-3600, -1, 0, 1, 60, 3600, 3 * 3600])
+                    * 1_000_000
+                    if rng.random() > 0.15 else
+                    rng.choice([4 * 3600, 5 * 3600, 24 * 3600]) * 1_000_000)
+            t += step
+            events.append((t, rng.randint(-5, 10**9)))
+        n_batches = rng.randint(1, 4)
+        cuts = sorted(rng.sample(range(1, len(events) + 1),
+                                 min(n_batches - 1, len(events) - 1))
+                      if len(events) > 1 else [])
+        batches, lo = [], 0
+        for c in cuts + [len(events)]:
+            batches.append(events[lo:c])
+            lo = c
+
+        fn = _session_timeout_fn(gap_us)
+        state = _FakeState()
+        ref_state = None
+        got, want = [], []
+        for batch in batches:
+            if not batch:
+                continue
+            rows_sorted = sorted(batch)
+            pdf = pd.DataFrame({
+                "ts": pd.Series([pd.Timestamp(t, unit="us")
+                                 for t, _ in batch], dtype="datetime64[us]"),
+                "event_id": range(len(batch)),
+                "value_u6": [v for _, v in batch],
+            })
+            for out in fn((7,), iter([pdf]), state):
+                got.extend(
+                    (int(r.session_start.value // 1000),
+                     int(r.session_end.value // 1000),
+                     int(r.n_events), int(r.sum_u6))
+                    for r in out.itertuples())
+            emitted, ref_state = _scalar_reference_batch(
+                ref_state, rows_sorted, gap_us)
+            want.extend(emitted)
+        assert got == want
+        assert state.get == ref_state
+
+
 @pytest.mark.usefixtures("spark")
 def test_theil_sen_exact_recovery_with_outliers(spark):
     """y = 2.5 * hours exactly, plus 2 gross outliers out of 12 points:
