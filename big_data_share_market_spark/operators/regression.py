@@ -162,14 +162,6 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_fit(e)
 
 
-#: Two-phase median bucketization: unit-width slope buckets clamped
-#: to ±512 per hour (the fixture's slopes live well inside). Bucket
-#: id is monotone in slope, so global rank = strictly-lower-bucket
-#: count + in-bucket rank — EXACT, with the degenerate all-one-bucket
-#: case falling back to the full per-key sort for that key only.
-_TS_BMAX = 512
-
-
 def theil_sen_fit(e: DataFrame) -> DataFrame:
     """Median-of-pairwise-slopes over any (user_id, event_id, t, v)
     frame (t in integer micros) — split out so the estimator's
@@ -177,60 +169,76 @@ def theil_sen_fit(e: DataFrame) -> DataFrame:
     with injected outliers (tests/test_sessions_and_trends.py), not
     just the noise fixture.
 
-    TWO-PHASE exact median, because the naive formulation (shuffle
-    every pair, sort within key, row_number) must move and sort ALL
-    O(n²/2-per-key) pairs — measured as the repo's only one-box cliff
-    at sf10 (322 M pair rows thrash an 8-48 g heap; SCALING.md
-    addendum 15). Phase 1 re-aggregates the pair stream MAP-SIDE into
-    per-(key, unit-width-slope-bucket) counts — the shuffle carries
-    keys×buckets rows, not pairs — and a buckets-sized window locates
-    each key's median bucket and the rank remaining inside it.
-    Phase 2 recomputes the same pair join (CPU is cheap; bytes are
-    not) but keeps ONLY pairs landing in their key's median bucket —
-    a broadcast semi-filter applied before any exchange — and sorts
-    those few per key to pick the exact element. Same deterministic
-    (slope, i_id, j_id) tiebreak; the oracle stays the flat global
-    formulation, so the equivalence is value-verified per row. The
-    median-bucket relation is keys-sized (broadcast here; at 10⁹ keys
-    make it a shuffle join on (user_id, bkt))."""
-    from pyspark.sql import Window
+    Per-key VECTORIZED kernel (r10; guide §2.3 "shuffle keys, not
+    payloads" taken to its limit): pairs never exist as ROWS anywhere.
+    The events shuffle ONCE by key into a grouped Arrow kernel, which
+    generates every (i, j | t_i < t_j) pair index map-side in numpy,
+    computes the slopes with the exact IEEE expression the oracle
+    uses ((v_j − v_i) / (Δt_micros_as_double / 3.6e9) — identical op
+    sequence, bit-identical doubles), and selects the lower-median
+    element under the deterministic (slope, i_id, j_id) tiebreak via
+    one lexsort. History: the flat join formulation shuffled all
+    O(n²/2-per-key) pair rows (322 M at sf10 — the repo's one-box
+    cliff, SCALING.md addendum 15); the r7-r9 two-phase bucketed
+    form fixed the bytes but still ran the pair JOIN twice (measured
+    87-98 s at sf10). Here the pair lattice is a numpy index
+    expression inside one task: per-key memory is O(n²/2) doubles
+    with series length n bounded by design (keys scale with data
+    volume, not series length — TESTDATA.md); for genuinely
+    unbounded series the stride-capped `stats.q_theil_sen_capped`
+    remains the production screen. Keys with no qualifying pair
+    (singletons / all-tied timestamps) emit nothing, exactly like
+    the join formulation."""
+    import numpy as np
+    import pandas as pd
 
-    def pairs_frame():
-        a, b = e.alias("a"), e.alias("b")
-        return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-                       & (F.col("a.t") < F.col("b.t")))
-                .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.event_id").alias("i_id"),
-            F.col("b.event_id").alias("j_id"),
-            ((F.col("b.v") - F.col("a.v"))
-             / ((F.col("b.t") - F.col("a.t")).cast("double")
-                / 3600000000.0)).alias("slope"))
-                .withColumn("bkt", F.least(
-                    F.greatest(F.floor("slope"), F.lit(-_TS_BMAX)),
-                    F.lit(_TS_BMAX - 1))))
+    def _key_median(uid, t, eid, v):
+        """Exact lower-median slope for ONE key's sorted series; None
+        when no strict pair exists (singleton / all-tied)."""
+        i, j = np.triu_indices(len(t), k=1)
+        keep = t[i] < t[j]  # strict: tied timestamps form no pair
+        i, j = i[keep], j[keep]
+        n_pairs = i.size
+        if n_pairs == 0:
+            return None
+        # The same scalar op sequence as the SQL text on both engines:
+        # double Δv divided by (double Δt_micros / 3600000000.0).
+        slope = (v[j] - v[i]) / ((t[j] - t[i]).astype("float64")
+                                 / 3600000000.0)
+        target = (n_pairs + 1) // 2
+        ordind = np.lexsort((eid[j], eid[i], slope))
+        return (uid, n_pairs, float(slope[ordind[target - 1]]))
 
-    wk = Window.partitionBy("user_id")
-    hist = (pairs_frame().groupBy("user_id", "bkt")
-            .agg(F.count("*").alias("c"))
-            .withColumn("cum", F.sum("c").over(
-                wk.orderBy("bkt").rowsBetween(
-                    Window.unboundedPreceding, 0)))
-            .withColumn("n_pairs", F.sum("c").over(wk))
-            .withColumn("target", F.expr("(n_pairs + 1) DIV 2")))
-    med_bucket = (hist.where((F.col("cum") >= F.col("target"))
-                             & (F.col("cum") - F.col("c")
-                                < F.col("target")))
-                  .select("user_id", "bkt",
-                          (F.col("cum") - F.col("c")).alias("below"),
-                          "n_pairs", "target"))
-    in_bucket = pairs_frame().join(F.broadcast(med_bucket),
-                                   ["user_id", "bkt"])
-    ranked = in_bucket.withColumn("rn", F.row_number().over(
-        wk.orderBy("slope", "i_id", "j_id")))
-    return (ranked.where(F.col("rn") == F.col("target") - F.col("below"))
-            .select("user_id", "n_pairs",
-                    F.col("slope").alias("slope_per_hour"))
+    def kern(batches):
+        # Partition-wide pass (the _apply_ewm discipline: one shuffle,
+        # no per-group Arrow round-trip — measured 1500 tiny grouped
+        # batches cost more than the pair math itself). The partition
+        # is buffered whole: per-key state is the full series, which
+        # is bounded by design; partitions hold many keys.
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        uid = pdf["user_id"].to_numpy("int64")
+        t = pdf["t"].to_numpy("int64")
+        eid = pdf["event_id"].to_numpy("int64")
+        v = pdf["v"].to_numpy("float64")
+        order = np.lexsort((eid, t, uid))
+        uid, t, eid, v = uid[order], t[order], eid[order], v[order]
+        cuts = np.flatnonzero(uid[1:] != uid[:-1]) + 1
+        rows = []
+        for lo, hi in zip(np.concatenate(([0], cuts)),
+                          np.concatenate((cuts, [len(uid)]))):
+            r = _key_median(uid[lo], t[lo:hi], eid[lo:hi], v[lo:hi])
+            if r is not None:
+                rows.append(r)
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "n_pairs",
+                                              "slope_per_hour"])
+
+    return (e.repartition("user_id")
+            .mapInPandas(kern, "user_id bigint, n_pairs bigint, "
+                               "slope_per_hour double")
             .orderBy("user_id"))
 
 

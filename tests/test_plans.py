@@ -702,32 +702,23 @@ def test_udtf_sessionize_planner_supplies_shuffle_and_sort(spark):
     assert "event_type" not in plan and "props" not in plan
 
 
-def test_theil_sen_two_phase_median_prunes_before_shuffle(spark):
-    """The pair fanout must stay an EQUI join on user_id (theta bound
-    residual — a pure theta join would be a cartesian at scale), and
-    the two-phase median must hold: (1) the phase-1 histogram
-    aggregates the pair stream MAP-SIDE (partial HashAggregate below
-    its exchange), (2) the phase-2 in-bucket sort is fed by the
-    (user_id, bkt) median-bucket join BEFORE any exchange — i.e. only
-    median-bucket pairs ever shuffle. The naive all-pairs
-    shuffle+sort was the repo's one-box sf10 cliff (SCALING.md
-    addendum 15)."""
+def test_theil_sen_kernel_shuffles_events_once_no_pair_rows(spark):
+    """r10 kernel shape: the pair lattice never exists as rows — the
+    events shuffle ONCE by user_id into a partition-wide MapInPandas
+    kernel (numpy pair generation + exact lexsort median inside the
+    task). No join of any kind may reappear (the flat pair join was
+    the repo's one-box sf10 cliff — SCALING.md addendum 15 — and the
+    r7-r9 two-phase form still ran the pair join twice), and the scan
+    must stay pruned to the four kernel inputs."""
     fn, _ = _QUERIES["theil_sen_trend"]
     plan = explain_str(fn(spark, SF_DIR), "simple")
-    assert ("BroadcastHashJoin [user_id" in plan
-            or "SortMergeJoin [user_id" in plan
-            or "ShuffledHashJoin [user_id" in plan), plan[:2000]
-    assert "CartesianProduct" not in plan
-    # the (user_id, bkt) median-bucket filter join exists
-    assert ", bkt" in plan.split("BroadcastHashJoin", 1)[1][:120] or \
-        any(", bkt" in seg[:120]
-            for seg in plan.split("BroadcastHashJoin")[1:]), plan[:3000]
-    # phase-1 histogram: partial aggregate below its exchange
-    assert "HashAggregate" in plan
-    # the full-pair window sort is gone: every Sort sits above the
-    # bucket-filter join (textually, the plan prints top-down, so the
-    # join must appear after the in-bucket Sort)
-    assert plan.index("Sort [user_id") < plan.index(", bkt")
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # one key exchange feeds the kernel; the only other exchange is
+    # the final presentation orderBy (rangepartitioning)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # pruned scan: the kernel input carries only its four columns
+    assert "event_type" not in plan and "props" not in plan
 
 
 def test_lateral_topk_decorrelates_to_window_group_limit(spark):
