@@ -1645,8 +1645,15 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen — measured 6.0 s → 2.3 s for 3 steps at
     sf0.1); the 64-double carrier vector round-trips through the
     driver (bounded, like the PQ codebook), never the data. At 10⁹
-    vectors: _PCA_ITERS scans, each with a 64-key reduce."""
-    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    vectors: _PCA_ITERS scans, each with a 64-key reduce.
+
+    No fan_out (r10): the per-row work here is one 64-step fold —
+    microseconds — so a round-robin fan of the 2 k-row fixture to 32
+    tasks costs more in exchange + per-task overhead than it
+    parallelizes (measured: 0.7 s → 0.35 s per step without it). At
+    scale the scan's own splits provide the parallelism fan_out
+    exists to guarantee for CPU-heavy kernels."""
+    emb = load_table(spark, sf_dir, "embeddings")
     v = [0.125] * _DIM
     lam = None
     for _ in range(_PCA_ITERS):

@@ -17,6 +17,20 @@ from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: AQE post-shuffle coalescing floor (spark.sql.adaptive.
+#: coalescePartitions.minPartitionSize, upstream default 1m). With
+#: `parallelismFirst` (default true) AQE sizes post-shuffle partitions
+#: at max(totalSize/parallelism, THIS FLOOR) — and the engine's keyed
+#: window/aggregate stages are CPU-bound (decimal-exact sums, per-key
+#: kernels) at ~50 KB/core on the bench fixtures, so the 1 MB floor
+#: collapses them to ONE task while 31 cores idle (measured r10: the
+#: lag-moment family 2.3-2.9 s -> 1.1-1.6 s at 64k, same plans). On a
+#: production cluster post-shuffle partitions are >> 1 MB and the
+#: floor never binds, so this is a small-input knob, not a cluster
+#: tuning: raise it back via SPARK_GRAFT_AQE_MIN_PARTITION if inputs
+#: per partition are I/O-bound (guide §2.2).
+_AQE_MIN_PARTITION = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on Python workers regardless of the
@@ -58,6 +72,8 @@ def get_spark(app_name: str = "big_data_share_market_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                _AQE_MIN_PARTITION)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark 4 defaults to ANSI (division-by-zero throws); the
@@ -91,6 +107,9 @@ def prep(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            _AQE_MIN_PARTITION)
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass
