@@ -404,7 +404,14 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = bars.withColumn("atr", atr)
     alpha = 1.0 / 14.0
     # The atr Window stage leaves data hash(user_id)-partitioned and
-    # (user_id, bar_ts)-sorted — kernel 1 needs no shuffle.
+    # (user_id, bar_ts)-sorted — kernel 1 needs no shuffle. Project to
+    # the 6 columns the kernel and the rest of the query actually use
+    # BEFORE the Python boundary (guide §4.1: mapInPandas ships every
+    # column it is given, both directions — high/low/diffs/tr/volume
+    # would cross twice for nothing); a select changes neither the
+    # partitioning nor the in-partition order assume_sorted relies on.
+    bars = bars.select("user_id", "bar_ts", "close",
+                       "plus_dm", "minus_dm", "atr")
     bars = _apply_ewm(bars, ["bar_ts"],
                       {"pdm_e": ("plus_dm", alpha), "mdm_e": ("minus_dm", alpha)},
                       assume_sorted=True)
@@ -425,7 +432,10 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("dx_base").cast(DEC)).over(w14b).cast("double")
                 / F.count("dx_base").over(w14b))
     bars = bars.withColumn("dx", dx)
-    # The dx rolling Window re-established the sorted layout.
+    # The dx rolling Window re-established the sorted layout. Same
+    # §4.1 projection before kernel 2: only (key, order, dx, close)
+    # cross the boundary.
+    bars = bars.select("user_id", "bar_ts", "close", "dx")
     bars = _apply_ewm(bars, ["bar_ts"], {"adx": ("dx", alpha)},
                       assume_sorted=True)
     return bars.select("user_id", "bar_ts", "close", "adx")
