@@ -304,6 +304,14 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
         .filter(F.col("jaccard") >= 0.8)
         .select("a_id", "b_id", "jaccard")
+        # Barrier before the presentation sort (r10): a global orderBy
+        # range-samples its child, which RE-EXECUTES everything since
+        # the last exchange — here the whole broadcast-join +
+        # array_intersect verify (measured: the duplicated pass was
+        # ~40% of this query's wall). The hash exchange materializes
+        # the tiny survivor set once; the sampler then reads shuffle
+        # files. Same rows, same final order.
+        .repartition("a_id")
         .orderBy("a_id", "b_id")
     )
 
@@ -384,6 +392,10 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
         .filter(F.col("jaccard") >= 0.8)
         .select("a_id", "b_id", "jaccard")
+        # Sort-sampler barrier — see q_ngram_jaccard_dedup (measured
+        # here: 3.8-4.0 s -> 2.4-2.5 s, the map-side verify no longer
+        # runs twice).
+        .repartition("a_id")
         .orderBy("a_id", "b_id")
     )
 
@@ -1613,6 +1625,8 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_ba", F.col("inter") / F.col("sz_b").cast("double"))
         .filter(F.greatest("c_ab", "c_ba") >= _CONTAIN_T)
         .select("a_id", "b_id", "c_ab", "c_ba")
+        # Sort-sampler barrier — see q_ngram_jaccard_dedup.
+        .repartition("a_id")
         .orderBy("a_id", "b_id")
     )
 

@@ -239,6 +239,11 @@ def theil_sen_fit(e: DataFrame) -> DataFrame:
     return (e.repartition("user_id")
             .mapInPandas(kern, "user_id bigint, n_pairs bigint, "
                                "slope_per_hour double")
+            # Sort-sampler barrier (see dedup.q_ngram_jaccard_dedup):
+            # without it the presentation orderBy's range sampler
+            # re-executes the kernel pass. The exchange moves only the
+            # keys-sized output.
+            .repartition("user_id")
             .orderBy("user_id"))
 
 

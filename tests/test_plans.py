@@ -714,9 +714,10 @@ def test_theil_sen_kernel_shuffles_events_once_no_pair_rows(spark):
     plan = explain_str(fn(spark, SF_DIR), "simple")
     assert "MapInPandas" in plan, plan[:2000]
     assert "Join" not in plan and "CartesianProduct" not in plan
-    # one key exchange feeds the kernel; the only other exchange is
+    # one key exchange feeds the kernel, one keys-sized barrier stops
+    # the orderBy sampler re-running it; the only other exchange is
     # the final presentation orderBy (rangepartitioning)
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
     # pruned scan: the kernel input carries only its four columns
     assert "event_type" not in plan and "props" not in plan
 
