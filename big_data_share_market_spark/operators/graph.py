@@ -118,6 +118,22 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (_DAMP_DEN - _DAMP_NUM) * _TOTAL // (_DAMP_DEN * n)
     ranks = adj.select(F.col("src").alias("node"),
                        F.lit(_TOTAL // n).cast("long").alias("units"))
+    # Per-round frontier width (r11; guide §2.2/§2.6): the rank
+    # relation is |V| 16-byte rows, and each of the 5 reduce stages is
+    # a separate AQE-materialized job — the engine-wide 64 KiB
+    # coalescing floor (session.py, a win for the CPU-bound keyed
+    # stages) here splits a ~1 MB frontier into dozens of micro-tasks
+    # whose scheduling overhead exceeds their work (driver-measured
+    # r10 regression: 2.10 → 2.44 s). Cap each round's reduce stage at
+    # the width the upstream 1 MiB AQE default would pick:
+    # ceil(frontier_bytes / 1 MiB), clamped to the cluster parallelism
+    # exactly like AQE's parallelismFirst. Node-count-derived, not
+    # core-count-derived: at 2 M nodes this is ~=92 tasks and at 10^9
+    # nodes the parallelism clamp governs — the floor never binds at
+    # scale, the cap never starves it.
+    _ROW_BYTES = 48  # (node, units) longs + unsafe-row/shuffle overhead
+    width = max(1, min(-(-n * _ROW_BYTES // (1 << 20)),
+                       spark.sparkContext.defaultParallelism))
     for _ in range(_ITERS):
         contribs = (
             adj.join(ranks, adj["src"] == ranks["node"])
@@ -136,6 +152,7 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(base).cast("long")
                      + F.expr(f"({_DAMP_NUM} * s) div {_DAMP_DEN}")
                      ).alias("units"))
+            .coalesce(width)
         )
     return ranks.select(
         "node", "units",

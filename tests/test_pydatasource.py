@@ -56,6 +56,21 @@ def test_tick_is_deterministic():
     assert t1[2] == start + dt.timedelta(seconds=420)
 
 
+def test_tick_fn_twin_matches_tick():
+    """_tick_fn is the ship-by-value twin of _tick (driver-side
+    streaming source planner lacks addPyFile modules). Divergence was
+    previously caught only by the slower oracle parity suite (r10
+    ADVICE); pin the twins equal in the fast unit tier."""
+    import datetime as dt
+
+    from big_data_share_market_spark.sources.pydatasource import _tick_fn
+    twin = _tick_fn()
+    start = dt.datetime(2024, 1, 1, 9, 30)
+    for sym, seq in [("AAPL", 0), ("TSLA", 255), ("GOOG", 7),
+                     ("x:y", 1023)]:
+        assert twin(sym, seq, start, 60) == _tick(sym, seq, start, 60)
+
+
 def _stream_reader(options):
     from big_data_share_market_spark.sources.pydatasource import (
         make_tick_stream_datasource)
