@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import DEC
-from ..tables import load_table
+from ..tables import keyed_repartition, load_table
 from .transforms import BARS_CTE, bar_window, ohlc_bars
 
 _ORACLE_KEY_WINDOW = (
@@ -126,7 +126,10 @@ def _apply_ewm(df: DataFrame, order_cols: list[str], value_cols: dict[str, tuple
     if assume_sorted:
         staged = df
     else:
-        staged = df.repartition(key_col).sortWithinPartitions(key_col, *order_cols)
+        # Width scales with input bytes (r11, guide §5): identical
+        # plan at fixture scale, bounded partition bytes at 100 TB.
+        staged = keyed_repartition(df, key_col).sortWithinPartitions(
+            key_col, *order_cols)
     res = staged.mapInPandas(_ewm_kernel(list(value_cols.items()), key_col),
                              schema=schema)
     for out_name in value_cols:
@@ -708,7 +711,7 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if row is not None:
             yield pd.DataFrame([row])
 
-    staged = s.repartition("user_id").sortWithinPartitions(
+    staged = keyed_repartition(s, "user_id").sortWithinPartitions(
         "user_id", "ts", "event_id")
     return staged.mapInPandas(kernel, schema=schema).orderBy("user_id")
 

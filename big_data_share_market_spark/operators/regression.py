@@ -28,7 +28,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import keyed_repartition, load_table
+
+#: theil_sen_fit series-length guard (r10 ADVICE): the kernel
+#: allocates O(n²/2) pair indices per key, so an unbounded series
+#: must degrade LOUDLY (this error names the bounded-work lane)
+#: instead of OOMing an executor. 8192 rows ≈ 33.5 M pairs ≈ ~0.8 GB
+#: of transient numpy per key — the upper edge of one healthy task.
+#: Fixture series are ~66 rows (sf-invariant by design, TESTDATA.md).
+_THEIL_SEN_MAX_SERIES = 8192
+
+
+def _check_series_len(n: int, uid) -> None:
+    if n > _THEIL_SEN_MAX_SERIES:
+        raise ValueError(
+            f"theil_sen_fit: key {uid} has a {n}-row series "
+            f"(> {_THEIL_SEN_MAX_SERIES}); the exact O(n^2/2) kernel "
+            "is bounded-series-only — use stats.q_theil_sen_capped "
+            "(stride-capped) for unbounded series.")
 
 #: Exact-integer sum capacity: Σy² terms reach ~1e14 per row — far
 #: past int64 at corpus row counts — so moments accumulate in
@@ -195,6 +212,7 @@ def theil_sen_fit(e: DataFrame) -> DataFrame:
     def _key_median(uid, t, eid, v):
         """Exact lower-median slope for ONE key's sorted series; None
         when no strict pair exists (singleton / all-tied)."""
+        _check_series_len(len(t), uid)
         i, j = np.triu_indices(len(t), k=1)
         keep = t[i] < t[j]  # strict: tied timestamps form no pair
         i, j = i[keep], j[keep]
@@ -236,7 +254,7 @@ def theil_sen_fit(e: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["user_id", "n_pairs",
                                               "slope_per_hour"])
 
-    return (e.repartition("user_id")
+    return (keyed_repartition(e, "user_id")
             .mapInPandas(kern, "user_id bigint, n_pairs bigint, "
                                "slope_per_hour double")
             # Sort-sampler barrier (see dedup.q_ngram_jaccard_dedup):

@@ -853,6 +853,13 @@ def _session_timeout_fn(gap_us: int):
         firsts = ts_us[idx]
         lasts = ts_us[ends - 1]  # sorted ⇒ per-segment max is the last row
         counts = (ends - idx).astype("int64")
+        # reduceat sums int64 with wraparound on overflow (the old
+        # Python-int loop would have failed loudly at Arrow
+        # conversion). Acceptable under the BIGINT output/state
+        # schema: value_u6 is a 1e-6-unit quantization of a bounded
+        # price, so one session's sum sits ~9 orders of magnitude
+        # under int64 range; sum via Python objects if value_u6
+        # magnitudes ever approach it (r10 ADVICE).
         sums = np.add.reduceat(u6, idx)
         if state_closes_alone:
             firsts = np.concatenate(([st_start], firsts))

@@ -54,6 +54,44 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def kernel_width(df: DataFrame, per_partition_bytes: int = 128 << 20) -> int | None:
+    """Scale-adaptive shuffle width for keyed partition-wide kernels
+    (theil_sen_fit, _apply_ewm): with `repartition(key)` the width is
+    `spark.sql.shuffle.partitions` — constant — so partition BYTES
+    grow linearly with input and a 100 TB run walks into the §5
+    spill/OOM cliff. When the optimizer's size estimate says the
+    default width would exceed `per_partition_bytes` per partition,
+    return the wider explicit count (ceil(bytes/target)); otherwise
+    return None and the caller keeps the plain `repartition(key)`
+    (identical plan at fixture scale, AQE coalescing intact). The
+    estimate is the pre-shuffle optimized-plan size — conservative
+    for these kernels, whose input is a pruned scan."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    if size >= 1 << 50:
+        # "Unknown" sentinel (RDD-backed plans report
+        # spark.sql.defaultSizeInBytes = Long.MaxValue): no usable
+        # estimate — keep the session default rather than exploding
+        # the width to 2^36 partitions.
+        return None
+    need = -(-size // per_partition_bytes)
+    return need if need > default else None
+
+
+def keyed_repartition(df: DataFrame, *cols: str,
+                      per_partition_bytes: int = 128 << 20) -> DataFrame:
+    """`df.repartition(*cols)` whose width scales with input bytes —
+    see :func:`kernel_width`."""
+    width = kernel_width(df, per_partition_bytes)
+    if width is None:
+        return df.repartition(*cols)
+    return df.repartition(width, *cols)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -271,3 +271,43 @@ def test_theil_sen_exact_recovery_with_outliers(spark):
     (row,) = theil_sen_fit(e).collect()
     assert row.n_pairs == 66
     assert row.slope_per_hour == 2.5
+
+
+def test_theil_sen_series_length_guard_degrades_loudly():
+    """The O(n²/2)-per-key kernel must refuse an over-long series with
+    an error naming the bounded-work lane, not OOM an executor (r10
+    ADVICE). Unit-level: the guard is module-level so the worker-side
+    kernel and this test share one implementation."""
+    import pytest as _pytest
+
+    from big_data_share_market_spark.operators.regression import (
+        _THEIL_SEN_MAX_SERIES, _check_series_len)
+
+    _check_series_len(_THEIL_SEN_MAX_SERIES, 1)  # at the bound: fine
+    with _pytest.raises(ValueError, match="theil_sen_capped"):
+        _check_series_len(_THEIL_SEN_MAX_SERIES + 1, 1)
+
+
+@pytest.mark.usefixtures("spark")
+def test_kernel_width_scales_with_input_bytes(spark):
+    """keyed_repartition keeps the plain repartition(key) when the
+    session default bounds partition bytes (identical local plans) and
+    widens explicitly when the size estimate demands it (r10 verdict
+    item 5 — partition bytes must not grow linearly with input)."""
+    from big_data_share_market_spark.tables import (
+        kernel_width, keyed_repartition)
+
+    df = spark.range(0, 10_000).selectExpr("id AS user_id", "id AS v")
+    # Small input, 128 MB target: default width already bounds it.
+    assert kernel_width(df) is None
+    plan_default = keyed_repartition(df, "user_id")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "RepartitionByExpression [user_id" in plan_default
+    # Force the scale regime with a tiny per-partition target: the
+    # explicit width must exceed the session default.
+    w = kernel_width(df, per_partition_bytes=1024)
+    assert w is not None
+    assert w > int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = keyed_repartition(df, "user_id", per_partition_bytes=1024)
+    assert f", {w}" in wide._jdf.queryExecution().optimizedPlan() \
+        .toString().splitlines()[0]
