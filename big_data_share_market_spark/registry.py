@@ -56,46 +56,56 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: 41 of the 49 r3-last-green queries. The spill below goes first
 #: next round.
 #:
-#: ROUND-11 ROTATION NOTE: first the 7 r3 spill queries
-#: {source_quality_stats, stochastic_oscillator, stratified_sample,
-#: stream_drawdown_per_key, tfidf_top_terms, vwap_daily,
-#: winnowing_fingerprint}, then the r4 family oldest-first — plus,
-#: as always, front-load r11 additions and anything r11 code
-#: changes touch.
+#: ROUND-11 WINDOW (r10 verdict item 3 + the r10 rotation note): the
+#: r10 window was frozen before that round's optimizer ran, so the
+#: driver never re-oracled the heaviest r10 rewrites — this window
+#: leads with every r10-rewritten path and everything the r11
+#: optimization round touches, then the 7 r3 spill queries, then the
+#: r4 family oldest-first.
+#:
+#: ROUND-12 ROTATION NOTE: the remaining 18 r4-last-green queries
+#: {kmeans_train, label_centroids, lsh_bucket_health,
+#: media_phash_dedup, minhash_est_quality, neardup_split_leakage,
+#: normalized_dedup, orc_roundtrip_agg, psi_drift,
+#: quality_classifier, rrf_hybrid_topk, salted_skew_join,
+#: schema_evolution_read, semantic_dedup, snapshot_diff, sq8_topk,
+#: stream_ingest_dedup_gate, vocab_coverage}, then the r5 family
+#: oldest-first — plus, as always, front-load r12 additions and
+#: anything r12 code changes touch.
 _FIRST_50 = (
-    # --- (a) round-10 additions: AR order selection (composes the
-    # ACF/PACF/Ljung-Box kit), rolling pairwise covariance/
-    # correlation (the bounded-universe risk-model input), the
-    # Lo-MacKinlay variance-ratio random-walk screen, and the
-    # per-day Fama-MacBeth cross-sectional momentum regression ---
-    "ar_order_select", "rolling_covariance", "variance_ratio",
-    "cross_sectional_momentum",
-    # --- (b) re-verification of everything r10 code touched:
-    # the five _s/_sq consumers (string-path double conversion),
-    # the fused FK audit, and the recursive-CTE Kalman's
-    # checkpoint-unpersist lifecycle ---
-    "realized_volatility", "beta_vs_market", "corr_pairs",
-    "return_autocorr", "acf_multi_lag", "fk_integrity_audit",
-    "recursive_cte_kalman",
-    # --- (c) rotation: 39 of the 49 r3-last-green queries (three of
-    # the 49 — beta_vs_market/corr_pairs/realized_volatility — are
-    # already in (b); the 7-query spill is listed in the ROUND-11
-    # note above) ---
-    "json_envelope_roundtrip", "jsonl_corrupt_tolerant_scan",
-    "props_json_extract", "exact_dedup", "token_count",
-    "ann_lsh_topk", "ann_recall_eval", "bigram_counts",
-    "bigram_lm_score", "bollinger_bands", "bucketed_join_revenue",
-    "chunk_documents", "cross_split_contamination",
-    "custkeys_intersect", "customer_balance_ranks",
-    "dedup_components", "doc_fingerprint", "dow_seasonality",
-    "incremental_ohlc_rollup", "lang_id", "length_histogram",
-    "max_drawdown", "media_audio_segments", "media_decode_features",
-    "media_frame_sample", "media_resize", "missing_bars",
-    "mixture_sample", "nested_array_roundtrip",
-    "ngram_jaccard_capped", "ngram_jaccard_dedup", "obv",
-    "ohlc_day_rollup", "pack_tokens", "partition_pruned_agg",
-    "pii_scrub", "rolling_zscore", "scd2_order_priority",
-    "scd2_snapshot",
+    # --- (a) r11-touched paths: the pagerank frontier-width fix,
+    # the PCA driver-overhead restructure, and the scale-adaptive
+    # keyed_repartition width in theil_sen_fit/_apply_ewm (every
+    # consumer of the changed unsorted kernel path gets a fresh
+    # driver row) ---
+    "part_pagerank", "pca_power_iteration", "theil_sen_trend",
+    "ema", "macd", "tsi", "adx", "atr_wilder", "chandelier_exit",
+    "force_index", "elder_ray", "chaikin_oscillator",
+    "dashboard_snapshot", "holt_winters", "holt_forecast",
+    # --- (b) r10 rewrites the driver has not yet re-oracled (the
+    # r10 window predated the optimizer): one-pass triangles, the
+    # vectorized session-timeout kernel, the 3 sort-barrier dedups,
+    # and the staged daily-returns consumers ---
+    "part_triangles", "stream_session_timeout",
+    "ngram_jaccard_dedup", "ngram_jaccard_capped",
+    "containment_neardup",
+    "rolling_covariance", "corr_pairs", "cross_sectional_momentum",
+    "variance_ratio",
+    # --- (c) the 7 r3-last-green spill queries (oldest rows in the
+    # evidence chain) ---
+    "source_quality_stats", "stochastic_oscillator",
+    "stratified_sample", "stream_drawdown_per_key",
+    "tfidf_top_terms", "vwap_daily", "winnowing_fingerprint",
+    # --- (d) rotation: the r4 family oldest-first (19 of 45;
+    # containment_neardup is already in (b); the rest spill to r12
+    # per the note above) ---
+    "ab_test_ztest", "ann_batch_topk", "ann_pq_topk",
+    "binaryfile_ingest", "bloom_incremental_dedup", "bm25_topk",
+    "candle_color", "csv_roundtrip", "curriculum_stages",
+    "custkeys_except", "dedup_keep_longest", "dsir_weights",
+    "eval_ngram_contamination", "file_zonemap_audit", "gdpr_erasure",
+    "gopher_filters", "heavy_hitters", "incremental_dedup",
+    "kmeans_lloyd_step",
 )
 
 
