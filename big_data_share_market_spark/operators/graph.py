@@ -465,33 +465,45 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts read one block. At web scale (|V| beyond one task)
     # drop the coalesce and let the semi-joins shuffle — the loop
     # structure is unchanged.
-    active = (edges.select(F.col("src").alias("node")).distinct()
-              .coalesce(1).localCheckpoint())
-    n_active = active.count()
+    # The peel loop is EAGER (localCheckpoint + count per round), so
+    # AQE is scoped OFF around it and restored before the lazy result
+    # is returned (the q_pca_power_iteration discipline, r11): each
+    # round's V-sized degree job otherwise pays AQE's per-exchange
+    # materialization jobs to re-plan a coalesce(1)-capped shuffle —
+    # measured same-session 4.3-4.7 → 3.1-3.9 s for the build.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     peeled = []
-    for i in range(1, _KCORE_ROUNDS + 1):
-        sa = active.select(F.col("node").alias("src"))
-        sb = active.select(F.col("node").alias("dst"))
-        deg = (edges
-               .join(F.broadcast(sa), "src")
-               .join(F.broadcast(sb), "dst")
-               .groupBy("src").agg(F.count("*").alias("c")))
-        surv = (deg.filter(F.col("c") >= _KCORE_K)
-                .select(F.col("src").alias("node"))
-                .coalesce(1).localCheckpoint())
-        peeled.append(
-            active.join(F.broadcast(surv), "node", "left_anti")
-            .select("node", F.lit(i).alias("peel_round")))
-        n_surv = surv.count()
-        removed_any = n_surv != n_active
-        active, n_active = surv, n_surv
-        # A round that removes nothing IS the fixpoint — every later
-        # round would recompute identical degrees and remove nothing,
-        # so skipping them cannot change the output (the oracle keeps
-        # the full unroll; its extra rounds are the same no-ops). The
-        # count is a free read off the just-checkpointed relation.
-        if not removed_any:
-            break
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        active = (edges.select(F.col("src").alias("node")).distinct()
+                  .coalesce(1).localCheckpoint())
+        n_active = active.count()
+        for i in range(1, _KCORE_ROUNDS + 1):
+            sa = active.select(F.col("node").alias("src"))
+            sb = active.select(F.col("node").alias("dst"))
+            deg = (edges
+                   .join(F.broadcast(sa), "src")
+                   .join(F.broadcast(sb), "dst")
+                   .groupBy("src").agg(F.count("*").alias("c")))
+            surv = (deg.filter(F.col("c") >= _KCORE_K)
+                    .select(F.col("src").alias("node"))
+                    .coalesce(1).localCheckpoint())
+            peeled.append(
+                active.join(F.broadcast(surv), "node", "left_anti")
+                .select("node", F.lit(i).alias("peel_round")))
+            n_surv = surv.count()
+            removed_any = n_surv != n_active
+            active, n_active = surv, n_surv
+            # A round that removes nothing IS the fixpoint — every
+            # later round would recompute identical degrees and
+            # remove nothing, so skipping them cannot change the
+            # output (the oracle keeps the full unroll; its extra
+            # rounds are the same no-ops). The count is a free read
+            # off the just-checkpointed relation.
+            if not removed_any:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     sa = active.select(F.col("node").alias("src"))
     sb = active.select(F.col("node").alias("dst"))
     core_deg = (edges
@@ -576,24 +588,31 @@ def q_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from every later layer) — identical in the oracle's unrolled
     MATERIALIZED CTE chain."""
     edges = _repeat_edges(spark, sf_dir)
-    reached = (edges.agg(F.min("src").alias("node"))
-               .withColumn("hops", F.lit(0))
-               .coalesce(1).localCheckpoint())
-    frontier = reached.select("node")
-    for i in range(1, _BFS_ROUNDS + 1):
-        nxt = (edges
-               .join(F.broadcast(frontier.withColumnRenamed("node", "src")),
-                     "src")
-               .select(F.col("dst").alias("node")).distinct())
-        new = (nxt.join(F.broadcast(reached.select("node")),
-                        "node", "left_anti")
-               .withColumn("hops", F.lit(i))
-               .coalesce(1).localCheckpoint())
-        if new.limit(1).count() == 0:
-            break
-        reached = (reached.unionByName(new)
+    # Eager expansion loop → AQE scoped OFF and restored, exactly the
+    # q_part_kcore note above (r11).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        reached = (edges.agg(F.min("src").alias("node"))
+                   .withColumn("hops", F.lit(0))
                    .coalesce(1).localCheckpoint())
-        frontier = new.select("node")
+        frontier = reached.select("node")
+        for i in range(1, _BFS_ROUNDS + 1):
+            nxt = (edges
+                   .join(F.broadcast(
+                       frontier.withColumnRenamed("node", "src")), "src")
+                   .select(F.col("dst").alias("node")).distinct())
+            new = (nxt.join(F.broadcast(reached.select("node")),
+                            "node", "left_anti")
+                   .withColumn("hops", F.lit(i))
+                   .coalesce(1).localCheckpoint())
+            if new.limit(1).count() == 0:
+                break
+            reached = (reached.unionByName(new)
+                       .coalesce(1).localCheckpoint())
+            frontier = new.select("node")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return reached.orderBy("node")
 
 
