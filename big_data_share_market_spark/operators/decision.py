@@ -566,13 +566,23 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the max shipdate and the distinct supplier count plus the
     max shipdate over OTHER suppliers; the strictly-latest test is
     max(own) > max(others) — same semantics as the EXISTS/NOT EXISTS
-    pair, but two shuffles total instead of three lineitem scans: one
-    aggregate to (order, supplier) grain, then window functions over
-    the order key derive supplier count, order-wide max shipdate, and
-    the tie count in one pass over the already-collapsed aggregate."""
+    pair, but ONE lineitem shuffle total instead of three lineitem
+    scans: the pruned scan repartitions by l_orderkey once, and both
+    the (order, supplier) aggregate and every window function reuse
+    that exchange (hashpartitioning(o) satisfies the clustering
+    requirement of a groupBy(o, s) AND of a window over o — guide
+    §2.4 "two operations keyed the same way share one exchange").
+    The r9-r10 form aggregated first and paid a second exchange to
+    re-cluster the (o, s)-grain rows by order; at TPC-H line-per-
+    order fan-out the partial aggregate barely compresses (the
+    (o, s) grain is ~0.95× lineitem), so the old shape shuffled
+    ~2× the bytes of this one (r11; plan: 3 → 2 hash exchanges,
+    plans/r11/suppliers_kept_waiting_{before,after}.txt)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    pso = (li.groupBy("l_orderkey", "l_suppkey")
+    pso = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+           .repartition("l_orderkey")
+           .groupBy("l_orderkey", "l_suppkey")
            .agg(F.max("l_shipdate").alias("supp_max_ship")))
     w = W.partitionBy("l_orderkey")
     waiting = (

@@ -101,8 +101,12 @@ def _co_adjacency(spark: SparkSession, sf_dir: str):
                 F.count("*").alias("outdeg"))
            .persist(StorageLevel.MEMORY_AND_DISK))
     n_nodes = adj.count()
-    _EDGE_CACHE[key] = (adj, n_nodes)
-    return adj, n_nodes
+    # Directed edge count (Σ outdeg), read off the just-persisted
+    # relation in one tiny agg: q_part_pagerank sizes its per-round
+    # frontier stage by the EDGE volume the stage explodes (r11).
+    n_edges = adj.agg(F.sum("outdeg")).first()[0] or 0
+    _EDGE_CACHE[key] = (adj, n_nodes, n_edges)
+    return adj, n_nodes, n_edges
 
 
 def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,26 +118,35 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The loop builds the logical plan iteratively — Catalyst sees five
     join+agg rounds against one persisted edge relation; nothing is
     collected to the driver."""
-    adj, n = _co_adjacency(spark, sf_dir)
+    adj, n, n_edges = _co_adjacency(spark, sf_dir)
     base = (_DAMP_DEN - _DAMP_NUM) * _TOTAL // (_DAMP_DEN * n)
     ranks = adj.select(F.col("src").alias("node"),
                        F.lit(_TOTAL // n).cast("long").alias("units"))
-    # Per-round frontier width (r11; guide §2.2/§2.6): the rank
-    # relation is |V| 16-byte rows, and each of the 5 reduce stages is
-    # a separate AQE-materialized job — the engine-wide 64 KiB
-    # coalescing floor (session.py, a win for the CPU-bound keyed
-    # stages) here splits a ~1 MB frontier into dozens of micro-tasks
-    # whose scheduling overhead exceeds their work (driver-measured
-    # r10 regression: 2.10 → 2.44 s). Cap each round's reduce stage at
-    # the width the upstream 1 MiB AQE default would pick:
-    # ceil(frontier_bytes / 1 MiB), clamped to the cluster parallelism
-    # exactly like AQE's parallelismFirst. Node-count-derived, not
-    # core-count-derived: at 2 M nodes this is ~=92 tasks and at 10^9
-    # nodes the parallelism clamp governs — the floor never binds at
-    # scale, the cap never starves it.
-    _ROW_BYTES = 48  # (node, units) longs + unsafe-row/shuffle overhead
-    width = max(1, min(-(-n * _ROW_BYTES // (1 << 20)),
-                       spark.sparkContext.defaultParallelism))
+    # Per-round frontier width (r11; guide §2.2/§2.6): each round's
+    # reduce stage is a separate AQE-materialized job, and the
+    # engine-wide 64 KiB coalescing floor (session.py, a win for the
+    # CPU-bound keyed stages) splits the small sf0.1 frontier into
+    # dozens of micro-tasks whose scheduling overhead exceeds their
+    # work (driver-measured r10 regression: 2.10 → 2.44 s). The
+    # coalesce caps the WHOLE fused stage — final rank agg PLUS the
+    # next round's join+explode map work — so the width must scale
+    # with the EDGE volume that stage explodes, not the node count
+    # (a |V|-derived width starved the sf1 map work: 3.8 → 5.9 s
+    # measured). The stage's dominant work is the |E|-row explode +
+    # partial agg (~50-100 ns/row of codegen'd integer work), so the
+    # width targets ~500 k edge rows per task — tens of ms, the
+    # classic task-size floor; the sf0.1 width sweep measured 1/2/5/
+    # 10 all ≈1.25-1.34 s vs 2.06 s uncapped, and ceil(|E|/500k)
+    # lands on 5. When the edge-derived width reaches the cluster
+    # parallelism the Coalesce node is OMITTED entirely (width =
+    # None), not emitted as a same-count no-op: a user coalesce
+    # blocks AQE's own runtime coalescing of that stage, and at sf1
+    # (|E| 24 M, adjacency past the broadcast threshold, SMJ rounds)
+    # the "no-op" coalesce(32) measured 3.5 → 4.2 s.
+    _EDGE_ROWS_PER_TASK = 500_000
+    width = max(1, -(-n_edges // _EDGE_ROWS_PER_TASK))
+    if width >= spark.sparkContext.defaultParallelism:
+        width = None
     for _ in range(_ITERS):
         contribs = (
             adj.join(ranks, adj["src"] == ranks["node"])
@@ -152,8 +165,9 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(base).cast("long")
                      + F.expr(f"({_DAMP_NUM} * s) div {_DAMP_DEN}")
                      ).alias("units"))
-            .coalesce(width)
         )
+        if width is not None:
+            ranks = ranks.coalesce(width)
     return ranks.select(
         "node", "units",
         (F.col("units").cast("double") / F.lit(float(_TOTAL))).alias("rank"))
@@ -220,7 +234,7 @@ def _oriented_adjacency(spark: SparkSession, sf_dir: str):
     cached = _TRI_CACHE.get(key)
     if cached is not None:
         return cached
-    adj, _n = _co_adjacency(spark, sf_dir)
+    adj, _n, _e = _co_adjacency(spark, sf_dir)
     edges = adj.select("src", "outdeg", F.explode("dsts").alias("dst"))
     dd = adj.select(F.col("src").alias("dst"),
                     F.col("outdeg").alias("dst_deg"))
@@ -271,7 +285,7 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     join formulation — a different orientation, the identical
     triangle set. clustering = 2·tri/(deg·(deg−1)), NULL for
     degree-1 nodes."""
-    adj, n_nodes = _co_adjacency(spark, sf_dir)
+    adj, n_nodes, _n_edges = _co_adjacency(spark, sf_dir)
     degs = adj.select(F.col("src").alias("node"),
                       F.col("outdeg").alias("degree"))
     oriented, out_adj = _oriented_adjacency(spark, sf_dir)

@@ -24,7 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def pagerank_r10(spark, sf_dir):
     """The r10 loop body, verbatim minus the r11 coalesce."""
-    adj, n = graph._co_adjacency(spark, sf_dir)
+    adj, n, _n_edges = graph._co_adjacency(spark, sf_dir)
     base = ((graph._DAMP_DEN - graph._DAMP_NUM) * graph._TOTAL
             // (graph._DAMP_DEN * n))
     ranks = adj.select(F.col("src").alias("node"),
