@@ -753,7 +753,26 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, and the data is rescanned per iteration (a production
     run would .persist() the assignment input once). The oracle
     unrolls the same three iterations as generated CTEs, so the full
-    trajectory — not just one step — is bit-exact against DuckDB."""
+    trajectory — not just one step — is bit-exact against DuckDB.
+
+    r11 recompute shape: the per-iteration mean recomputation runs as
+    posexplode'd (clabel, dim, x) CELLS through one narrow
+    map-side-combined groupBy(clabel, dim) — the embedding_dim_stats
+    lesson — instead of a 129-expression groupBy(clabel) aggregate:
+    the wide form fell out of whole-stage codegen AND its ~320
+    Column objects per iteration made the eager analyzer re-walk a
+    tree that grew by that much per iteration, so QUERY CONSTRUCTION
+    alone cost 5.5-6.6 s of driver time (measured §1-style: build
+    6.0 s / plan 0.17 s / execute 4.3 s). Each iteration's ~650-row
+    per-dim aggregate is localCheckpointed (the kcore/cc loop
+    discipline — freezes the exact computed decimals, keeps the
+    per-iteration plan constant); the means, the rebuilt centroid
+    array (array_sort over (dim, mean) structs — exact), and
+    n_members (count of dim-0/NULL-dim cells = one per assigned
+    vector, including empty-embedding rows) all read those frozen
+    sums, so every output double is bit-identical to the wide form
+    (A/B-verified row-for-row at sf0.1 and vs the unchanged oracle).
+    Measured: 10.6-12.2 s → 4.9-5.8 s."""
     # Norms hoisted OUT of the 10-way crossJoin: ‖e‖ is computed once
     # per vector (not once per (vector, label) pair) and ‖c‖ once per
     # codebook row. Identical subexpressions, identical values; ~3×
@@ -765,7 +784,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroids(spark, sf_dir)
     cos_c = (F.expr(_DOT.format(a="embedding", b="centroid"))
              / F.nullif(F.col("e_nrm") * F.col("c_nrm"), F.lit(0.0)))
-    agg = None
+    gb = None
     for _ in range(_KMEANS_ITERS):
         cents_n = cents.withColumn(
             "c_nrm", F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid"))))
@@ -777,27 +796,39 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy(F.desc("cos_c"), F.asc("clabel"))))
             .filter(F.col("rn") == 1)
             .select("vec_id", "embedding", "clabel"))
-        agg = assigned.groupBy("clabel").agg(
-            F.count("*").alias("n_members"),
-            *[F.sum(F.col("embedding").getItem(i).cast("double")
-                    .cast("decimal(25,6)")).alias(f"s{i}")
-              for i in range(_DIM)],
-            *[F.count(F.col("embedding").getItem(i)).alias(f"c{i}")
-              for i in range(_DIM)])
-        cents = agg.select(
-            "clabel",
-            F.array(*[(F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
-                      for i in range(_DIM)]).alias("centroid"))
+        cells = assigned.select(
+            "clabel", F.posexplode_outer("embedding").alias("dim", "x"))
+        gb = (cells.groupBy("clabel", "dim")
+              .agg(F.count("*").alias("nr"),
+                   F.sum(F.col("x").cast("double").cast("decimal(25,6)"))
+                   .alias("s"),
+                   F.count("x").alias("c"))
+              .localCheckpoint())
+        mean = (F.col("s").cast("double") / F.col("c")).alias("m")
+        cents = (gb.filter(F.col("dim").isNotNull())
+                 .select("clabel", "dim", mean)
+                 .groupBy("clabel")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                     lambda t: t["m"]).alias("centroid")))
     # Exploded scalar output rows, same driver-hashable contract as
-    # kmeans_lloyd_step / label_centroids.
-    return (agg.select(
-        "clabel", "n_members",
-        F.posexplode(F.array(*[
-            (F.col(f"s{i}").cast("double") / F.col(f"c{i}"))
-            for i in range(_DIM)])).alias("dim", "mean_x"))
-        .select("clabel", F.col("dim").cast("long").alias("dim"),
-                "mean_x", "n_members")
-        .orderBy("clabel", "dim"))
+    # kmeans_lloyd_step / label_centroids. n_members and the per-dim
+    # means both read the final frozen per-dim aggregate.
+    # coalesce-with-0 restores the wide form's NOT NULL schema flags
+    # (dim is post-filter non-null, n_members a non-empty group sum —
+    # the 0 arms are unreachable; only nullability metadata changes).
+    n_members = (gb.filter(F.col("dim").isNull() | (F.col("dim") == 0))
+                 .groupBy("clabel")
+                 .agg(F.coalesce(F.sum("nr"), F.lit(0).cast("long"))
+                      .alias("n_members")))
+    means = (gb.filter(F.col("dim").isNotNull())
+             .select("clabel",
+                     F.coalesce(F.col("dim"), F.lit(0)).cast("long")
+                     .alias("dim"),
+                     (F.col("s").cast("double") / F.col("c")).alias("mean_x")))
+    return (means.join(F.broadcast(n_members), "clabel")
+            .select("clabel", "dim", "mean_x", "n_members")
+            .orderBy("clabel", "dim"))
 
 
 def _kmeans_train_sql() -> str:

@@ -64,7 +64,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: r4 family oldest-first.
 #:
 #: ROUND-12 ROTATION NOTE: the remaining 18 r4-last-green queries
-#: {kmeans_train, label_centroids, lsh_bucket_health,
+#: {kmeans_lloyd_step, label_centroids, lsh_bucket_health,
 #: media_phash_dedup, minhash_est_quality, neardup_split_leakage,
 #: normalized_dedup, orc_roundtrip_agg, psi_drift,
 #: quality_classifier, rrf_hybrid_topk, salted_skew_join,
@@ -105,7 +105,10 @@ _FIRST_50 = (
     "custkeys_except", "dedup_keep_longest", "dsir_weights",
     "eval_ngram_contamination", "file_zonemap_audit", "gdpr_erasure",
     "gopher_filters", "heavy_hitters", "incremental_dedup",
-    "kmeans_lloyd_step",
+    # r11-touched (narrow cells-shaped Lloyd recompute), so it takes
+    # the r4-rotation seat its sibling kmeans_lloyd_step held; the
+    # sibling moves to the r12 spill.
+    "kmeans_train",
 )
 
 
